@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+    {"metric": "total_query_wall", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end through the `noop` sink so the full
+physical plan runs JVM-side (scan → compute → materialize) with no
+driver-side collect cost polluting the timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else float("nan")
+
+
+def main() -> None:
+    from crime_data_batch_processing_spark import registry
+    from crime_data_batch_processing_spark.session import get_spark
+
+    registry.load_all_operators()
+    spark = get_spark(app_name="cdbp-bench")
+
+    timings: dict[str, float] = {}
+    for key in sorted(registry.QUERIES):
+        fn = registry.QUERIES[key]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[key] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # keep benching the rest; surface the failure
+            timings[key] = -1.0
+            print(f"# bench FAILED {key}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Cross-engine-exact numeric aggregation helpers.
+
+Summing IEEE doubles is order-dependent: Spark's partial/final
+aggregation tree and DuckDB's vectorized accumulation can legally
+differ in the last ulp, which breaks bit-exact oracle comparison (and,
+worse, breaks *run-to-run* determinism at scale, where partition
+boundaries move). The fix used throughout this engine: accumulate in
+DECIMAL, which is exact and therefore associative/commutative —
+order-independent by construction — then cast the final value back to
+double.
+
+The same pattern is what you want at 100 TB for money-like columns
+anyway (TPC-H prices are conceptually DECIMAL(15,2)); the decimal
+aggregation path in Spark is codegen'd JVM arithmetic, not a UDF.
+
+Scale choice: the accumulation scale must sit WELL ABOVE the binary
+noise floor of the input doubles. Spark casts double→decimal through
+the shortest decimal string (`BigDecimal.valueOf`), DuckDB through the
+exact binary expansion; at scale 10 those two roundings disagree in
+the last digit for values around 1e3–1e5 (observed: a 4e-8 drift on a
+40k-row sum). At scale 6 the double's representation noise (~1e-11
+absolute at these magnitudes) is orders of magnitude below the
+rounding step, so both engines round every summand to the identical
+decimal and the sums match bit-for-bit.
+
+DuckDB oracle-side equivalents (keep in sync with the SQL strings):
+    dsum(x)  ->  CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+    davg(x)  ->  CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(28,6)"
+
+
+def dcol(col: Column | str) -> Column:
+    """Column cast to the exact accumulation type."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent sum of a double column, returned as double."""
+    return F.sum(dcol(col)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent mean: exact decimal sum / count, as double.
+
+    Both engines then perform one identical double division, so the
+    result is bit-identical.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dcol(c)).cast("double") / F.count(c)
+
+
+def sql_dsum(expr: str) -> str:
+    """DuckDB-side rendering of :func:`dsum` for oracle strings."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    """DuckDB-side rendering of :func:`davg` for oracle strings."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({expr})"

@@ -1,0 +1,8 @@
+"""Operator modules — importing this package registers every query."""
+
+from crime_data_batch_processing_spark.operators import (  # noqa: F401
+    aggregates,
+    filters,
+    projections,
+    scans,
+)

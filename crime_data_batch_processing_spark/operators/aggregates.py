@@ -1,0 +1,168 @@
+"""Aggregation operators: the engine's flagship query plus the full
+grouped-aggregate surface.
+
+Reference capability: O7 — the one query the reference runs
+(/root/reference/spark_process_script.py:37):
+
+    SELECT primary_type, count(primary_type) AS crime_count
+    FROM crime_data.crimes_2001_to_present
+    WHERE arrest='False' GROUP BY primary_type
+
+i.e. filter → hash aggregate with COUNT(col) null-skipping semantics.
+`agg_count_filter` reproduces exactly that shape on the testdata
+star schema; the rest of the module generalizes it (multi-aggregate,
+distinct, approx-distinct, rollup).
+
+Scale notes: groupBy compiles to HashAggregateExec partial → shuffle
+on the group key → final. Map-side partial aggregation means the
+shuffle carries one row per (task, key), not per input row — for a
+Zipf-skewed key like the reference's `primary_type` (~35 distinct
+values over 7.9M rows) the shuffle is tiny regardless of input size.
+For high-cardinality COUNT(DISTINCT) at 100 TB prefer
+`approx_count_distinct` (HyperLogLog++, mergeable, no per-key state
+explosion); the exact form needs a two-phase expand + shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+
+@query(
+    "agg_count_filter",
+    oracle="""
+    SELECT o_orderpriority, COUNT(o_orderpriority) AS order_count
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP — the reference's query shape (spark_process_script.py:37).
+
+    filter(col = literal) → groupBy(categorical) → COUNT(col).
+    COUNT(col) keeps ANSI null-skipping semantics (counts non-null
+    values only, not COUNT(*)) — the distinction SURVEY.md §1.2 calls
+    out. `o_orderstatus='F'` plays `arrest='False'`;
+    `o_orderpriority` plays `primary_type`.
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count("o_orderpriority").alias("order_count"))
+    )
+
+
+@query(
+    "agg_multi",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_davg('l_quantity')} AS avg_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped multi-aggregate: sum/avg/min/max/count(*).
+
+    Double sums accumulate in DECIMAL (see functions/exact.py) so the
+    result is order-independent — identical across engines, shuffle
+    layouts, and scale factors.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS distinct_supp,
+           COUNT(DISTINCT l_partkey) AS distinct_part,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — expands to a two-phase aggregate."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("distinct_supp"),
+            F.countDistinct("l_partkey").alias("distinct_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — the 100 TB-scale form of agg_distinct.
+
+    HyperLogLog++ sketches are mergeable, so the aggregation stays
+    one-pass with bounded per-key state. Estimates differ between
+    engines by design → rows-only check; the accompanying unit test
+    asserts the estimate is within 5% of the exact count.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supp"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_part"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy with GROUPING indicator columns."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )

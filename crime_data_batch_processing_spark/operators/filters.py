@@ -1,0 +1,61 @@
+"""Filter / predicate operators.
+
+Reference capability: O6 — a single case-sensitive string-equality
+predicate `WHERE arrest='False'`
+(/root/reference/spark_process_script.py:37). Generalized here to the
+full predicate algebra (AND/OR/NOT, range, IN, NULL tests).
+
+Scale notes: every predicate below is a Catalyst expression, so it
+participates in predicate pushdown — `.explain("formatted")` shows it
+in `PushedFilters` on the parquet scan, meaning row groups whose
+min/max statistics exclude the predicate are never read. At 100 TB
+that is the difference between scanning terabytes and scanning
+gigabytes; never wrap a filter in a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+
+@query(
+    "filter_eq",
+    oracle="SELECT * FROM orders WHERE o_orderstatus = 'F'",
+)
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-sensitive string equality (O6 semantics).
+
+    Same shape as the reference's `arrest='False'`
+    (spark_process_script.py:37): equality on a categorical string
+    column; NULL and case-variant rows are excluded, per ANSI
+    three-valued logic.
+    """
+    return load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE (c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+           OR c_acctbal BETWEEN 1000.0 AND 5000.0)
+      AND NOT c_name LIKE '%7'
+      AND c_nationkey IS NOT NULL
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicates: AND/OR/NOT, IN, BETWEEN, LIKE, NULL test."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        (
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+            | F.col("c_acctbal").between(1000.0, 5000.0)
+        )
+        & ~F.col("c_name").like("%7")
+        & F.col("c_nationkey").isNotNull()
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")

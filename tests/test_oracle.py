@@ -1,0 +1,56 @@
+"""Differential correctness: every registered query vs its DuckDB oracle.
+
+This is the engine's sqllogictest (SURVEY.md §5.2): each `queries()`
+entry with an oracle is executed by both engines on the same sf0.001
+parquet and compared (count + columns + order-insensitive values).
+Queries without an oracle get a rows-run smoke check here; their
+semantic checks live in dedicated test modules.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crime_data_batch_processing_spark import registry
+
+registry.load_all_operators()
+
+from tests.oracle_harness import compare, duck_connection  # noqa: E402
+
+ORACLE_KEYS = sorted(registry.ORACLES)
+ROWS_ONLY_KEYS = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", ORACLE_KEYS)
+def test_query_matches_oracle(spark, sf_dir, duck, key):
+    df = registry.QUERIES[key](spark, sf_dir)
+    compare(df, duck, registry.ORACLES[key])
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
+def test_rows_only_query_runs(spark, sf_dir, key):
+    df = registry.QUERIES[key](spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    out = e.entry(spark)
+    assert out.count() > 0
+    assert set(out.columns) == {"o_orderpriority", "order_count"}
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(callable(f) for f in qs.values())
