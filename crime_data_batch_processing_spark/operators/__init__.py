@@ -5,4 +5,5 @@ from crime_data_batch_processing_spark.operators import (  # noqa: F401
     filters,
     projections,
     scans,
+    sinks,
 )

@@ -1,0 +1,141 @@
+"""Sinks: partitioned parquet write + the latest-snapshot protocol.
+
+Reference capabilities:
+* O9 — `write.mode("overwrite").partitionBy("y","m","d")
+  .format("parquet").saveAsTable(...)`
+  (/root/reference/spark_ingest_script.py:85-95, duplicated at
+  spark_process_script.py:62-72).
+* O12 — the latest-partition pinning protocol: an unpartitioned table
+  whose LOCATION is repointed at the newest y/m/d directory each run
+  (`CREATE TABLE ... USING PARQUET LOCATION` then `ALTER TABLE ...
+  SET LOCATION`, spark_ingest_script.py:97-105,
+  spark_process_script.py:74-82). Rebuilt here on partition-pruned
+  reads — the idiomatic replacement SURVEY.md §1.4 recommends: a
+  predicate on the partition columns prunes to exactly one directory
+  via catalog metadata, giving the same "readers see only the latest
+  snapshot" semantics without mutable-location DDL (which is a race
+  under concurrent readers and needs a Hive metastore).
+
+Scale notes: dynamic-partition overwrite touches only the partitions
+being written; a predicate-pruned read of one partition is O(snapshot
+size), not O(history size) — `.explain` shows the pruned partition
+count. Snapshot writes should also be compacted (coalesce to a target
+file size) so each 100 TB run doesn't leave millions of small files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.crime_schema import stamp_partitions
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+
+def write_snapshot(df: DataFrame, base_path: str, exec_date: str) -> str:
+    """O9 natively: stamp y/m/d and dynamic-partition-overwrite parquet.
+
+    Returns the partition directory for the written snapshot (the path
+    the reference would pin its latest-table LOCATION to,
+    spark_ingest_script.py:46).
+    """
+    stamped = stamp_partitions(df, exec_date)
+    (
+        stamped.write.mode("overwrite")
+        .partitionBy("y", "m", "d")
+        .format("parquet")
+        .save(base_path)
+    )
+    y, m, d = exec_date.split("-")
+    return f"{base_path}/y={int(y)}/m={int(m)}/d={int(d)}"
+
+
+def read_latest_snapshot(
+    spark: SparkSession, base_path: str, exec_date: str
+) -> DataFrame:
+    """O12 natively: partition-pruned read of the newest snapshot.
+
+    The predicate on y/m/d is resolved against directory metadata —
+    only the latest partition's files are listed and scanned.
+    """
+    y, m, d = (str(int(p)) for p in exec_date.split("-"))
+    return (
+        spark.read.parquet(base_path)
+        .filter((F.col("y") == y) & (F.col("m") == m) & (F.col("d") == d))
+        .drop("y", "m", "d")
+    )
+
+
+@query(
+    "sink_partitioned",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write + read-back round trip (O9).
+
+    Writes orders partitioned by order year, reads the directory tree
+    back, and aggregates per partition — the oracle computes the same
+    aggregate directly from the source, so any row lost, duplicated, or
+    type-mangled by the sink/scan round trip is a hash mismatch.
+    """
+    out = f"/tmp/cdbp_sink/{os.path.basename(sf_dir.rstrip('/'))}/orders_by_year"
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "latest_snapshot",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two dated snapshot runs, then a latest-only read (O12).
+
+    Run 1 writes a *stale* snapshot (orders with status 'F' only,
+    stamped 2026-8-12); run 2 writes the full table (2026-8-13). The
+    latest-pinned read must see exactly run 2 — the oracle aggregates
+    the full source table, so if the read leaked the stale partition
+    (double rows) or pinned the wrong day (missing rows) the hash
+    breaks. Partition values are non-zero-padded strings, matching the
+    reference's '%-m'/'%-d' formatting (spark_ingest_script.py:67-69).
+    """
+    base = f"/tmp/cdbp_snap/{os.path.basename(sf_dir.rstrip('/'))}/orders"
+    orders = load_table(spark, sf_dir, "orders")
+    write_snapshot(orders.filter(F.col("o_orderstatus") == "F"), base, "2026-08-12")
+    # append-style second run: overwrite only its own partition
+    stamped = stamp_partitions(orders, "2026-08-13")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    stamped.write.mode("overwrite").partitionBy("y", "m", "d").parquet(base)
+    latest = read_latest_snapshot(spark, base, "2026-08-13")
+    return (
+        latest.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
