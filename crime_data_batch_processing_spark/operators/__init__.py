@@ -3,7 +3,11 @@
 from crime_data_batch_processing_spark.operators import (  # noqa: F401
     aggregates,
     filters,
+    joins,
     projections,
     scans,
+    setops,
     sinks,
+    sorts,
+    windows,
 )

@@ -1,0 +1,237 @@
+"""Join operators: equi (inner/outer/semi/anti), broadcast, theta, as-of.
+
+The reference performs NO joins anywhere (SURVEY.md §2.2 — verified:
+no `join` call, no multi-table SQL in /root/reference). This module is
+the engine's generalization of its scan→filter→agg shape to the full
+join surface a warehouse workload needs.
+
+Scale notes per strategy:
+* Equi joins shuffle both sides on the key (sort-merge) unless one
+  side fits the broadcast threshold — AQE demotes to broadcast at
+  runtime when post-filter statistics allow. Skewed keys are split by
+  AQE's skew-join handling (enabled in session.py).
+* `F.broadcast` pins the plan for dimensions KNOWN small (region: 5
+  rows, nation: 25) — at 100 TB never let a 5-row table be the build
+  side of a shuffle.
+* Theta joins have no hash strategy — they become broadcast
+  nested-loop; keep the broadcast side provably tiny or rewrite
+  (the as-of join below is exactly such a rewrite: a sort within
+  partitions instead of an O(n·m) loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+
+@query(
+    "join_inner",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join (fact ⋈ dim) + aggregate.
+
+    Catalyst picks the physical strategy; at sf0.01 customer fits the
+    broadcast threshold so no shuffle of the fact side occurs — the
+    exact plan a 100 TB orders table wants.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders.
+
+    COUNT(o_orderkey) counts the non-null probe side only, so
+    order-less customers appear with 0 — the null-skipping COUNT(col)
+    semantics of the flagship query (spark_process_script.py:37)
+    doing real work.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'has_orders' AS tag FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS tag FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence joins: LEFT SEMI (EXISTS) and LEFT ANTI (NOT EXISTS).
+
+    Semi/anti never duplicate or widen rows — at scale they beat
+    `inner join + distinct` (no duplicate blow-up, build side only
+    stores keys).
+    """
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = orders.o_custkey == customer.c_custkey
+    semi = customer.join(orders, cond, "left_semi").withColumn("tag", F.lit("has_orders"))
+    anti = customer.join(orders, cond, "left_anti").withColumn("tag", F.lit("no_orders"))
+    return semi.unionByName(anti)
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c.c_acctbal')} AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join through a dimension chain.
+
+    region (5 rows) and nation (25 rows) are pinned as broadcast build
+    sides — the fact side streams through map-side, zero shuffle for
+    the joins themselves. The plan-quality test asserts
+    BroadcastHashJoin is chosen.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS rkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: unordered pairs of nations per region.
+
+    The inequality rides on top of an equi key (n_regionkey), so
+    Catalyst still hash-joins on the region and applies the `<` as a
+    post-condition — the scalable shape for theta joins. A pure
+    inequality join would force BroadcastNestedLoop: fine for a 25-row
+    side, catastrophic fact-to-fact.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("rkey"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_left,
+               CASE WHEN event_type <> 'purchase' THEN event_id END AS r_event_id
+        FROM events WHERE event_type = 'purchase' OR event_type = 'click'
+    ), filled AS (
+        SELECT user_id, us, event_id, is_left,
+               LAST_VALUE(r_event_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY us, is_left, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS asof_click_id
+        FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, us AS purchase_us, asof_click_id
+    FROM filled WHERE is_left = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it
+    (per user) — the operator Spark lacks natively (SURVEY.md P17).
+
+    Implemented as the scalable union+window idiom rather than a
+    per-key loop or a range cross-join: tag both streams, union, sort
+    within user partitions by (ts, side, id), and carry the last seen
+    right-side id forward with last(ignorenulls). One shuffle on
+    user_id, O(n log n) per partition, no O(n·m) pair blow-up — this
+    is the 100 TB form. Right rows at the exact same timestamp sort
+    before left rows (is_left tiebreak), giving `<=` as-of semantics;
+    event_id is the final total-order tiebreaker.
+
+    The oracle is the same algorithm in ANSI SQL, so semantics match
+    by construction (timestamps compared as epoch-µs — see
+    sources/tables.py on the ns→µs story).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tagged = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_left"),
+        F.when(F.col("event_type") != "purchase", F.col("event_id")).alias("r_event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_left", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "asof_click_id", F.last("r_event_id", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("is_left") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        "asof_click_id",
+    )

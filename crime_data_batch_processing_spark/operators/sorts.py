@@ -1,0 +1,81 @@
+"""Sort / limit / top-k operators.
+
+The reference has no ORDER BY or LIMIT anywhere (SURVEY.md §2.2).
+
+Scale notes: global ORDER BY is a range-partitioned shuffle (sampled
+boundaries) — fine once, poison in a loop. ORDER BY + LIMIT k never
+materializes the full sort: Spark plans TakeOrderedAndProject, a
+per-partition top-k heap merged on the driver — O(n) scan, O(k)
+memory, no shuffle of the data itself. Top-k *per group* uses a
+window rank + filter: one shuffle on the group key, heap-free.
+Every top-k here carries a unique tiebreaker so results are total-
+ordered → deterministic → oracle-hashable (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY + LIMIT → TakeOrderedAndProject.
+
+    (l_orderkey, l_linenumber) is the relation's primary key, so the
+    ordering is total and the selected 100-row set is unique.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each priority class.
+
+    row_number over (group, order DESC, unique-key ASC) then filter —
+    one shuffle on the group key; the rank filter is pushed into the
+    window via Spark's WindowGroupLimit so each partition keeps only
+    k rows before the final sort.
+    """
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )

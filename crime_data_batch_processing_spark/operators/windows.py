@@ -1,0 +1,121 @@
+"""Window-function operators: ranking, analytic, frame specs.
+
+Absent from the reference (SURVEY.md §2.2 — no window functions).
+
+Scale notes: a window spec costs one shuffle on its partition keys +
+a per-partition sort; specs sharing (partitionBy, orderBy) reuse the
+same exchange. An UNPARTITIONED window (no partitionBy) funnels all
+rows into ONE task — never do that at scale; every window here is
+partitioned. Running double sums accumulate in DECIMAL (see
+functions/exact.py) so frame-evaluation order can't produce
+engine-divergent floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.functions.exact import dcol
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over one shared window spec."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .withColumn("quartile", F.ntile(4).over(w))
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(event_id) OVER w AS prev_event,
+           LEAD(event_id) OVER w AS next_event,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value + running sum per user, time-ordered.
+
+    The running sum accumulates in DECIMAL: a cumulative double sum
+    would otherwise depend on evaluation order and drift between
+    engines (and between cluster layouts).
+    """
+    order_keys = [F.unix_micros("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order_keys)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", "ts")
+        .withColumn("prev_event", F.lag("event_id").over(w))
+        .withColumn("next_event", F.lead("event_id").over(w))
+        .withColumn("first_event", F.first("event_id").over(w))
+        .withColumn("running_value", F.sum(dcol("value")).over(wsum).cast("double"))
+        .drop("ts")
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderkey
+               RANGE BETWEEN 100 PRECEDING AND CURRENT ROW
+           ) AS n_near,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderkey
+               RANGE BETWEEN 100 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_near
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: value-based moving window (±100 order keys).
+
+    RANGE frames include peers by ordering VALUE, not row position —
+    the moving-aggregate shape used for time-based smoothing once the
+    order key is a timestamp.
+    """
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rangeBetween(-100, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .withColumn("n_near", F.count(F.lit(1)).over(w))
+        .withColumn("sum_near", F.sum(dcol("o_totalprice")).over(w).cast("double"))
+        .drop("o_orderpriority", "o_totalprice")
+    )

@@ -32,7 +32,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Lazy — nothing executes until an action."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL] — Spark
+    timestamps are microsecond precision). Read the physical int64
+    nanos via the nanosAsLong conf and truncate to µs engine-side.
+
+    Truncation (`div 1000`) matches DuckDB's `epoch_us()` on the same
+    values exactly (verified empirically), so oracle comparisons on
+    derived timestamps agree. Sub-µs residue is dropped — the same
+    thing DuckDB does when handing TIMESTAMP_NS to any µs consumer.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -36,3 +36,19 @@ def test_flagship_prunes_columns(spark, sf_dir):
 def test_flagship_pushes_filter(spark, sf_dir):
     df = registry.QUERIES["agg_count_filter"](spark, sf_dir)
     assert has_pushed_filters(df)
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import uses_broadcast_join
+
+    df = registry.QUERIES["join_broadcast"](spark, sf_dir)
+    assert uses_broadcast_join(df), "5/25-row dims must be broadcast, never shuffled"
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    df = registry.QUERIES["sort_limit"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df), (
+        "ORDER BY + LIMIT must plan as top-k, not a global sort"
+    )
