@@ -26,6 +26,13 @@ decimal and the sums match bit-for-bit.
 DuckDB oracle-side equivalents (keep in sync with the SQL strings):
     dsum(x)  ->  CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
     davg(x)  ->  CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x)
+
+FLOAT columns must be widened through DOUBLE on BOTH sides before the
+decimal cast: DuckDB's direct FLOAT→DECIMAL rounds through float
+arithmetic and disagrees with the correctly-rounded double path for
+~0.2% of values (measured on the embeddings table). Spark-side
+`dcol()` always widens; oracle SQL over float columns must spell
+CAST(CAST(x AS DOUBLE) AS DECIMAL(28,6)).
 """
 
 from __future__ import annotations
@@ -37,9 +44,17 @@ DEC = "decimal(28,6)"
 
 
 def dcol(col: Column | str) -> Column:
-    """Column cast to the exact accumulation type."""
+    """Column cast to the exact accumulation type.
+
+    Widens to double FIRST: Spark's float→decimal cast goes through
+    the float's shortest string repr, whose ~7 significant digits land
+    *exactly* on a half at scale 6 often enough to diverge from
+    DuckDB's binary-expansion rounding. float→double is exact, and the
+    double's 17-digit repr never sits on a 1e-6 half boundary in
+    practice. No-op for columns already double.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(DEC)
+    return c.cast("double").cast(DEC)
 
 
 def dsum(col: Column | str) -> Column:

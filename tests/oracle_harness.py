@@ -29,20 +29,24 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Type-aware normalization, deliberately STRICTER than needed:
+    int vs float vs Decimal are distinct ('i:'/'f:' prefixes) so a
+    query whose two sides return different numeric types fails here
+    even when the values print alike — we can't know how tolerant the
+    driver's hash is, so queries must match on type AND full value.
+    """
     if v is None:
         return "\x00NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # 12 significant digits: catches real mismatches, tolerates
-        # sub-ulp engine noise (queries are designed to be bit-exact,
-        # so stricter local checks live in test assertions).
-        return f"{v:.12g}"
+            return "f:NaN"
+        return f"f:{v!r}"
     if isinstance(v, decimal.Decimal):
-        f = float(v)
-        return f"{f:.12g}"
+        return f"f:{float(v)!r}"
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, dt.date):
