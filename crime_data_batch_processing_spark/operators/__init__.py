@@ -9,5 +9,7 @@ from crime_data_batch_processing_spark.operators import (  # noqa: F401
     setops,
     sinks,
     sorts,
+    time_windows,
+    udfs,
     windows,
 )

@@ -1,0 +1,140 @@
+"""Batch time-windowing: tumbling, sliding, session (P34-P36).
+
+The reference's only notion of time is the Airflow daily schedule
+(/root/reference/da-capstone-emr-airflow.py:94); nothing in-engine.
+These operators give streaming-window semantics on batch data — the
+same `F.window`/`F.session_window` expressions the streaming module
+reuses, so batch/stream equivalence is by construction.
+
+Scale notes: time-window grouping is an ordinary hash aggregate whose
+key is the derived window struct — partial aggregation + one shuffle.
+Sliding windows multiply each row into size/slide windows (4× here)
+BEFORE the shuffle; keep the projected payload minimal. Session
+windows shuffle on the partition key and merge overlapping sessions
+per key — at 100 TB that's fine exactly because the key (user_id)
+bounds the per-task state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+
+@query(
+    "window_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-overlapping 1-hour buckets per event type.
+
+    A tumbling window is just date_trunc as a group key — the oracle
+    says exactly that.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_sliding",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts) // 1000000 // 900 - i) * 900 * 1000000)
+               AS window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events, unnest([0, 1, 2, 3]) AS t(i)
+    GROUP BY 1
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping windows: 1-hour size, 15-minute slide.
+
+    Each event lands in exactly size/slide = 4 windows. The oracle
+    derives the same 4 window starts arithmetically (floor to the
+    slide grid, step back i slides) — integer µs math, so exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_session",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS prev_us
+        FROM events
+    ), islands AS (
+        SELECT user_id, us,
+               SUM(CASE WHEN prev_us IS NULL
+                         OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-minute inactivity) per user.
+
+    Spark's `session_window` defines a session's end as last_event +
+    gap; the oracle reproduces that with the classic gaps-and-islands
+    SQL (lag → new-session flag → running island id → group), all in
+    integer µs. Emitted as epoch-µs to sidestep ns-vs-µs timestamp
+    rendering (sources/tables.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,121 @@
+"""User-defined function surface: vectorized scalar UDFs + grouped UDAFs.
+
+The reference defines no UDFs (SURVEY.md §2.2). This module provides
+the two shapes that matter, both on the Arrow path:
+
+* `pandas_udf` scalar — batched columnar transfer, ~10-100× the
+  throughput of row-at-a-time `F.udf` (which this engine bans from
+  hot paths; see the plan test asserting no BatchEvalPython in
+  registered queries).
+* `applyInPandas` grouped map — per-group pandas DataFrame in/out,
+  the UDAF workhorse for logic genuinely outside the built-in
+  aggregate algebra.
+
+Scale notes: a pandas UDF still serializes every batch across the
+JVM↔Python boundary — use it only for logic `pyspark.sql.functions`
+cannot express (the examples here are SQL-expressible on purpose, so
+the oracle can check the machinery; real uses are the dedup /
+similarity / multimodal operators). For applyInPandas, a single group
+must fit in one worker's memory: group by keys with bounded
+cardinality per key, never by a skewed key without salting.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+# returnType as type OBJECTS, not DDL strings: string types are parsed
+# through the active SparkSession, which doesn't exist at import time.
+
+
+@F.pandas_udf(T.LongType())
+def _token_count(text: pd.Series) -> pd.Series:
+    """Whitespace token count, vectorized over an Arrow batch."""
+    return text.str.split(" ").str.len().astype("int64")
+
+
+@F.pandas_udf(T.StringType())
+def _normalize_text(text: pd.Series) -> pd.Series:
+    """Lowercase + trim — the canonical pre-dedup normalization."""
+    return text.str.strip().str.lower()
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           SUBSTRING(LOWER(TRIM(text)), 1, 40) AS norm_prefix,
+           n_chars * 2 AS chars_doubled
+    FROM documents
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDFs whose logic the oracle re-expresses in SQL.
+
+    The point under test is the Arrow batch machinery (types, nulls,
+    batch boundaries), not the arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _token_count("text").alias("n_tokens"),
+        F.substring(_normalize_text("text"), 1, 40).alias("norm_prefix"),
+        (F.col("n_chars") * 2).alias("chars_doubled"),
+    )
+
+
+@query(
+    "udaf_grouped",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via applyInPandas (one output row per group).
+
+    Integer-only outputs so the oracle comparison is exact. `lang` has
+    ~5 distinct values with even sizes — the bounded-group-size
+    requirement applyInPandas imposes at scale.
+
+    The grouped function is NESTED so cloudpickle serializes it by
+    VALUE: a module-level function is pickled by reference and the
+    Python workers would need this package on their PYTHONPATH (true
+    for nothing the driver guarantees — it imports us from an
+    arbitrary cwd).
+    """
+
+    def _lang_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-language corpus stats — arbitrary pandas logic per group
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "min_chars": [int(pdf["n_chars"].min())],
+                "max_chars": [int(pdf["n_chars"].max())],
+                "total_chars": [int(pdf["n_chars"].sum())],
+                "first_doc": [int(pdf["doc_id"].min())],
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.groupBy("lang").applyInPandas(
+        _lang_stats,
+        schema=(
+            "lang string, n_docs long, min_chars long, max_chars long, "
+            "total_chars long, first_doc long"
+        ),
+    )

@@ -1,1 +1,3 @@
-"""Structured Streaming operators (P37). Populated in Stage 5."""
+"""Structured Streaming operators (P37)."""
+
+from crime_data_batch_processing_spark.streaming import stream_events  # noqa: F401
