@@ -4,11 +4,15 @@ from crime_data_batch_processing_spark.operators import (  # noqa: F401
     aggregates,
     filters,
     joins,
+    llm_dedup,
+    multimodal,
     projections,
     scans,
     setops,
+    similarity,
     sinks,
     sorts,
+    text_analysis,
     time_windows,
     udfs,
     windows,

@@ -1,0 +1,354 @@
+"""Near-duplicate detection over `documents` / `embeddings`: exact
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine (P38 + the
+LLM-pipeline dedup family; exact dedup lives in functions/exact —
+`dedup_exact`).
+
+The reference has no dedup of any kind (SURVEY.md §2.2). This module
+implements the standard corpus-dedup ladder, each rung trading recall
+for scalability:
+
+1. `dedup_ngram_jaccard` — ground truth. All-pairs via a
+   shared-shingle join. Exact, but the join blows up on common
+   shingles: at 100 TB this is the oracle you sample against, not the
+   operator you run.
+2. `dedup_minhash` — MinHash signatures + banded LSH. Only documents
+   that collide in ≥1 band meet in the shuffle; candidate pairs are
+   then *verified* with the exact Jaccard, so false positives are
+   eliminated and only sub-threshold recall is probabilistic. This is
+   the 100 TB path: cost is linear in corpus size + collisions.
+3. `dedup_simhash` — 64-bit SimHash + banded Hamming search. One
+   64-bit fingerprint per doc (cheapest storage), pigeonhole banding
+   guarantees recall for Hamming ≤ 7 at 8 bands.
+4. `dedup_embedding` — semantic near-dup on embedding cosine; exact
+   decimal math (functions/veckit) so the oracle matches bit-for-bit.
+   The all-pairs form here is test-scale; `sim_search_lsh` shows the
+   bucketed form.
+
+Everything is Catalyst expressions + joins — the signature math is
+JVM-side array lambdas, never Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.functions.textkit import (
+    jaccard,
+    shingles,
+    sql_shingles,
+)
+from crime_data_batch_processing_spark.functions.veckit import (
+    descale,
+    idot,
+    quantize,
+    sql_cosine,
+)
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.4
+#: MinHash: 32 hash functions in 8 bands of 4 rows. Collision prob at
+#: the 0.4 threshold: 1-(1-0.4^4)^8 ≈ 19% per band set… per-BAND
+#: p=j^4, overall 1-(1-j^4)^8 — ≈0.95 at j=0.8, ≈0.999 at j=0.9; the
+#: planted near-dups sit at j≈0.98 (recall asserted in tests).
+MINHASH_FUNCS = 32
+MINHASH_BANDS = 8
+MINHASH_ROWS = MINHASH_FUNCS // MINHASH_BANDS
+#: SimHash: 8 bands × 8 bits; pigeonhole ⇒ any pair with Hamming ≤ 7
+#: shares at least one band, so candidate generation is lossless for
+#: the ≤7 radius.
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 8
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+HAMMING_THRESHOLD = 7
+COSINE_THRESHOLD = 0.4
+
+
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition ahead of superlinear per-row work (signatures,
+    all-pairs joins). The local testdata is one parquet file → one
+    input split, which would serialize the expensive stage onto a
+    single core; shuffling N small rows is noise next to the O(N·k)
+    signature math or O(N²) pair math it parallelizes. On a real
+    multi-split corpus the scan is already parallel and AQE coalesces
+    any excess, so this stays harmless at scale."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    return docs.select("doc_id", shingles("text").alias("sh")).where(F.size("sh") > 0)
+
+
+_SQL_PAIR_BASE = f"""
+    WITH sh AS (
+        SELECT doc_id, {sql_shingles('text')} AS sh
+        FROM documents
+        WHERE len({sql_shingles('text')}) > 0
+    ), ex AS (
+        SELECT doc_id, unnest(sh) AS g FROM sh
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           p.n_inter::DOUBLE / (len(sa.sh) + len(sb.sh) - p.n_inter) AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.doc_a
+    JOIN sh sb ON sb.doc_id = p.doc_b
+"""
+
+
+def _verified_pairs(cand: DataFrame, with_sh: DataFrame) -> DataFrame:
+    """Join candidate (doc_a, doc_b) pairs back to shingle sets and
+    compute the EXACT Jaccard — the verification step that makes LSH
+    output trustworthy."""
+    a = with_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = with_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(inter, F.size("sh_a"), F.size("sh_b")).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"{_SQL_PAIR_BASE} WHERE p.n_inter::DOUBLE / (len(sa.sh) + len(sb.sh) - p.n_inter) >= {JACCARD_THRESHOLD}",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-trigram Jaccard near-dup pairs (ground truth).
+
+    Shape: shingle → explode → self-equi-join on the shingle →
+    count(intersection) per pair → Jaccard from the pre-computed set
+    sizes. The join key is the shingle string, so only pairs that
+    share at least one trigram are ever materialized — still
+    worst-case quadratic on hot shingles, which is exactly why the
+    MinHash rung exists.
+    """
+    with_sh = _doc_shingles(spark, sf_dir)
+    ex = with_sh.select("doc_id", F.explode("sh").alias("g"))
+    pairs = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = with_sh.select("doc_id", F.size("sh").alias("n_sh"))
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("n_inter"), F.col("n_a"), F.col("n_b")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query("dedup_minhash")  # hash-function-dependent → rows-only
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-verified.
+
+    Signature: for each of 32 hash functions h_i, the minimum of
+    xxhash64(i-salt ++ shingle) over the document's shingle set — the
+    classic permutation-min estimator, built as one array-lambda
+    expression per hash function (JVM, no Python). Banding: 8 bands
+    of 4 signature slots; a pair is a candidate iff some band hashes
+    equal. Candidates are then verified with the exact Jaccard and
+    filtered at the same threshold as the ground-truth operator, so
+    precision is 1.0 by construction and only recall is probabilistic
+    (tests assert it on the planted near-dups).
+
+    Scale: each doc contributes exactly 8 (band, band_hash) rows —
+    the shuffle is 8× corpus cardinality regardless of document size,
+    and only colliding docs join. This is the 100 TB dedup plan.
+    """
+    with_sh = _doc_shingles(spark, sf_dir)
+
+    # NB: the per-function salt is closed over OUTSIDE the lambda's
+    # parameter list — an extra `i=i` default would change the arity
+    # PySpark inspects and silently turn this into the (element,
+    # index) two-arg form of `transform`.
+    def _minhash(i: int) -> F.Column:
+        salt = F.lit(f"mh{i}|")
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.xxhash64(F.concat(salt, s)))
+        )
+
+    sig = F.array(*[_minhash(i) for i in range(MINHASH_FUNCS)])
+    banded = with_sh.select("doc_id", sig.alias("sig")).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * MINHASH_ROWS + r + 1)
+                                for r in range(MINHASH_ROWS)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bhash")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verified_pairs(cand, with_sh).where(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+@query("dedup_simhash")  # hash-function-dependent → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints + banded Hamming-radius pairs.
+
+    Fingerprint: per bit j, sum sign((xxhash64(token) >> j) & 1) over
+    the token multiset (so term frequency weights, as in Charikar's
+    construction); bit j of the fingerprint is the sign of that sum.
+    Candidate generation: split the 64 bits into 8 byte-bands; by
+    pigeonhole, Hamming distance ≤ 7 forces at least one equal band.
+    Pairs are scored with the true `bit_count(a XOR b)` and filtered
+    at radius 7 — band collisions beyond the radius are dropped, so
+    the output is exactly {pairs : hamming ≤ 7}, found without an
+    all-pairs comparison.
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    thashes = F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
+    one = F.lit(1).cast("long")
+
+    def bit(j: int) -> F.Column:
+        # mask precomputed and closed over — same arity caveat as the
+        # minhash salt above
+        mask = F.shiftleft(one, j)
+        votes = F.aggregate(
+            F.col("th"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, one).otherwise(F.lit(0).cast("long"))
+    packed = F.aggregate(
+        F.array(*[(bit(j) * F.shiftleft(one, j)) for j in range(SIMHASH_BITS)]),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    fps = docs.select("doc_id", F.col("text")).select(
+        "doc_id", thashes.alias("th")
+    ).select("doc_id", packed.alias("simhash"))
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup).
+
+    All-pairs self-join with exact decimal cosine (veckit) — catches
+    paraphrase-level duplicates that no lexical method sees. The
+    quadratic form is the test-scale ground truth; at 100 TB the same
+    scoring runs behind LSH bucketing (see `sim_search_lsh`) or an
+    ANN index, exactly as MinHash gates the Jaccard verifier.
+    """
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    # quantize and compute norms per VECTOR, before the pair join —
+    # the O(n²) stage then runs only primitive long multiply-adds
+    # (the oracle recomputes per pair — exact math, same values)
+    with_q = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    with_q = with_q.select(
+        "vec_id", "q", descale(idot(F.col("q"), F.col("q"))).alias("nsq")
+    )
+    a = with_q.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("nsq").alias("na"),
+    )
+    b = with_q.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("nsq").alias("nb"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                descale(idot(F.col("qa"), F.col("qb")))
+                / F.sqrt(F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= COSINE_THRESHOLD)
+    )

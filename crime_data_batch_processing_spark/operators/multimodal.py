@@ -1,0 +1,118 @@
+"""Multimodal column pattern (P41): typed binary payloads + Arrow
+feature extraction via `mapInPandas`.
+
+The reference's richest type is a string (SURVEY.md §1.2). A
+training-data pipeline carries images/audio/video as opaque `binary`
+columns wrapped in a typed struct:
+
+    media: struct<uri: string, mime: string, data: binary,
+                  meta: struct<lang: string, n_chars: long>>
+
+That envelope is the whole design: the engine shuffles/partitions/
+filters on the cheap typed fields (uri, mime, meta) and only the
+Python feature-extraction stage ever touches `data` — and it does so
+through `mapInPandas`, which streams Arrow record batches so a
+partition never has to fit in one pandas frame at once (unlike
+`applyInPandas`, there is no per-group materialization: the right
+shape for 100 TB of binary payloads).
+
+The actual media DECODE step (PIL/ffmpeg/soundfile) is stubbed: those
+libraries are not in this environment, so `decode_media` raises
+NotImplementedError by contract and the pipeline runs a deterministic
+byte-level extraction instead (length + checksum), keeping every
+Spark-side piece — schema, Arrow batching, struct plumbing — real and
+oracle-checked. Payloads here are the UTF-8 document text standing in
+for image bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+CHECKSUM_MOD = 1_000_000_007
+
+FEATURE_SCHEMA = (
+    "doc_id long, uri string, mime string, byte_len long, checksum long"
+)
+
+
+def decode_media(data: bytes, mime: str) -> object:
+    """Decode an image/audio/video payload. STUB — deliberately
+    unimplemented: the decode libraries (PIL, ffmpeg, librosa) are not
+    available in this environment. The Spark-side contract (binary in,
+    typed features out, via mapInPandas) is exercised with
+    `_byte_features` instead."""
+    raise NotImplementedError(
+        f"media decoding for {mime!r} requires an image/audio library; "
+        "wire PIL/ffmpeg here in a full deployment"
+    )
+
+
+def media_envelope(docs: DataFrame) -> DataFrame:
+    """Wrap documents into the typed multimodal struct."""
+    return docs.select(
+        "doc_id",
+        F.struct(
+            F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias(
+                "uri"
+            ),
+            F.lit("text/plain").alias("mime"),
+            F.encode(F.col("text"), "UTF-8").alias("data"),
+            F.struct(F.col("lang"), F.col("n_chars")).alias("meta"),
+        ).alias("media"),
+    )
+
+
+@query(
+    "multimodal_cols",
+    oracle=f"""
+    SELECT doc_id,
+           'doc://' || source || '/' || doc_id AS uri,
+           'text/plain' AS mime,
+           octet_length(encode(text)) AS byte_len,
+           list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+               % {CHECKSUM_MOD} AS checksum
+    FROM documents
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed media envelope → Arrow-streamed byte-feature extraction.
+
+    The extraction function is NESTED so cloudpickle ships it by
+    value (module-level functions pickle by reference and require the
+    package on worker PYTHONPATH — not guaranteed).
+
+    The oracle recomputes both features in SQL: payloads are ASCII
+    text, so octet_length == character count and the byte checksum ==
+    sum of character codes.
+    """
+
+    def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the deterministic stand-in for decode_media(): per-payload
+        # byte length + additive checksum, one output row per input row
+        for pdf in batches:
+            data = pdf["data"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "uri": pdf["uri"],
+                    "mime": pdf["mime"],
+                    "byte_len": data.map(len).astype("int64"),
+                    "checksum": data.map(lambda b: sum(b) % CHECKSUM_MOD).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flat = media_envelope(docs).select(
+        "doc_id", "media.uri", "media.mime", "media.data"
+    )
+    return flat.mapInPandas(_byte_features, schema=FEATURE_SCHEMA)

@@ -1,0 +1,230 @@
+"""Approximate-nearest-neighbor search over `embeddings` (P39):
+brute-force cosine top-k baseline + random-hyperplane-LSH bucketed
+variant.
+
+The reference has nothing vector-shaped (SURVEY.md §1.1: its widest
+type is decimal(11,9)). This is the similarity-search half of a
+training-data pipeline: retrieval-based filtering, nearest-neighbor
+dedup gating, cluster-balanced sampling.
+
+Design for 100 TB:
+* the BRUTE-FORCE path broadcasts the (small) query set against the
+  corpus — cost |Q|·N exact cosines, embarrassingly parallel, zero
+  shuffle beyond the final per-query top-k. Correct baseline, linear
+  scan.
+* the LSH path computes a 16-bit random-hyperplane signature per
+  vector, explodes it into 4 four-bit bands, and joins query↔corpus
+  only within colliding buckets — the candidate set shrinks from N to
+  the bucket occupancy, which is the difference between scanning the
+  corpus per query and probing ~N/2^4 of it per band. Exact cosine
+  re-ranks candidates, so precision of returned neighbors is exact;
+  only recall is probabilistic (asserted against brute force in
+  tests). An IVF index is the same shape with learned (k-means)
+  buckets instead of hyperplane signs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.functions.veckit import (
+    descale,
+    idot,
+    quantize,
+    sql_cosine,
+)
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+#: Band geometry tuned for WEAK neighbor structure: this corpus's true
+#: top-k sit at cosine ≈ 0.3-0.5 (angle ≈ 60-72°, per-bit sign
+#: agreement p ≈ 0.66). Recall across bands = 1-(1-p^r)^b: at 6 bands
+#: of 3 bits that is ≈ 0.87; the 4-band × 4-bit layout a clustered
+#: production corpus would use gave only ≈ 0.5 here. Tighter bands
+#: (more bits per band) buy selectivity exactly when neighbors are
+#: close (p → 1); for far neighbors the knob must loosen.
+LSH_BITS = 18
+LSH_BANDS = 6
+LSH_BAND_BITS = LSH_BITS // LSH_BANDS
+EMBED_DIM = 64
+
+
+def _hyperplanes(bits: int = LSH_BITS, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+
+    A fixed-seed 64-bit LCG (MMIX constants) rather than any RNG
+    library, so the planes are bit-identical on every platform and
+    every run — signature stability is what makes an LSH index
+    re-usable across pipeline runs.
+    """
+    state = 42
+    planes: list[list[float]] = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _signature(vec) -> F.Column:
+    """Sign signature: bit i = [dot(vec, plane_i) >= 0].
+
+    Plain double dot products here — signatures only route vectors to
+    buckets, they never surface in results, so float associativity
+    doesn't matter (any consistent value is a valid signature). Works
+    unchanged on the quantized int64 arrays: uniform positive scaling
+    never flips a sign.
+    """
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes()):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(
+            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return sig
+
+
+_PAIR_COS = (
+    # per-pair scoring over pre-quantized vectors: pure long
+    # multiply-add inside codegen, then 3 correctly-rounded double ops
+    lambda: (
+        descale(idot(F.col("qe"), F.col("embedding")))
+        / F.sqrt(F.col("qn") * F.col("nsq"))
+    ).alias("cos_sim")
+)
+
+
+def _scored(a: DataFrame, b: DataFrame, how) -> DataFrame:
+    """Exact cosine between query rows (qid, qe, qn) and candidate
+    rows (vec_id, embedding, nsq) under join condition `how`."""
+    return a.join(b, how).select("qid", "vec_id", _PAIR_COS())
+
+
+def _with_norms(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Quantize once per vector; `embedding` is the scaled-int64 array
+    downstream (original floats are never needed again)."""
+    corpus = emb.select(
+        "vec_id", quantize(F.col("embedding")).alias("embedding")
+    ).select(
+        "vec_id",
+        "embedding",
+        descale(idot(F.col("embedding"), F.col("embedding"))).alias("nsq"),
+    )
+    queries = (
+        corpus.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("nsq").alias("qn"),
+        )
+    )
+    return queries, corpus
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()  # total order: ties by id
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "vec_id", "cos_sim")
+    )
+
+
+@query(
+    "sim_search",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+               {sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERIES}
+         AND c.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT qid, rank, vec_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact ANN baseline.
+
+    The query side is explicitly broadcast — |Q| rows against the
+    corpus scan, no shuffle until the tiny per-query top-k window.
+    Cosines come out bit-identical to the oracle (veckit decimal
+    math), and the (cos_sim DESC, vec_id ASC) total order makes rank
+    assignment deterministic cross-engine.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries, corpus = _with_norms(emb)
+    scored = _scored(
+        F.broadcast(queries), corpus, F.col("qid") != F.col("vec_id")
+    )
+    return _topk(scored)
+
+
+@query("sim_search_lsh")  # bucket routing is hash-dependent → rows-only
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded random-hyperplane LSH ANN: probe colliding buckets only.
+
+    Near vectors (small angle) agree on most hyperplane signs, so
+    they collide in some 4-bit band with high probability; the join
+    touches only bucket collisions instead of the full corpus.
+    Candidates are re-ranked with the exact cosine — same output
+    schema as `sim_search`, so the test measures recall directly.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries, corpus = _with_norms(emb)
+
+    def banded(df: DataFrame, vec_col: str) -> DataFrame:
+        with_sig = df.withColumn("sig", _signature(F.col(vec_col)))
+        bands = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * LSH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << LSH_BAND_BITS) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb")
+        return with_sig.select(*df.columns, bands).select(
+            *df.columns, "bb.band", "bb.bval"
+        )
+
+    qb = banded(queries, "qe").withColumnRenamed("band", "qband").withColumnRenamed(
+        "bval", "qbval"
+    )
+    cb = banded(corpus, "embedding")
+    cand = (
+        F.broadcast(qb)
+        .join(
+            cb,
+            (F.col("qband") == F.col("band"))
+            & (F.col("qbval") == F.col("bval"))
+            & (F.col("qid") != F.col("vec_id")),
+        )
+        .select("qid", "qe", "qn", "vec_id", "embedding", "nsq")
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    scored = cand.select("qid", "vec_id", _PAIR_COS())
+    return _topk(scored)

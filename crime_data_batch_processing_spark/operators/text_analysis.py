@@ -1,0 +1,270 @@
+"""Text analysis over `documents`: token counting, quality scoring,
+language ID, fingerprinting, tf-idf (P40 + the LLM-pipeline text ops).
+
+The reference computes nothing over text (SURVEY.md §2.2 — its only
+string op is the equality filter at
+/root/reference/spark_process_script.py:37). These operators are the
+text half of a training-data pipeline: everything a corpus curation
+pass runs per document before dedup/filtering.
+
+Every operator is pure Catalyst expression work — split / transform /
+aggregate / regexp, no Python UDFs — so at 100 TB the cost is one
+documents scan plus (for tf-idf) one explode + two shuffles. The
+per-document ops (counts, quality, lang-id, fingerprint) are
+shuffle-FREE: narrow map-only plans that scale linearly and never
+repartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.functions.textkit import tokens
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single other glyphs.
+#: Same regex class syntax in Java regex (Spark) and RE2 (DuckDB).
+BPEISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+#: English-y stopwords present in the synthetic vocabulary.
+STOPWORDS = ("the", "a")
+
+#: Marker vocabularies for the n-gram-heuristic language ID. Real
+#: language ID scores character n-grams against per-language profiles;
+#: the synthetic corpus has one shared vocabulary, so the profiles are
+#: three disjoint marker sets — the *mechanism* (score per profile,
+#: argmax with deterministic tie-break) is the real one.
+LANG_PROFILES = {
+    "en": ("the", "a", "value", "table"),
+    "de": ("hash", "join", "group", "merge"),
+    "fr": ("scan", "sort", "filter", "stream"),
+}
+
+# rolling-hash constants (fingerprinting): all intermediates stay well
+# under 2^63 so ANSI-mode Spark never overflows: acc < 1e9+7,
+# acc*P + tok < 1e9*1e6 + 2^21 < 2^63.
+FP_MOD = 1_000_000_007
+FP_P = 1_000_003
+
+
+def _score(toks, words) -> F.Column:
+    """Occurrence count of marker words in a token array (duplicates
+    count — frequency matters, as in real n-gram profiles)."""
+    lst = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lst, t)))
+
+
+def _sql_score(words) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter(string_split(text, ' '), t -> list_contains({lst}, t)))"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPEISH}')) AS n_bpeish_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts per document.
+
+    The regex pre-tokenizer is the first stage of byte-pair-encoding
+    tokenizers; counting its matches is the standard "how many tokens
+    will this doc cost" estimate, here entirely JVM-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPEISH), F.lit(0))).alias(
+            "n_bpeish_tokens"
+        ),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_token_len,
+           CAST({_sql_score(STOPWORDS)} AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: length, mean token length,
+    stopword ratio, distinct-token ratio.
+
+    These are the classic cheap corpus-quality filters (Gopher-style
+    rules): each is one expression over the token array, and each
+    ratio is a single integer/integer double division so the oracle
+    matches bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_toks = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        n_toks.alias("n_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_toks
+        ).alias("mean_token_len"),
+        (_score(toks, STOPWORDS).cast("double") / n_toks).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_toks).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           lang AS lang_labeled,
+           {_sql_score(LANG_PROFILES["en"])} AS score_en,
+           {_sql_score(LANG_PROFILES["de"])} AS score_de,
+           {_sql_score(LANG_PROFILES["fr"])} AS score_fr,
+           CASE
+             WHEN {_sql_score(LANG_PROFILES["en"])} >= {_sql_score(LANG_PROFILES["de"])}
+              AND {_sql_score(LANG_PROFILES["en"])} >= {_sql_score(LANG_PROFILES["fr"])}
+               THEN 'en'
+             WHEN {_sql_score(LANG_PROFILES["de"])} >= {_sql_score(LANG_PROFILES["fr"])}
+               THEN 'de'
+             ELSE 'fr'
+           END AS lang_predicted
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID: score each language profile,
+    argmax with a fixed tie-break order (en > de > fr).
+
+    Integer scores and a deterministic CASE ladder — no floating
+    point, so prediction ties resolve identically cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    s_en = _score(toks, LANG_PROFILES["en"])
+    s_de = _score(toks, LANG_PROFILES["de"])
+    s_fr = _score(toks, LANG_PROFILES["fr"])
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        s_en.alias("score_en"),
+        s_de.alias("score_de"),
+        s_fr.alias("score_fr"),
+        F.when((s_en >= s_de) & (s_en >= s_fr), "en")
+        .when(s_de >= s_fr, "de")
+        .otherwise("fr")
+        .alias("lang_predicted"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(
+               0::BIGINT,
+               list_transform(string_split(text, ' '),
+                              t -> (ascii(t) * 131 + length(t))::BIGINT)),
+             (acc, x) -> (acc * {FP_P} + x) % {FP_MOD}) AS fingerprint,
+           length(text) % 64 AS shard
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint.
+
+    Polynomial rolling hash over per-token codes, mod 1e9+7 — the
+    Rabin-Karp shape. Unlike a hash of the sorted token set, it
+    distinguishes permuted documents; unlike xxhash64(text) it is
+    engine-independent integer arithmetic the oracle reproduces
+    exactly. `shard` shows the standard fingerprint→shard routing
+    used to co-locate duplicate candidates at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok_codes = F.transform(
+        tokens("text"),
+        lambda t: (F.ascii(t) * 131 + F.length(t)).cast("long"),
+    )
+    fp = F.aggregate(
+        tok_codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_P + x) % FP_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        (F.length("text") % 64).alias("shard"),
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+    ), df AS (
+        SELECT token, COUNT(*) AS df FROM counts GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT c.doc_id, c.token, c.tf, d.df,
+           c.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS tfidf
+    FROM counts c JOIN df d USING (token) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed tf-idf for every (document, token) pair.
+
+    idf = ln((N+1)/(df+1)) + 1 (sklearn's smoothing — never
+    divides by zero, never negative). `ln` of a rational of integers
+    is computed from identical doubles on both engines, and libm/JVM
+    agree on these arguments (verified empirically by the oracle
+    gate).
+
+    Scale shape: explode → two hash aggregates (doc-term, then term)
+    → one broadcast join back. The document-frequency table is
+    vocabulary-sized — tiny relative to the corpus — so it is
+    explicitly broadcast; N is a scalar literal-ish cross join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; one job over parquet row-group stats
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    counts = terms.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = counts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        counts.join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )

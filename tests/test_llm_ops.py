@@ -1,0 +1,171 @@
+"""Invariant tests for the LLM-pipeline operators (dedup, similarity,
+text analysis, multimodal) — the properties the DuckDB oracle cannot
+check for the rows-only (hash-dependent) operators.
+
+SURVEY.md §5.2: rows-only ops carry self-checks — precision/recall of
+the approximate methods against their exact ground truth, stub
+contracts, and determinism properties.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.operators.llm_dedup import (
+    HAMMING_THRESHOLD,
+    dedup_minhash,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from crime_data_batch_processing_spark.operators.multimodal import (
+    CHECKSUM_MOD,
+    decode_media,
+    media_envelope,
+    multimodal_cols,
+)
+from crime_data_batch_processing_spark.operators.similarity import (
+    TOP_K,
+    sim_search,
+    sim_search_lsh,
+)
+from crime_data_batch_processing_spark.operators.text_analysis import (
+    text_fingerprint,
+)
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.select("doc_a", "doc_b").collect()}
+
+
+class TestDedup:
+    def test_minhash_subset_of_exact(self, spark, sf_dir):
+        """Exact-verification makes MinHash precision 1.0: every
+        emitted pair must also pass the ground-truth threshold."""
+        exact = _pairs(dedup_ngram_jaccard(spark, sf_dir))
+        approx = _pairs(dedup_minhash(spark, sf_dir))
+        assert approx <= exact
+
+    def test_minhash_recall_on_near_dups(self, spark, sf_dir):
+        """Planted near-dups (Jaccard ≥ 0.8) collide in ≥1 band with
+        prob ≈ 1-(1-0.8^4)^8 ≈ 0.98 — demand full recall on this
+        corpus (deterministic: hashes are fixed)."""
+        exact_hi = _pairs(
+            dedup_ngram_jaccard(spark, sf_dir).where(F.col("jaccard") >= 0.8)
+        )
+        approx = _pairs(dedup_minhash(spark, sf_dir))
+        assert exact_hi, "testdata should contain planted near-dups"
+        assert exact_hi <= approx
+
+    def test_simhash_finds_near_dups_with_low_hamming(self, spark, sf_dir):
+        """Lexical near-dups have near-identical token multisets, so
+        their SimHash Hamming distance must sit inside the radius."""
+        exact_hi = _pairs(
+            dedup_ngram_jaccard(spark, sf_dir).where(F.col("jaccard") >= 0.9)
+        )
+        sim = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in dedup_simhash(spark, sf_dir).collect()
+        }
+        assert exact_hi, "testdata should contain planted near-dups"
+        missing = exact_hi - sim.keys()
+        assert not missing, f"near-dup pairs outside Hamming radius: {missing}"
+        assert all(h <= HAMMING_THRESHOLD for h in sim.values())
+
+    def test_simhash_pair_ordering(self, spark, sf_dir):
+        """Pairs are emitted once, in (low, high) id order."""
+        for r in dedup_simhash(spark, sf_dir).collect():
+            assert r.doc_a < r.doc_b
+
+
+class TestSimilarity:
+    def test_lsh_recall_vs_brute_force(self, spark, sf_dir):
+        """Banded hyperplane LSH must recover most of the true top-k.
+
+        Deterministic (fixed hyperplanes, fixed data), so the floor is
+        tight-ish; brute force is the ground truth."""
+        truth = {
+            (r.qid, r.vec_id) for r in sim_search(spark, sf_dir).collect()
+        }
+        approx = {
+            (r.qid, r.vec_id) for r in sim_search_lsh(spark, sf_dir).collect()
+        }
+        recall = len(truth & approx) / len(truth)
+        assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
+
+    def test_topk_shape_and_order(self, spark, sf_dir):
+        rows = sim_search(spark, sf_dir).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r)
+        for qid, rs in by_q.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, TOP_K + 1))
+            sims = [r.cos_sim for r in rs]
+            assert sims == sorted(sims, reverse=True)
+            assert all(r.vec_id != qid for r in rs), "self-match leaked"
+
+
+class TestMultimodal:
+    def test_decode_stub_contract(self):
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG...", "image/png")
+
+    def test_envelope_schema(self, spark, sf_dir):
+        from crime_data_batch_processing_spark.sources.tables import load_table
+
+        env = media_envelope(load_table(spark, sf_dir, "documents"))
+        media_type = dict(env.dtypes)["media"]
+        assert "uri:string" in media_type.replace(" ", "")
+        assert "data:binary" in media_type.replace(" ", "")
+        assert "meta:struct" in media_type.replace(" ", "")
+
+    def test_features_match_manual(self, spark, sf_dir):
+        from crime_data_batch_processing_spark.sources.tables import load_table
+
+        feats = {
+            r.doc_id: r
+            for r in multimodal_cols(spark, sf_dir).where(F.col("doc_id") < 5).collect()
+        }
+        docs = {
+            r.doc_id: r.text
+            for r in load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 5)
+            .collect()
+        }
+        for doc_id, text in docs.items():
+            raw = text.encode("utf-8")
+            assert feats[doc_id].byte_len == len(raw)
+            assert feats[doc_id].checksum == sum(raw) % CHECKSUM_MOD
+
+
+class TestTextAnalysis:
+    def test_fingerprint_is_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "c b a"), (3, "a b c")],
+            "doc_id long, text string",
+        )
+        df.createOrReplaceTempView("documents")
+        # drive the same expression directly (fingerprint operator
+        # reads the documents table from sf_dir; here we check the
+        # primitive's order sensitivity on a controlled frame)
+        from crime_data_batch_processing_spark.operators.text_analysis import (
+            FP_MOD,
+            FP_P,
+        )
+        from crime_data_batch_processing_spark.functions.textkit import tokens
+
+        tok_codes = F.transform(
+            tokens("text"), lambda t: (F.ascii(t) * 131 + F.length(t)).cast("long")
+        )
+        fp = F.aggregate(
+            tok_codes, F.lit(0).cast("long"), lambda acc, x: (acc * FP_P + x) % FP_MOD
+        )
+        got = {r.doc_id: r.f for r in df.select("doc_id", fp.alias("f")).collect()}
+        assert got[1] == got[3], "identical docs must collide"
+        assert got[1] != got[2], "permuted docs must not collide"
+
+    def test_fingerprint_deterministic_across_runs(self, spark, sf_dir):
+        a = {r.doc_id: r.fingerprint for r in text_fingerprint(spark, sf_dir).collect()}
+        b = {r.doc_id: r.fingerprint for r in text_fingerprint(spark, sf_dir).collect()}
+        assert a == b
