@@ -7,6 +7,7 @@ from crime_data_batch_processing_spark.operators import (  # noqa: F401
     llm_dedup,
     multimodal,
     projections,
+    reshape,
     scans,
     setops,
     similarity,

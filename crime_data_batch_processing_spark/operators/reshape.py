@@ -1,0 +1,123 @@
+"""Reshape + distributional aggregates: pivot, unpivot, percentiles.
+
+None of these exist in the reference (its one query is a straight
+GROUP BY — /root/reference/spark_process_script.py:37); they round out
+the analytics surface a crime-dashboard user needs next: crosstabs
+(arrests by type × year), long-form melts for plotting, and
+distributional stats.
+
+Scale notes: `pivot` with an EXPLICIT values list is one hash
+aggregate — same shuffle as the plain GROUP BY, wider output row.
+Without the list Spark first runs a distinct-values job (a full extra
+pass) and then the aggregate: always pass the list at scale. `unpivot`
+is a flatMap — row count × #value-columns, no shuffle. Exact
+percentiles sort within groups (memory-heavy at scale); prefer
+`approx_percentile` sketches beyond interactive cardinalities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.functions.exact import dsum
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+
+def _filtered_dsum(expr: str, cond: str) -> str:
+    # FILTER binds to the aggregate itself, inside the exact-sum CAST
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) "
+        f"FILTER (WHERE {cond}) AS DOUBLE)"
+    )
+
+
+@query(
+    "pivot_wide",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS "F_cnt",
+           {_filtered_dsum('l_quantity', "l_linestatus = 'F'")} AS "F_qty",
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS "O_cnt",
+           {_filtered_dsum('l_quantity', "l_linestatus = 'O'")} AS "O_qty"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab: returnflag rows × linestatus columns, two measures.
+
+    The values list is explicit — omitting it costs an extra
+    distinct-scan job at scale and makes the output schema
+    data-dependent (a mobile target for every downstream consumer).
+    The oracle spells the same thing as portable FILTERed aggregates.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("l_quantity").alias("qty"),
+        )
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS metric_value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE)
+    FROM part
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt wide columns into (metric, value) long form.
+
+    A flatMap in the physical plan — no shuffle, output rows =
+    input × #melted columns. The oracle is the portable UNION ALL
+    rendering of the same reshape.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           median(l_tax) AS med_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median per group.
+
+    Spark's `percentile` and DuckDB's `quantile_cont` both use linear
+    interpolation between closest ranks — verified bit-identical on
+    this data. Exact percentiles materialize each group's values;
+    beyond interactive group sizes switch to `approx_percentile`
+    (KLL/GK sketches, mergeable, bounded memory — the same
+    exact→sketch trade as agg_distinct → agg_approx_distinct).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.median("l_tax").alias("med_tax"),
+    )

@@ -1,3 +1,6 @@
 """Structured Streaming operators (P37)."""
 
-from crime_data_batch_processing_spark.streaming import stream_events  # noqa: F401
+from crime_data_batch_processing_spark.streaming import (  # noqa: F401
+    stateful,
+    stream_events,
+)

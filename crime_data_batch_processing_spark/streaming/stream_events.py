@@ -44,14 +44,20 @@ EVENTS_FILE_SCHEMA = T.StructType(
 )
 
 
-def streaming_events(spark: SparkSession, src_dir: str) -> DataFrame:
-    """readStream over a directory of events parquet files."""
+def streaming_events(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """readStream over a directory of events parquet files.
+
+    ``max_files_per_trigger=1`` (default) makes each file its own
+    micro-batch — the shape the incremental/watermark tests need;
+    ``None`` lets AvailableNow take everything in one batch.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
-        .option("maxFilesPerTrigger", "1")  # one file per micro-batch
-        .parquet(src_dir)
-    )
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(src_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -97,6 +97,47 @@ def test_watermark_drops_late_data_across_restart(spark, stream_dirs, tmp_path):
     assert ("2024-01-01 05:00:00", 1) in emitted
 
 
+def test_stateful_accumulates_across_microbatches(spark, stream_dirs):
+    """applyInPandasWithState: per-user running totals must fold state
+    across micro-batches (maxFilesPerTrigger=1 → 2 files = 2 batches),
+    emitting an updated row per touched key per batch."""
+    from crime_data_batch_processing_spark.streaming.stateful import (
+        stateful_user_stats,
+    )
+    from crime_data_batch_processing_spark.streaming.stream_events import (
+        streaming_events,
+    )
+
+    src, _ = stream_dirs
+    # user 1: events in both batches; user 2: only in batch 0
+    _write_batch(
+        spark, [_event(0, 0.5, value=2.0), (1, BASE_NS, 2, "view", 5.0, "{}")],
+        src, "b0",
+    )
+    _write_batch(spark, [_event(2, 1.5, value=3.0)], src, "b1")
+    out = stateful_user_stats(streaming_events(spark, src))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_stateful").collect()
+    # update mode emits the running value per batch; the LAST emission
+    # per user is the final state
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.sum_value)
+    assert final[1] == (2, 5.0), final  # 2.0 + 3.0 across two batches
+    assert final[2] == (1, 5.0), final
+    # user 1 must have emitted an intermediate row too (state visible
+    # mid-stream, not only at the end)
+    u1_emissions = [r for r in rows if r.user_id == 1]
+    assert len(u1_emissions) == 2, u1_emissions
+
+
 def test_stream_batch_equivalence_complete_mode(spark, stream_dirs):
     src, ckpt = stream_dirs
     rows = [_event(i, 0.1 * i, "view", float(i)) for i in range(40)]
