@@ -52,3 +52,47 @@ def test_sort_limit_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in physical_plan(df), (
         "ORDER BY + LIMIT must plan as top-k, not a global sort"
     )
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import uses_broadcast_join
+
+    df = registry.QUERIES["text_tfidf"](spark, sf_dir)
+    assert uses_broadcast_join(df), (
+        "vocabulary-sized document-frequency table must broadcast"
+    )
+
+
+def test_sim_search_broadcasts_queries(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import uses_broadcast_join
+
+    df = registry.QUERIES["sim_search"](spark, sf_dir)
+    assert uses_broadcast_join(df), "the small query set must broadcast"
+
+
+def test_no_row_at_a_time_python_udfs(spark, sf_dir):
+    """Python appears in plans ONLY as Arrow-vectorized nodes
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) — never
+    row-at-a-time BatchEvalPython, which serializes per row and is
+    banned from this engine's hot paths."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    streaming_keys = {"stream_events", "stream_stateful"}  # memory-sink tables
+    offenders = []
+    for key, fn in sorted(registry.QUERIES.items()):
+        if key in streaming_keys:
+            continue
+        plan = physical_plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders.append(key)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_pivot_is_single_aggregate(spark, sf_dir):
+    """Explicit pivot values → exactly one aggregate pass over the
+    fact table (no distinct-values pre-job materialized in the plan)."""
+    from crime_data_batch_processing_spark.plans import scan_read_schema
+
+    df = registry.QUERIES["pivot_wide"](spark, sf_dir)
+    scans = scan_read_schema(df)
+    assert len(scans) == 1, f"expected one lineitem scan, got {scans}"
