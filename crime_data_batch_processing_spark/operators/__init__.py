@@ -8,6 +8,7 @@ from crime_data_batch_processing_spark.operators import (  # noqa: F401
     multimodal,
     projections,
     reshape,
+    scale_patterns,
     scans,
     setops,
     similarity,

@@ -1,0 +1,164 @@
+"""Scale-pattern operators: bucketed co-located joins, CDC latest-
+record compaction, salted skew aggregation.
+
+These are the three techniques a 100 TB deployment reaches for first,
+implemented as first-class queries so their correctness is oracle-
+checked and their plans are inspectable:
+
+* BUCKETING pre-shuffles data at write time so every later join on
+  the bucket key is exchange-free — the reference re-snapshots its
+  whole table daily (/root/reference/spark_ingest_script.py:87-94),
+  which is exactly the write you would bucket.
+* CDC COMPACTION (latest record per key) is the incremental
+  alternative to the reference's full-overwrite snapshots: dedup a
+  change stream to its newest state per key.
+* SALTING splits a hot grouping key across synthetic sub-keys so no
+  single reducer owns the whole key, then re-aggregates — the manual
+  fallback when AQE skew handling cannot help (first-stage
+  aggregation skew, not join skew).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+N_SALTS = 8
+_BUCKET_DB_READY: set[str] = set()
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free join via bucketed tables.
+
+    Both sides are written `bucketBy(8, custkey)` + sorted, so Spark
+    plans a sort-merge join whose children are the bucketed scans —
+    NO Exchange on either side (asserted in tests/test_plans.py). At
+    100 TB this converts every recurring join on the bucket key from
+    a full shuffle of both tables into a local merge: the shuffle is
+    paid ONCE at write time, amortized over every downstream join.
+    Bucket counts must match (or divide) across tables.
+    """
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    db = f"cdbp_buckets_{tag}"
+    if db not in _BUCKET_DB_READY:
+        warehouse = tempfile.mkdtemp(prefix=f"cdbp_bucket_wh_{tag}_")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{warehouse}'")
+        for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{name}_b")
+            (
+                load_table(spark, sf_dir, name)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .mode("overwrite")
+                .saveAsTable(f"{db}.{name}_b")
+            )
+        _BUCKET_DB_READY.add(db)
+    o = spark.table(f"{db}.orders_b")
+    c = spark.table(f"{db}.customer_b")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "cdc_upsert",
+    oracle="""
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+    FROM (
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (the MERGE/upsert read path).
+
+    Treats `events` as a change stream keyed by user_id and reduces
+    it to current state: one window, one shuffle on the key, ties
+    broken by event_id for determinism. This is the incremental
+    replacement for the reference's daily full-table overwrite — at
+    100 TB you compact the delta against the snapshot instead of
+    rewriting the world. The window shuffles by user_id exactly once;
+    at scale the same plan runs per partition of a date-partitioned
+    snapshot.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+@query(
+    "agg_salted",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a skewed key.
+
+    `event_type` has a handful of distinct values over millions of
+    rows — the worst case for a single-stage shuffle, where one
+    reducer receives an entire hot key. Stage 1 groups by
+    (key, salt ∈ [0, 8)) spreading each key across 8 reducers; stage
+    2 merges the 8 partials per key. Decimal partial sums make the
+    two-stage result bit-identical to the one-stage oracle. The salt
+    is derived from a hash of a unique column (not rand()) so the
+    query stays deterministic.
+
+    (Spark's partial aggregation already map-side-combines simple
+    counts; explicit salting is the pattern for when stage-1 state is
+    too big per key — heavy UDAFs, collect-style aggregates.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("double").cast("decimal(28,6)")).alias("ps"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("ps").cast("double").alias("sum_value"),
+    )

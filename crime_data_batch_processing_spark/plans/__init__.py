@@ -34,6 +34,16 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def count_nodes(df: DataFrame, name: str) -> int:
+    """Count physical nodes with an EXACT name via the numbered detail
+    headers of `explain("formatted")` — substring counting over the
+    whole output double-counts (tree line + detail header) and
+    conflates Exchange with BroadcastExchange."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {re.escape(name)}\b", physical_plan(df), re.M))
+
+
 def scan_read_schema(df: DataFrame) -> list[str]:
     """ReadSchema column lists from each file scan (column-pruning check)."""
     return [

@@ -96,3 +96,32 @@ def test_pivot_is_single_aggregate(spark, sf_dir):
     df = registry.QUERIES["pivot_wide"](spark, sf_dir)
     scans = scan_read_schema(df)
     assert len(scans) == 1, f"expected one lineitem scan, got {scans}"
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """The whole point of bucketing: the join itself must not shuffle.
+    Broadcast is disabled so Catalyst can't sidestep the check by
+    broadcasting the (locally tiny) dimension — at scale both sides
+    are big and the bucketed sort-merge path is what matters. The
+    only Exchange in the plan is the final groupBy's."""
+    from crime_data_batch_processing_spark.plans import count_nodes, physical_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES["join_bucketed"](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        n = count_nodes(df, "Exchange")
+        assert n <= 1, f"expected only the aggregate's shuffle, found {n}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cdc_upsert_single_shuffle(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import count_nodes
+
+    df = registry.QUERIES["cdc_upsert"](spark, sf_dir)
+    assert count_nodes(df, "Exchange") == 1, (
+        "latest-per-key must shuffle exactly once (on the key)"
+    )
