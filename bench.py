@@ -37,6 +37,11 @@ def main() -> None:
     registry.load_all_operators()
     spark = get_spark(app_name="cdbp-bench")
 
+    # warm the JVM (executor threads, codegen compiler, parquet
+    # footer cache) with one throwaway job so the alphabetically-first
+    # query doesn't absorb ~4s of session spin-up in its timing
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
     timings: dict[str, float] = {}
     for key in sorted(registry.QUERIES):
         fn = registry.QUERIES[key]
