@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from crime_data_batch_processing_spark.functions.veckit import (
     descale,
@@ -72,29 +73,37 @@ def _hyperplanes(bits: int = LSH_BITS, dim: int = EMBED_DIM) -> list[list[float]
 
 
 def _signature(vec) -> F.Column:
-    """Sign signature: bit i = [dot(vec, plane_i) >= 0].
+    """Sign signature: bit i = [dot(vec, plane_i) >= 0], computed as
+    ONE Arrow-vectorized pandas UDF.
 
-    Plain double dot products here — signatures only route vectors to
-    buckets, they never surface in results, so float associativity
-    doesn't matter (any consistent value is a valid signature). Works
+    Signatures only route vectors to buckets — they never surface in
+    results, so float associativity doesn't matter (any consistent
+    value is a valid signature) and numpy double matmul is fine. The
+    expression-level alternative (one `aggregate` lambda per plane) is
+    a CodegenFallback evaluated interpretively per row per plane —
+    this is exactly the case the engine's UDF policy reserves the
+    Arrow path for: a dense matrix product the relational algebra
+    can't express efficiently. One matmul per Arrow batch:
+    (batch × dim) @ (dim × bits) → sign bits → packed int64. Works
     unchanged on the quantized int64 arrays: uniform positive scaling
     never flips a sign.
     """
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(_hyperplanes()):
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(p) for p in plane]),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig.bitwiseOR(
-            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-        )
-    return sig
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.array(_hyperplanes(), dtype="float64").T  # (dim, bits)
+    weights = (1 << np.arange(planes.shape[1], dtype="uint64")).astype("uint64")
+
+    @F.pandas_udf(T.LongType())
+    def _sig(col):  # (pd.Series of arrays) -> pd.Series[int64]; hints
+        # omitted — locally-imported pd breaks string-hint resolution
+        mat = np.stack(col.to_numpy()).astype("float64")  # (batch, dim)
+        bits = (mat @ planes) >= 0  # (batch, bits)
+        packed = (bits.astype("uint64") * weights).sum(axis=1)
+        return pd.Series(packed.astype("int64"))
+
+    return _sig(vec)
 
 
 _PAIR_COS = (
@@ -191,6 +200,11 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries, corpus = _with_norms(emb)
+    # quantization + norms feed three branches (query side, candidate
+    # side, scoring); persist + materialize once so the Arrow
+    # signature UDF and int64 norm pipeline run a single time
+    corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus.count()
 
     def banded(df: DataFrame, vec_col: str) -> DataFrame:
         with_sig = df.withColumn("sig", _signature(F.col(vec_col)))

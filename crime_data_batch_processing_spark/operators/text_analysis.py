@@ -17,7 +17,7 @@ repartition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crime_data_batch_processing_spark.functions.textkit import tokens
@@ -214,6 +214,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("fingerprint"),
         (F.length("text") % 64).alias("shard"),
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bigrams AS (
+        SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS bigram
+        FROM toks, unnest(range(len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ), counts AS (
+        SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        FROM bigrams GROUP BY bigram
+    )
+    SELECT bigram, n, n_docs,
+           ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS rank
+    FROM counts
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top-20 bigrams with occurrence
+    and document frequency.
+
+    Shape: per-doc bigram arrays (bound token column, no re-split) →
+    explode → one hash aggregate with a count-distinct on doc_id →
+    global top-k. The final ORDER BY + LIMIT plans as
+    TakeOrderedAndProject (top-k per partition + merge), never a full
+    sort; the (n DESC, bigram ASC) total order makes ranks
+    deterministic cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t")).where(
+        F.size("t") >= 2
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("t")) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i + 1), F.element_at(F.col("t"), i + 2)
+        ),
+    )
+    bigrams = toks.select("doc_id", F.explode(grams).alias("bigram"))
+    counts = bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
     )
 
 
