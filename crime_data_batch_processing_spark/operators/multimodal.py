@@ -55,6 +55,50 @@ def decode_media(data: bytes, mime: str) -> object:
     )
 
 
+def resize_image(data: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload. STUB — see `decode_media`."""
+    raise NotImplementedError(
+        "image resize requires PIL; wire Image.open(...).resize((w, h)) here"
+    )
+
+
+def sample_frames(data: bytes, every_n: int) -> list[bytes]:
+    """Sample every n-th frame of a video payload. STUB — see
+    `decode_media`."""
+    raise NotImplementedError(
+        "frame sampling requires ffmpeg/pyav; wire container demux here"
+    )
+
+
+def transform_media(
+    df: DataFrame,
+    out_schema: str,
+    row_fn,
+    payload_col: str = "media.data",
+) -> DataFrame:
+    """Generic Arrow-streamed per-payload transform: the plumbing that
+    `resize` / `frame-sample` / `decode` plug into.
+
+    `row_fn(payload: bytes, row: dict) -> dict` runs per row inside
+    `mapInPandas` batches; the function is wrapped in a NESTED
+    iterator (by-value pickling, see `multimodal_cols`). The batch
+    loop never materializes a partition — constant memory per Arrow
+    batch regardless of payload sizes.
+    """
+    top, _, field = payload_col.partition(".")
+    flat = df.select("doc_id", F.col(payload_col).alias("data"))
+
+    def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                row_fn(raw, {"doc_id": did})
+                for did, raw in zip(pdf["doc_id"], pdf["data"])
+            ]
+            yield pd.DataFrame(rows)
+
+    return flat.mapInPandas(_apply, schema=out_schema)
+
+
 def media_envelope(docs: DataFrame) -> DataFrame:
     """Wrap documents into the typed multimodal struct."""
     return docs.select(

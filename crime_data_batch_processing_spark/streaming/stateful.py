@@ -122,11 +122,10 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness). Multi-batch incremental state transitions are
     exercised in tests/test_streaming.py.
     """
-    import os
+    from crime_data_batch_processing_spark.streaming.stream_events import (
+        _stream_src,
+    )
 
-    src = f"/tmp/cdbp_stream_src/{os.path.basename(sf_dir.rstrip('/'))}"
-    os.makedirs(src, exist_ok=True)
-    link = os.path.join(src, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    return run_stateful_to_memory(spark, src, query_name="cdbp_stream_stateful")
+    return run_stateful_to_memory(
+        spark, _stream_src(sf_dir), query_name="cdbp_stream_stateful"
+    )

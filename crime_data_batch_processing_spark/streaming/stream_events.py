@@ -130,6 +130,79 @@ def run_stream_to_parquet(
     return spark.read.parquet(out_dir)
 
 
+def _stream_src(sf_dir: str) -> str:
+    """Expose a table's single parquet file through a scratch
+    directory (file stream sources need a directory), copy-free."""
+    src = f"/tmp/cdbp_stream_src/{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return src
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS prev_us
+        FROM events
+    ), islands AS (
+        SELECT user_id, us,
+               SUM(CASE WHEN prev_us IS NULL
+                         OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based session windows (30-minute inactivity).
+
+    `session_window` in a streaming aggregate exercises the state
+    store's session MERGE path (overlapping partial sessions combined
+    as events arrive) — the hardest stateful-streaming shape. Run to
+    completion in complete mode over the bounded source, the final
+    state must equal the batch gaps-and-islands answer
+    (`window_session`'s oracle) exactly.
+    """
+    agg = (
+        streaming_events(spark, _stream_src(sf_dir), max_files_per_trigger=None)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    name = "cdbp_stream_session"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @query(
     "stream_events",
     oracle=f"""
@@ -152,14 +225,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark late-drop behavior is exercised separately in
     tests/test_streaming.py where data arrives across restarts).
     """
-    # the file stream source requires a DIRECTORY; expose the single
-    # events.parquet through a symlink in a scratch dir (copy-free)
-    src = f"/tmp/cdbp_stream_src/{os.path.basename(sf_dir.rstrip('/'))}"
-    os.makedirs(src, exist_ok=True)
-    link = os.path.join(src, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     ckpt = tempfile.mkdtemp(prefix="cdbp_stream_ckpt_")
     return run_stream_to_memory(
-        spark, src, query_name="cdbp_stream_events", checkpoint=ckpt
+        spark, _stream_src(sf_dir), query_name="cdbp_stream_events", checkpoint=ckpt
     )

@@ -169,3 +169,46 @@ class TestTextAnalysis:
         a = {r.doc_id: r.fingerprint for r in text_fingerprint(spark, sf_dir).collect()}
         b = {r.doc_id: r.fingerprint for r in text_fingerprint(spark, sf_dir).collect()}
         assert a == b
+
+
+class TestMultimodalTransforms:
+    def test_resize_and_frame_sample_stubs(self):
+        from crime_data_batch_processing_spark.operators.multimodal import (
+            resize_image,
+            sample_frames,
+        )
+
+        with pytest.raises(NotImplementedError):
+            resize_image(b"...", 224, 224)
+        with pytest.raises(NotImplementedError):
+            sample_frames(b"...", 10)
+
+    def test_transform_media_plumbing(self, spark, sf_dir):
+        """The generic mapInPandas transform carries arbitrary per-
+        payload logic with a typed output schema — verified with a
+        deterministic fake extractor."""
+        from crime_data_batch_processing_spark.operators.multimodal import (
+            media_envelope,
+            transform_media,
+        )
+        from crime_data_batch_processing_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
+        env = media_envelope(docs)
+
+        def fake_extract(payload: bytes, row: dict) -> dict:
+            return {
+                "doc_id": row["doc_id"],
+                "head": payload[:4].decode("utf-8", "replace"),
+                "n_bytes": len(payload),
+            }
+
+        out = transform_media(
+            env, "doc_id long, head string, n_bytes long", fake_extract
+        )
+        got = {r.doc_id: (r.head, r.n_bytes) for r in out.collect()}
+        want = {
+            r.doc_id: (r.text[:4], len(r.text.encode()))
+            for r in docs.collect()
+        }
+        assert got == want
