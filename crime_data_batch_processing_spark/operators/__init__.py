@@ -14,6 +14,7 @@ from crime_data_batch_processing_spark.operators import (  # noqa: F401
     similarity,
     sinks,
     sorts,
+    subqueries,
     text_analysis,
     time_windows,
     udfs,

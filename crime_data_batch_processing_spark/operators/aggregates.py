@@ -145,6 +145,33 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUPING_SETS_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_linestatus), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form rollup/cube are
+    shorthands for (here: the full pair, status-only, grand total —
+    NOT a rollup prefix chain).
+
+    One `Expand` node replicates each input row once per set before a
+    single hash aggregate, so N sets cost one shuffle, not N scans.
+    The SQL text is shared verbatim with the oracle: GROUPING SETS is
+    ANSI and Catalyst needs no dialect tweaks.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 @query(
     "agg_rollup",
     oracle="""

@@ -37,6 +37,41 @@ def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
 
 
+#: Knuth multiplicative-hash constants: 64-bit products taken mod 2^32
+#: mix the high bits, so the kept keys are scattered, not striped.
+SAMPLE_A = 2654435761
+SAMPLE_M = 1 << 32
+SAMPLE_KEEP = SAMPLE_M // 10  # 10% sample
+
+
+@query(
+    "sample_hash",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE (o_orderkey * {SAMPLE_A}) % {SAMPLE_M} < {SAMPLE_KEEP}
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample keyed on the primary key.
+
+    `df.sample()` draws from a per-partition RNG — the row set changes
+    with partition layout, which breaks re-runs, oracle comparison,
+    and (at 100 TB) any join between two independently sampled tables.
+    A multiplicative hash on the key gives the same sample on every
+    engine, every run, and every partitioning, and lets two tables be
+    co-sampled consistently (sample orders and lineitem by orderkey →
+    the join of the samples IS the sample of the join). Pure int64
+    arithmetic, stays inside whole-stage codegen.
+    """
+    keep = (F.col("o_orderkey") * SAMPLE_A) % SAMPLE_M < SAMPLE_KEEP
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(keep)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 @query(
     "filter_compound",
     oracle="""

@@ -83,6 +83,52 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_json",
+    oracle="SELECT * FROM nation",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with an explicit schema.
+
+    Same fixture discipline as `scan_csv`: materialize the table as
+    JSON once, read it back declaring the schema. At scale the schema
+    declaration matters even more than for CSV — JSON inference reads
+    everything once just to union per-record shapes. Int+string
+    columns only (nation): JSON is a decimal-text format, so doubles
+    would round-trip through shortest-repr printing — fine for Spark,
+    but a separate code path this fixture deliberately avoids.
+    """
+    json_dir = f"/tmp/cdbp_json/{os.path.basename(sf_dir.rstrip('/'))}/nation"
+    marker = os.path.join(json_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "nation").coalesce(1).write.mode(
+            "overwrite"
+        ).json(json_dir)
+    return spark.read.json(json_dir, schema=NATION_SCHEMA)
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT * FROM customer",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan — the second columnar format, same DSv2 machinery.
+
+    ORC round-trips every type bit-exactly (binary doubles, no text
+    path), and gets the same vectorized reader + predicate/column
+    pushdown as parquet, so a lakehouse mixing the two formats runs
+    the same plans. Round-trips `customer` (int64/int32/double/string)
+    through an ORC copy and reads it back.
+    """
+    orc_dir = f"/tmp/cdbp_orc/{os.path.basename(sf_dir.rstrip('/'))}/customer"
+    marker = os.path.join(orc_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "customer").coalesce(1).write.mode(
+            "overwrite"
+        ).orc(orc_dir)
+    return spark.read.orc(orc_dir)
+
+
+@query(
     "scan_catalog",
     oracle="SELECT r_regionkey, r_name FROM region",
 )

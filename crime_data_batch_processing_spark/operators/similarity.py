@@ -40,6 +40,12 @@ from crime_data_batch_processing_spark.sources.tables import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
+#: IVF geometry: 16 coarse cells, probe the 6 nearest. At 500 vectors
+#: that is ~31 vectors/cell and ~37% of the corpus scanned per query;
+#: at production scale nlist grows ~sqrt(N) so the scanned fraction
+#: shrinks toward nprobe/nlist.
+IVF_NLIST = 16
+IVF_NPROBE = 6
 #: Band geometry tuned for WEAK neighbor structure: this corpus's true
 #: top-k sit at cosine ≈ 0.3-0.5 (angle ≈ 60-72°, per-bit sign
 #: agreement p ≈ 0.66). Recall across bands = 1-(1-p^r)^b: at 6 bands
@@ -238,6 +244,81 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("qid") != F.col("vec_id")),
         )
         .select("qid", "qe", "qn", "vec_id", "embedding", "nsq")
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    scored = cand.select("qid", "vec_id", _PAIR_COS())
+    return _topk(scored)
+
+
+@query("sim_search_ivf")  # cell routing is approximate → rows-only
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into coarse cells,
+    probe only the cells nearest each query.
+
+    The scale shape of a vector index: an assignment pass tags every
+    corpus vector with its nearest centroid (a broadcast of nlist
+    centroids against the corpus — embarrassingly parallel, one
+    column written), then each query scans only its nprobe closest
+    cells. Candidates are re-ranked with the exact cosine, so returned
+    scores are exact; only recall is approximate (asserted against
+    `sim_search` in tests). Centroids here are a deterministic seed
+    subset (vec_id-strided); production swaps in k-means centroids —
+    the routing algebra is identical and that is the part Spark runs.
+
+    Cell routing uses the bit-exact decimal cosine with a
+    (score, cid) struct-max, so assignments are stable across runs,
+    partitionings, and engines — an index built twice is the same
+    index.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries, corpus = _with_norms(emb)
+    corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    n = corpus.count()
+    stride = max(1, n // IVF_NLIST)
+    cents = (
+        corpus.where((F.col("vec_id") % stride == 0))
+        .where(F.col("vec_id") / stride < IVF_NLIST)
+        .select(
+            (F.col("vec_id") / stride).cast("int").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("nsq").alias("cn"),
+        )
+    )
+
+    route_cos = descale(idot(F.col("v"), F.col("ce"))) / F.sqrt(
+        F.col("vn") * F.col("cn")
+    )
+
+    def routed(df: DataFrame, vec_col: str, nsq_col: str) -> DataFrame:
+        """Score every row against every centroid (broadcast nlist)."""
+        renamed = df.withColumnRenamed(vec_col, "v").withColumnRenamed(
+            nsq_col, "vn"
+        )
+        return renamed.crossJoin(F.broadcast(cents)).withColumn(
+            "rcos", route_cos
+        )
+
+    # corpus → single nearest cell: struct-max over (rcos, cid) keeps
+    # the best-scoring cell, ties broken toward the larger cid
+    assign = (
+        routed(corpus, "embedding", "nsq")
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("rcos"), F.col("cid"))).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+        .join(corpus, "vec_id")  # reattach vector + norm for re-ranking
+    )
+    # queries → nprobe nearest cells
+    wq = Window.partitionBy("qid").orderBy(F.col("rcos").desc(), F.col("cid").asc())
+    probes = (
+        routed(queries, "qe", "qn")
+        .withColumn("prank", F.row_number().over(wq))
+        .where(F.col("prank") <= IVF_NPROBE)
+        .select("qid", F.col("v").alias("qe"), F.col("vn").alias("qn"), "cid")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cid")
+        .where(F.col("qid") != F.col("vec_id"))
         .dropDuplicates(["qid", "vec_id"])
     )
     scored = cand.select("qid", "vec_id", _PAIR_COS())

@@ -203,6 +203,88 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _run_bounded(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Run a bounded streaming query to completion into a memory sink
+    and return the sink table. Synchronous; stops any prior query of
+    the same name first."""
+    spark = agg.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a broadcast
+    dimension table, then aggregate.
+
+    The static side is planned as an ordinary broadcast hash join
+    INSIDE each micro-batch — no streaming state for the join itself
+    (only the downstream aggregate holds state). This is the standard
+    100 TB enrichment topology: dims broadcast to every task, the
+    stream never shuffles before aggregation. Checked against the
+    equivalent batch join+agg oracle.
+    """
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        streaming_events(spark, _stream_src(sf_dir), max_files_per_trigger=None)
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+    return _run_bounded(agg, "cdbp_stream_static_join", "complete")
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first occurrence per key, emitted in
+    append mode as the stream runs.
+
+    `dropDuplicates` on a stream keeps one state entry per distinct
+    key and emits each key exactly once — the streaming form of exact
+    dedup (P25) and the ingestion-side dedup a training-data pipeline
+    runs before anything else. Only the key columns are projected, so
+    which physical row arrived first is irrelevant to the result. In
+    production the state is bounded with
+    `dropDuplicatesWithinWatermark`; the bounded fixture needs no
+    eviction.
+    """
+    dedup = (
+        streaming_events(spark, _stream_src(sf_dir), max_files_per_trigger=None)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return _run_bounded(dedup, "cdbp_stream_dedup", "append")
+
+
 @query(
     "stream_events",
     oracle=f"""

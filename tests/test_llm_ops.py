@@ -93,6 +93,31 @@ class TestSimilarity:
         recall = len(truth & approx) / len(truth)
         assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
 
+    def test_ivf_recall_vs_brute_force(self, spark, sf_dir):
+        """IVF probing 6/16 cells must recover most of the true top-k
+        (measured 0.78 at sf0.001 / 0.66 at sf0.01 on this
+        weak-neighbor corpus — deterministic, so the floor is tight).
+        Returned scores must be a subset of the exact ones: IVF only
+        approximates recall, never the cosine itself."""
+        from crime_data_batch_processing_spark.operators.similarity import (
+            sim_search_ivf,
+        )
+
+        truth = {
+            (r.qid, r.vec_id): r.cos_sim
+            for r in sim_search(spark, sf_dir).collect()
+        }
+        approx = {
+            (r.qid, r.vec_id): r.cos_sim
+            for r in sim_search_ivf(spark, sf_dir).collect()
+        }
+        hits = truth.keys() & approx.keys()
+        recall = len(hits) / len(truth)
+        assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+        assert all(truth[k] == approx[k] for k in hits), (
+            "re-ranked cosines must be bit-identical to brute force"
+        )
+
     def test_topk_shape_and_order(self, spark, sf_dir):
         rows = sim_search(spark, sf_dir).collect()
         by_q: dict[int, list] = {}

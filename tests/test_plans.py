@@ -125,3 +125,66 @@ def test_cdc_upsert_single_shuffle(spark, sf_dir):
     assert count_nodes(df, "Exchange") == 1, (
         "latest-per-key must shuffle exactly once (on the key)"
     )
+
+
+def test_subquery_exists_plans_as_anti_join(spark, sf_dir):
+    """Catalyst must decorrelate NOT EXISTS into a left-anti join —
+    never a per-row re-execution or a nested loop over the full
+    inner table."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["subquery_exists"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+
+
+def test_subquery_in_plans_as_semi_join(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["subquery_in"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_subquery_scalar_aggregates_inner_once(spark, sf_dir):
+    """The correlated scalar subquery must become ONE grouped
+    aggregate over the inner table joined back — O(|inner|), not
+    O(|outer|·|inner|) re-execution."""
+    from crime_data_batch_processing_spark.plans import count_nodes, physical_plan
+
+    df = registry.QUERIES["subquery_scalar"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" in plan, plan
+    # partial+final of a single aggregate, not one aggregate per row
+    assert count_nodes(df, "HashAggregate") <= 2, plan
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """Three grouping sets must cost one Expand + one aggregate, not
+    three scans unioned."""
+    from crime_data_batch_processing_spark.plans import count_nodes
+
+    df = registry.QUERIES["agg_grouping_sets"](spark, sf_dir)
+    assert count_nodes(df, "Expand") == 1
+    assert count_nodes(df, "Scan parquet") == 1
+
+
+def test_sample_hash_stays_in_codegen(spark, sf_dir):
+    """The hash-sample predicate is pure integer arithmetic — it must
+    evaluate inside whole-stage codegen, not fall back to an
+    interpreted filter or a Python UDF."""
+    import re
+
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["sample_hash"](spark, sf_dir))
+    # the `*` prefix marks a node inside a whole-stage-codegen span
+    assert re.search(r"\* Filter", plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
+    """IVF routing must broadcast the tiny centroid/probe sides —
+    a shuffle there would dwarf the work it saves."""
+    from crime_data_batch_processing_spark.plans import uses_broadcast_join
+
+    df = registry.QUERIES["sim_search_ivf"](spark, sf_dir)
+    assert uses_broadcast_join(df)
