@@ -27,6 +27,7 @@ for image bytes.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -37,6 +38,9 @@ from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
 CHECKSUM_MOD = 1_000_000_007
+#: scan_binary fixture size — enough files to exercise listing +
+#: per-file tasks, few enough that fixture setup stays sub-second
+BIN_DOCS = 200
 
 FEATURE_SCHEMA = (
     "doc_id long, uri string, mime string, byte_len long, checksum long"
@@ -97,6 +101,56 @@ def transform_media(
             yield pd.DataFrame(rows)
 
     return flat.mapInPandas(_apply, schema=out_schema)
+
+
+@query(
+    "scan_binary",
+    oracle=f"""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes
+    FROM documents WHERE doc_id < {BIN_DOCS}
+    """,
+)
+def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source scan: one opaque payload per file.
+
+    The ingestion front door for raw image/audio/video assets — Spark
+    lists the directory, assigns files to tasks, and yields
+    (path, modificationTime, length, content) rows with the payload as
+    a `binary` column, ready for `media_envelope`/`transform_media`.
+    Only deterministic projections (id parsed from the path, byte
+    length computed JVM-side) surface in the result; mtime never does.
+
+    Fixture: each document's UTF-8 bytes written once as `doc_<id>.bin`
+    (driver-side, fixture setup only — the operator path is fully
+    distributed). At 100 TB the same scan works unchanged, but
+    millions of small files make LISTing the bottleneck — production
+    front-doors compact payloads into parquet binary columns (the
+    `multimodal_cols` shape) after exactly this scan.
+    """
+    bin_dir = f"/tmp/cdbp_bin/{os.path.basename(sf_dir.rstrip('/'))}/documents"
+    marker = os.path.join(bin_dir, "_FIXTURE_OK")
+    if not os.path.exists(marker):
+        os.makedirs(bin_dir, exist_ok=True)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < BIN_DOCS)
+            .select("doc_id", "text")
+        )
+        for row in docs.toLocalIterator():
+            with open(os.path.join(bin_dir, f"doc_{row.doc_id}.bin"), "wb") as f:
+                f.write(row.text.encode("utf-8"))
+        open(marker, "w").close()
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(bin_dir)
+    )
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("content").alias("n_bytes"),
+    )
 
 
 def media_envelope(docs: DataFrame) -> DataFrame:
