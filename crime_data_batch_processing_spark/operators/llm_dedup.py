@@ -390,3 +390,115 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= COSINE_THRESHOLD)
     )
+
+
+#: Safety bound for label propagation — near-dup components are
+#: shallow (diameter ≈ cluster size, and clusters are small), so
+#: convergence is typically 2-4 rounds; 20 means "something is wrong".
+MAX_CC_ROUNDS = 20
+
+_SQL_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS (
+        {_SQL_PAIR_BASE}
+        WHERE p.n_inter::DOUBLE / (len(sa.sh) + len(sb.sh) - p.n_inter)
+              >= {JACCARD_THRESHOLD}
+    ), e AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src
+    )
+    SELECT doc_id, MIN(r) AS cluster_id,
+           (MIN(r) = doc_id) AS is_canonical
+    FROM reach GROUP BY doc_id
+"""
+
+
+@query("dedup_clusters", oracle=_SQL_CLUSTERS)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph: pair detection is
+    only half of dedup — this is the other half, turning pairwise
+    matches into disjoint clusters with one canonical doc each
+    (cluster_id = min doc_id in the component; keep rows where
+    is_canonical).
+
+    Algorithm: iterative min-label propagation. Every doc starts
+    labeled with itself; each round every doc takes the minimum label
+    among itself and its neighbors; fixed point = components. Each
+    round is one distributed join + aggregate — the driver only runs
+    the loop and reads a scalar convergence count, never row data.
+    `localCheckpoint` truncates the lineage per round so the plan
+    stays O(1) deep instead of growing with iterations (the classic
+    iterative-DataFrame trap).
+
+    Scale: rounds ≈ component diameter, and near-dup clusters are
+    shallow, so this converges in a handful of rounds even at 100 TB
+    (a path-shaped pathological graph wants the large-star/small-star
+    variant [Kiveris et al., "Connected Components in MapReduce",
+    SoCC'14], which bounds rounds at O(log n) with the same
+    join+min building block). The oracle is a DuckDB recursive CTE
+    computing min-reachable-id per doc — same fixed point, different
+    engine.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()  # materialize: referenced twice per round
+
+    # iterate ONLY over docs that appear in some pair — everything
+    # else keeps its identity label by definition. At scale this is
+    # the difference between looping over the corpus and looping over
+    # the (far smaller) near-dup subgraph.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ROUNDS):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("src"), "cluster_id"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, "doc_id")
+            .select(
+                "doc_id",
+                "cluster_id",
+                F.least(F.col("cluster_id"), F.col("nbr_min")).alias("next_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.where(F.col("next_id") < F.col("cluster_id")).count()
+        labels = stepped.select("doc_id", F.col("next_id").alias("cluster_id"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {MAX_CC_ROUNDS} rounds")
+    edges.unpersist()
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+        )
+    )

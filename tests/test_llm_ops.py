@@ -237,3 +237,26 @@ class TestMultimodalTransforms:
             for r in docs.collect()
         }
         assert got == want
+
+
+class TestDedupClusters:
+    def test_pairs_land_in_same_cluster(self, spark, sf_dir):
+        """Every detected near-dup pair must be in one cluster, and
+        every cluster's canonical doc is its minimum member."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            dedup_clusters,
+            dedup_ngram_jaccard,
+        )
+
+        label = {
+            r.doc_id: r.cluster_id
+            for r in dedup_clusters(spark, sf_dir).collect()
+        }
+        pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
+        assert pairs, "fixture must contain planted near-dups"
+        for p in pairs:
+            assert label[p.doc_a] == label[p.doc_b]
+        members: dict[int, list[int]] = {}
+        for d, c in label.items():
+            members.setdefault(c, []).append(d)
+        assert all(c == min(ms) for c, ms in members.items())
