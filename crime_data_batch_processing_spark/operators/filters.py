@@ -94,3 +94,52 @@ def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~F.col("c_name").like("%7")
         & F.col("c_nationkey").isNotNull()
     ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+#: Per-stratum keep fractions, in units of SAMPLE_M. The shape every
+#: training-data pipeline needs: head-heavy classes downsampled hard,
+#: rare classes kept whole.
+STRATA_KEEP = {
+    "view": SAMPLE_M // 10,       # 10%
+    "click": SAMPLE_M // 4,       # 25%
+    "error": SAMPLE_M // 2,       # 50%
+    "purchase": SAMPLE_M,         # keep all
+    "signup": SAMPLE_M,           # keep all
+}
+
+_SQL_STRATA_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in STRATA_KEEP.items()
+)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    WHERE (event_id * {SAMPLE_A}) % {SAMPLE_M}
+          < CASE event_type {_SQL_STRATA_CASE} ELSE 0 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: a different keep-rate per
+    stratum, decided by the same multiplicative hash as `sample_hash`.
+
+    This is class rebalancing for training data — downsample the
+    head (views to 10%, clicks to 25%) while keeping every rare
+    example — done as a pure filter: no shuffle, no `sampleBy` RNG
+    (whose row set changes with partition layout), fully pushdown-
+    eligible, and reproducible across engines and runs. Because the
+    hash is keyed on event_id, re-running on a grown table keeps
+    every previously-kept row — the sample only ever extends, which
+    makes downstream caches and dedup state reusable at 100 TB.
+    """
+    threshold = F.lit(0)
+    for k, v in STRATA_KEEP.items():
+        threshold = F.when(F.col("event_type") == k, F.lit(v)).otherwise(threshold)
+    keep = (F.col("event_id") * SAMPLE_A) % SAMPLE_M < threshold
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(keep)
+        .select("event_id", "event_type", "user_id", "value")
+    )

@@ -15,7 +15,9 @@ checked and their plans are inspectable:
 * SALTING splits a hot grouping key across synthetic sub-keys so no
   single reducer owns the whole key, then re-aggregates — the manual
   fallback when AQE skew handling cannot help (first-stage
-  aggregation skew, not join skew).
+  aggregation skew, not join skew). `join_salted` applies the same
+  idea to the join side: salt the skewed fact key, replicate the dim
+  across every salt, join on (key, salt).
 """
 
 from __future__ import annotations
@@ -161,4 +163,74 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
         F.sum("ps").cast("double").alias("sum_value"),
+    )
+
+
+#: Seed dimension keyed by the skewed column — 5 keys over millions of
+#: fact rows is the canonical skewed-join shape. In production this is
+#: a real (non-broadcastable) table; a literal seed keeps the oracle
+#: side-by-side.
+EVENT_TYPE_DIM = [
+    ("click", "engagement", 1.0),
+    ("view", "engagement", 0.5),
+    ("purchase", "revenue", 10.0),
+    ("signup", "revenue", 5.0),
+    ("error", "ops", 0.25),
+]
+
+_SQL_DIM_ROWS = ", ".join(f"('{t}', '{c}', {w})" for t, c, w in EVENT_TYPE_DIM)
+
+
+@query(
+    "join_salted",
+    oracle=f"""
+    WITH dim AS (
+        SELECT * FROM (VALUES {_SQL_DIM_ROWS}) AS t(event_type, category, weight)
+    )
+    SELECT d.category,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value * CAST(d.weight AS DOUBLE)')} AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY d.category
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: salt the fact side, replicate the dim side.
+
+    `event_type` is the worst join key a shuffle can see — 5 distinct
+    values across the whole fact table, so a plain shuffled join sends
+    ~20% of all rows to ONE reducer. The salted form joins on
+    (event_type, salt): the fact side derives salt ∈ [0, 8) from a
+    hash of its unique column (deterministic, not rand()), the dim
+    side is exploded 8× so every (key, salt) combination exists.
+    Result is identical to the unsalted join — checked against the
+    plain-join oracle — but the shuffle spreads each hot key over
+    8 reducers.
+
+    At this dim size Catalyst rightly broadcasts (then salting is
+    harmless); the pattern is written for the 100 TB case where the
+    dim exceeds the broadcast threshold AND the fact key is skewed —
+    the one shape AQE's skew-join splitting cannot fix when the join
+    below an aggregation reuses the same partitioning (AQE splits
+    degrade to nothing when the skewed partition feeds a same-key
+    agg). The weights multiply inside the decimal-exact sum, so the
+    salted two-stage result is bit-identical to the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        EVENT_TYPE_DIM, "event_type string, category string, weight double"
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(N_SALTS)]))
+    )
+    salted_fact = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS))
+    )
+    return (
+        salted_fact.join(salted_dim, ["event_type", "salt"])
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
+        )
     )

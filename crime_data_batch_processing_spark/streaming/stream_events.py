@@ -311,3 +311,76 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, _stream_src(sf_dir), query_name="cdbp_stream_events", checkpoint=ckpt
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(p.ts) AS purchase_ts_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to the click
+    they followed within one hour, both sides unbounded.
+
+    The missing streaming shape after aggregate/dedup/static-join:
+    BOTH inputs are streams, so the join itself is stateful — each
+    side buffers rows in the state store until the other side's
+    watermark proves no more matches can arrive. The time-range
+    predicate (purchase within [click, click+1h]) is what makes state
+    finite: combined with the two watermarks, Spark derives a state
+    eviction bound per side (clicks older than watermark−1h can never
+    match a future purchase and are dropped). Without the range
+    condition the state grows forever — the #1 production footgun of
+    stream-stream joins at 100 TB.
+
+    Inner joins emit eagerly on match, so running the bounded source
+    to completion in append mode must reproduce the batch interval
+    join exactly — the oracle is that batch join.
+    """
+    src = _stream_src(sf_dir)
+    clicks = (
+        streaming_events(spark, src, max_files_per_trigger=None)
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        streaming_events(spark, src, max_files_per_trigger=None)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+            """
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+    return _run_bounded(joined, "cdbp_stream_stream_join", "append")

@@ -188,3 +188,25 @@ def test_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
 
     df = registry.QUERIES["sim_search_ivf"](spark, sf_dir)
     assert uses_broadcast_join(df)
+
+
+def test_salted_join_joins_on_salt(spark, sf_dir):
+    """The salted join must actually key on (event_type, salt) — if a
+    rewrite ever drops the salt from the join condition, the operator
+    silently degrades back to the skewed single-key join."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["join_salted"](spark, sf_dir))
+    assert "salt" in plan, plan
+
+
+def test_stratified_sample_stays_in_codegen(spark, sf_dir):
+    """Per-stratum thresholds compile to a CASE inside the same
+    codegen'd filter as the hash — no UDF, no extra stage."""
+    import re
+
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["sample_stratified"](spark, sf_dir))
+    assert re.search(r"\* Filter", plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -106,3 +106,43 @@ def test_quantized_dot_matches_reference(spark, a, data):
         descale(idot(quantize(F.col("a")), quantize(F.col("b")))).alias("d")
     ).collect()[0].d
     assert got == _py_dot(a, b)
+
+
+class TestStratifiedSample:
+    def test_rates_and_extension_property(self, spark, sf_dir):
+        """Each stratum is kept at ~its configured rate, and the
+        stratified sample of the 10% hash sample equals the
+        intersection (consistent co-sampling)."""
+        from crime_data_batch_processing_spark.operators.filters import (
+            STRATA_KEEP,
+            SAMPLE_M,
+            sample_stratified,
+        )
+        from crime_data_batch_processing_spark.sources.tables import load_table
+
+        got = {
+            r["event_type"]: r["n"]
+            for r in sample_stratified(spark, sf_dir)
+            .groupBy("event_type")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        total = {
+            r["event_type"]: r["count"]
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .count()
+            .collect()
+        }
+        for k, keep in STRATA_KEEP.items():
+            frac = keep / SAMPLE_M
+            if frac == 1.0:
+                assert got.get(k, 0) == total[k], k
+            else:
+                # ~200 rows/stratum at sf0.001: loose 3-sigma-ish bound
+                assert abs(got.get(k, 0) / total[k] - frac) < 0.12, (
+                    k,
+                    got.get(k, 0),
+                    total[k],
+                )
