@@ -2,6 +2,7 @@
 
 from crime_data_batch_processing_spark.operators import (  # noqa: F401
     aggregates,
+    chunking,
     filters,
     joins,
     llm_dedup,

@@ -146,3 +146,55 @@ class TestStratifiedSample:
                     got.get(k, 0),
                     total[k],
                 )
+
+
+class TestChunkingPacking:
+    def test_chunks_reconstruct_documents(self, spark, sf_dir):
+        """Taking the first CHUNK_STRIDE tokens of every chunk except
+        the last, plus the last chunk whole, must reproduce each
+        document's token sequence exactly — i.e. the windows tile the
+        doc with the declared stride and lose nothing."""
+        from crime_data_batch_processing_spark.operators.chunking import (
+            CHUNK_STRIDE,
+            doc_chunks,
+        )
+        from crime_data_batch_processing_spark.sources.tables import load_table
+
+        chunks: dict[int, list[tuple[int, str]]] = {}
+        for r in doc_chunks(spark, sf_dir).collect():
+            chunks.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+        docs = {
+            r.doc_id: r.text.split(" ")
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        assert set(chunks) == set(docs)
+        for doc_id, parts in chunks.items():
+            parts.sort()
+            rebuilt: list[str] = []
+            for k, (_, text) in enumerate(parts):
+                toks = text.split(" ")
+                rebuilt.extend(toks if k == len(parts) - 1 else toks[:CHUNK_STRIDE])
+            assert rebuilt == docs[doc_id], doc_id
+
+    def test_pack_offsets_within_capacity(self, spark, sf_dir):
+        """Every doc starts inside its pack's budget, and within a
+        shard the packed docs are contiguous in doc_id order with
+        offsets equal to the running total mod capacity."""
+        from crime_data_batch_processing_spark.operators.chunking import (
+            PACK_CAPACITY,
+            pack_sequences,
+        )
+
+        rows = pack_sequences(spark, sf_dir).collect()
+        assert rows
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            assert 0 <= r.pack_offset < PACK_CAPACITY
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, rs in by_shard.items():
+            rs.sort(key=lambda r: r.doc_id)
+            cum = 0
+            for r in rs:
+                assert r.pack_id == shard * 1000000 + cum // PACK_CAPACITY
+                assert r.pack_offset == cum % PACK_CAPACITY
+                cum += r.n_tokens
