@@ -345,8 +345,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inner joins emit eagerly on match, so running the bounded source
     to completion in append mode must reproduce the batch interval
     join exactly — the oracle is that batch join.
+
+    State-partition sizing: a stream-stream join instantiates FOUR
+    state stores per shuffle partition (per side: keyToNumValues +
+    keyWithIndexToValue). State partition count is frozen into the
+    checkpoint at first start, so it must be sized to STATE volume,
+    not compute width — here the filtered sides are small, so 8
+    partitions (32 stores) beat the session's compute-sized default
+    (at 32: 128 stores whose open/commit cost dominates the query).
     """
     src = _stream_src(sf_dir)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     clicks = (
         streaming_events(spark, src, max_files_per_trigger=None)
         .where(F.col("event_type") == "click")
@@ -383,4 +392,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("click_ts").alias("click_ts_us"),
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
     )
-    return _run_bounded(joined, "cdbp_stream_stream_join", "append")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run_bounded(joined, "cdbp_stream_stream_join", "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
