@@ -207,18 +207,25 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain-join oracle — but the shuffle spreads each hot key over
     8 reducers.
 
-    At this dim size Catalyst rightly broadcasts (then salting is
-    harmless); the pattern is written for the 100 TB case where the
-    dim exceeds the broadcast threshold AND the fact key is skewed —
-    the one shape AQE's skew-join splitting cannot fix when the join
-    below an aggregation reuses the same partitioning (AQE splits
-    degrade to nothing when the skewed partition feeds a same-key
-    agg). The weights multiply inside the decimal-exact sum, so the
-    salted two-stage result is bit-identical to the oracle.
+    The dim side carries an explicit `broadcast()` hint: the explode
+    hides its (tiny) size from the optimizer, and without the hint
+    Catalyst at test scale broadcasts the FACT side instead — legal
+    when the fact fits the threshold, catastrophic at 100 TB. The
+    pattern as a whole is written for the case where the dim exceeds
+    the broadcast threshold AND the fact key is skewed — then the
+    same code (minus the hint) plans a shuffled join on (key, salt),
+    the one shape AQE's skew-join splitting cannot fix when the
+    skewed partition feeds a same-key agg. The weights multiply
+    inside the decimal-exact sum, so the salted two-stage result is
+    bit-identical to the oracle.
     """
     ev = load_table(spark, sf_dir, "events")
-    dim = spark.createDataFrame(
-        EVENT_TYPE_DIM, "event_type string, category string, weight double"
+    # VALUES keeps the dim a JVM-side LocalRelation — a Python
+    # createDataFrame would schedule defaultParallelism tasks for 5
+    # rows and drag in the pickle serialization path.
+    dim_rows = ", ".join(f"('{t}', '{c}', {w}D)" for t, c, w in EVENT_TYPE_DIM)
+    dim = spark.sql(
+        f"SELECT * FROM VALUES {dim_rows} AS t(event_type, category, weight)"
     )
     salted_dim = dim.withColumn(
         "salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(N_SALTS)]))
@@ -227,7 +234,7 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS))
     )
     return (
-        salted_fact.join(salted_dim, ["event_type", "salt"])
+        salted_fact.join(F.broadcast(salted_dim), ["event_type", "salt"])
         .groupBy("category")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

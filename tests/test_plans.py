@@ -198,6 +198,10 @@ def test_salted_join_joins_on_salt(spark, sf_dir):
 
     plan = physical_plan(registry.QUERIES["join_salted"](spark, sf_dir))
     assert "salt" in plan, plan
+    # the replicated DIM must be the broadcast build side — without
+    # the explicit hint Catalyst broadcasts the fact at test scale,
+    # which inverts at 100 TB
+    assert "BuildRight" in plan, plan
 
 
 def test_stratified_sample_stays_in_codegen(spark, sf_dir):
