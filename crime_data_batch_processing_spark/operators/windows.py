@@ -119,3 +119,40 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sum_near", F.sum(dcol("o_totalprice")).over(w).cast("double"))
         .drop("o_orderpriority", "o_totalprice")
     )
+
+
+@query(
+    "window_cume",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTILE(10) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC)
+    """,
+)
+def window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking: percent_rank / cume_dist / ntile deciles.
+
+    percent_rank and cume_dist depend only on the ORDER BY *values*
+    (peers share a result), so ties need no tie-breaker and the
+    result is engine-exact: both are ratios of small integers,
+    computed as one IEEE division in either engine. ntile DOES depend
+    on physical row order within peers, so its window carries the
+    c_custkey tie-breaker — the determinism rule every ranking query
+    here follows (SURVEY.md §5.2). Same single shuffle as any other
+    window: one hash partition by segment, sort, one pass.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc())
+    wt = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("cume", F.cume_dist().over(w))
+        .withColumn("decile", F.ntile(10).over(wt))
+    )
