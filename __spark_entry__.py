@@ -36,11 +36,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["agg_count_filter"](spark, SMOKE_SF_DIR)
 
 
+# The driver's correctness pass walks queries() in dict order and may cap
+# how many it checks per round (round 1 stopped at entry #50).  Keys that
+# still lack a green CORRECTNESS row — never-reached, hash-failed, or
+# no_oracle in round 1 — are exported FIRST so the cap always lands on
+# already-verified keys, never on unverified ones.
+_VERIFY_FIRST = [
+    # round-1 untested (driver never reached registration entry >50)
+    "sort_limit", "topk_per_group",
+    "window_rank", "window_analytic", "window_range_frame", "window_cume",
+    "subquery_exists", "subquery_in", "subquery_scalar",
+    "text_token_count", "text_quality", "text_lang_id",
+    "text_fingerprint", "text_ngrams", "text_tfidf",
+    "udf_scalar", "udaf_grouped",
+    "window_tumbling", "window_sliding", "window_session",
+    "sim_search_lsh", "sim_search_ivf",
+    "sink_partitioned", "latest_snapshot",
+    "stream_events", "stream_stateful", "stream_static_join",
+    "stream_dedup", "stream_session", "stream_stream_join",
+    # round-1 err (array-typed cols broke the driver's canonicalizer; fixed)
+    "string_funcs", "array_funcs",
+    # round-1 hash-fail (DuckDB HUGEINT typing; oracle now casts to BIGINT)
+    "pack_sequences", "multimodal_cols",
+    # round-1 no_oracle (now registered in oracle-comparable form)
+    "dedup_minhash", "dedup_simhash", "agg_approx_distinct",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    first = [k for k in _VERIFY_FIRST if k in mapping]
+    rest = [k for k in mapping if k not in set(first)]
+    return {k: mapping[k] for k in [*first, *rest]}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    return _ordered(dict(registry.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query key (omitted → rows-only check)."""
-    return dict(registry.ORACLES)
+    return _ordered(dict(registry.ORACLES))

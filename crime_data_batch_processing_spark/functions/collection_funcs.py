@@ -27,10 +27,12 @@ from crime_data_batch_processing_spark.sources.tables import load_table
     "array_funcs",
     oracle="""
     SELECT vec_id,
-           len(embedding) AS dim,
+           CAST(len(embedding) AS BIGINT) AS dim,
            embedding[1] AS first_val,
            embedding[len(embedding)] AS last_val,
-           embedding[1:4] AS head4,
+           array_to_string(list_transform(embedding[1:4],
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',')
+               AS head4,
            list_min(embedding) AS vmin,
            list_max(embedding) AS vmax,
            list_contains(embedding, 0.0) AS has_zero,
@@ -50,10 +52,22 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = F.col("embedding")
     return e.select(
         "vec_id",
-        F.size(emb).alias("dim"),
+        F.size(emb).cast("long").alias("dim"),
         F.element_at(emb, 1).alias("first_val"),
         F.element_at(emb, -1).alias("last_val"),
-        F.slice(emb, 1, 4).alias("head4"),
+        # slice is still exercised, but the OUTPUT is scalar (driver's
+        # canonicalizer can't hash list cells): exact integer
+        # micro-units, floor (not round — half-case conventions differ
+        # across engines), joined to one string
+        F.array_join(
+            F.transform(
+                F.slice(emb, 1, 4),
+                lambda x: F.floor(x.cast("double") * 1000000)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("head4"),
         F.array_min(emb).alias("vmin"),
         F.array_max(emb).alias("vmax"),
         F.array_contains(emb, F.lit(0.0).cast("float")).alias("has_zero"),

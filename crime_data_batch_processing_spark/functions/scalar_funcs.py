@@ -32,12 +32,13 @@ from crime_data_batch_processing_spark.sources.tables import load_table
            LOWER(p_brand) AS brand_lower,
            SUBSTRING(p_name, 1, 10) AS name_prefix,
            p_brand || '/' || p_type AS brand_type,
-           LENGTH(p_name) AS name_len,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
            TRIM(p_name) AS name_trim,
            REPLACE(p_name, ' ', '_') AS name_snake,
            REGEXP_EXTRACT(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
            p_name LIKE '%al%' AS has_al,
-           STRING_SPLIT(p_type, ' ') AS type_words
+           ARRAY_TO_STRING(STRING_SPLIT(p_type, ' '), '|') AS type_words,
+           CAST(LEN(STRING_SPLIT(p_type, ' ')) AS BIGINT) AS n_type_words
     FROM part
     """,
 )
@@ -50,12 +51,17 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_brand").alias("brand_lower"),
         F.substring("p_name", 1, 10).alias("name_prefix"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.trim("p_name").alias("name_trim"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
         F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
         F.col("p_name").like("%al%").alias("has_al"),
-        F.split("p_type", " ").alias("type_words"),
+        # split is still exercised, but the OUTPUT is scalar: the
+        # driver's canonicalizer hashes a sorted pandas frame and dies
+        # on list cells (CORRECTNESS_r01 err) — join + count carry the
+        # same information in hashable form
+        F.array_join(F.split("p_type", " "), "|").alias("type_words"),
+        F.size(F.split("p_type", " ")).cast("long").alias("n_type_words"),
     )
 
 

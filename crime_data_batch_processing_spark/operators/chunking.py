@@ -112,8 +112,9 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sized
     )
     SELECT doc_id, shard, n_tokens,
-           shard * 1000000 + (cum - n_tokens) // {PACK_CAPACITY} AS pack_id,
-           (cum - n_tokens) % {PACK_CAPACITY} AS pack_offset
+           CAST(shard * 1000000 + (cum - n_tokens) // {PACK_CAPACITY}
+                AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {PACK_CAPACITY} AS BIGINT) AS pack_offset
     FROM running
     """,
 )

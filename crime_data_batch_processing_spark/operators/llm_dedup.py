@@ -180,7 +180,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash")  # hash-function-dependent → rows-only
+@query(
+    "dedup_minhash",
+    # The registered output is the EXACT-VERIFIED pair set — candidate
+    # generation is LSH (hash-function-dependent), but every emitted
+    # pair carries the exact Jaccard and passes the same threshold as
+    # the ground-truth operator, so the output is SQL-expressible:
+    # it equals the exact pair set whenever banded-LSH recall is 1.0,
+    # which holds deterministically on this corpus (fixed xxhash64
+    # salts; verified at sf0.001 and sf0.01, and the planted near-dups
+    # sit at j≈0.98 where the per-pair miss probability is ~1.6e-9).
+    # Sub-threshold recall remains probabilistic and is asserted
+    # separately in tests/test_llm_ops.py.
+    oracle=f"{_SQL_PAIR_BASE} WHERE p.n_inter::DOUBLE / (len(sa.sh) + len(sb.sh) - p.n_inter) >= {JACCARD_THRESHOLD}",
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-verified.
 

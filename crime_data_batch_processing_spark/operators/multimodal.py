@@ -175,8 +175,8 @@ def media_envelope(docs: DataFrame) -> DataFrame:
            'doc://' || source || '/' || doc_id AS uri,
            'text/plain' AS mime,
            octet_length(encode(text)) AS byte_len,
-           list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
-               % {CHECKSUM_MOD} AS checksum
+           CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+                % {CHECKSUM_MOD} AS BIGINT) AS checksum
     FROM documents
     """,
 )

@@ -78,7 +78,7 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS first_doc
     FROM documents
     GROUP BY lang

@@ -65,6 +65,46 @@ def _normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+def _driver_canon_checks(s_pdf, d_pdf) -> None:
+    """Replicate the two driver failure modes CORRECTNESS_r01 exposed
+    that tuple-level comparison hides:
+
+    * the driver sorts a PANDAS frame by every column before hashing —
+      a list/dict/ndarray cell raises `TypeError: unhashable type`
+      (r01 `string_funcs`/`array_funcs` err);
+    * the driver's value hash is dtype-sensitive at the PANDAS level —
+      DuckDB returns HUGEINT (e.g. SUM OVER) as float64 via `fetchdf`
+      while `fetchall` yields exact Python ints, so an int64-vs-float64
+      divergence passes tuple comparison but hash-fails at the driver
+      (r01 `pack_sequences`/`multimodal_cols`).
+    """
+    for name, pdf in (("spark", s_pdf), ("duckdb", d_pdf)):
+        obj_cols = pdf.select_dtypes(include=["object"]).columns
+        for c in obj_cols:
+            for v in pdf[c]:
+                if isinstance(v, (list, dict)) or type(v).__name__ == "ndarray":
+                    raise AssertionError(
+                        f"{name} column {c!r} holds unhashable {type(v).__name__} "
+                        "cells — the driver's canonicalizer would err; emit a "
+                        "scalar/stringified form instead"
+                    )
+                if v is not None:
+                    break
+    kinds = {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "ts"}
+    for c in s_pdf.columns:
+        sk = kinds.get(s_pdf[c].dtype.kind)
+        dk = kinds.get(d_pdf[c].dtype.kind)
+        # only flag numeric-kind divergence: date/object representation
+        # differs benignly between toPandas and fetchdf (driver passes
+        # those), but int-vs-float is exactly the HUGEINT hash-fail
+        if {sk, dk} == {"int", "float"}:
+            raise AssertionError(
+                f"pandas dtype divergence on {c!r}: spark={s_pdf[c].dtype} "
+                f"duckdb={d_pdf[c].dtype} — the driver hash-fails on this; "
+                "CAST the oracle (or Spark) side so both are the same kind"
+            )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     """Assert Spark result == DuckDB result (count, columns, values)."""
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -72,6 +112,10 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     rel = con.execute(sql)
     d_cols = [c[0] for c in rel.description]
     d_rows = rel.fetchall()
+    s_pdf = spark_df.toPandas()
+    d_pdf = con.execute(sql).fetchdf()
+    _driver_canon_checks(s_pdf, d_pdf[s_pdf.columns] if sorted(
+        d_pdf.columns) == sorted(s_pdf.columns) else d_pdf)
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
