@@ -60,6 +60,8 @@ _VERIFY_FIRST = [
     "pack_sequences", "multimodal_cols",
     # round-1 no_oracle (now registered in oracle-comparable form)
     "dedup_minhash", "dedup_simhash", "agg_approx_distinct",
+    # new in round 2 (never seen by the driver)
+    "scan_jdbc",
 ]
 
 

@@ -31,7 +31,7 @@ def sf_from_dir(path: str) -> float:
 
 
 def main() -> None:
-    from crime_data_batch_processing_spark import registry
+    from crime_data_batch_processing_spark import cachekit, registry
     from crime_data_batch_processing_spark.session import get_spark
 
     registry.load_all_operators()
@@ -53,6 +53,10 @@ def main() -> None:
         except Exception as exc:  # keep benching the rest; surface the failure
             timings[key] = -1.0
             print(f"# bench FAILED {key}: {exc}", file=sys.stderr)
+        finally:
+            # drop this query's cached signature/corpus state so later
+            # queries aren't timed against a shrinking storage pool
+            cachekit.release_all()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(

@@ -123,25 +123,66 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+#: HLL++ error contract: rsd=0.05 is a standard deviation; 3σ = 15%
+#: relative error bounds the estimate with ~99.7% confidence — and
+#: DETERMINISTICALLY for a fixed dataset, since the sketch hash is
+#: fixed (no run-to-run randomness). That determinism is what lets
+#: the bounded-error check be a hashable oracle column.
+APPROX_RSD = 0.05
+APPROX_BOUND = 3 * APPROX_RSD
+
+
+@query(
+    "agg_approx_distinct",
+    # The HLL estimate itself is engine-specific, so the oracle can't
+    # reproduce it — but the CONTRACT is SQL-expressible: the exact
+    # distinct counts plus "the estimate is within 3·rsd of exact",
+    # which is deterministically TRUE for this data. The estimate is
+    # genuinely computed (the booleans derive from it); only its raw
+    # value stays out of the hashed output.
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS exact_supp,
+           COUNT(DISTINCT l_partkey) AS exact_part,
+           TRUE AS approx_supp_ok,
+           TRUE AS approx_part_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — the 100 TB-scale form of agg_distinct.
 
     HyperLogLog++ sketches are mergeable, so the aggregation stays
-    one-pass with bounded per-key state. Estimates differ between
-    engines by design → rows-only check.
+    one-pass with bounded per-key state. The registered output pairs
+    the exact counts with bounded-error flags on the HLL estimates
+    (|approx - exact| ≤ 3·rsd·exact), making the probabilistic
+    operator's contract oracle-checkable; at 100 TB one would drop
+    the exact columns and keep only the sketch.
 
     rsd stays at Spark's 0.05 default: sketch size grows ~1/rsd², and
     rsd=0.01 measured 7× slower for precision the use case (cardinality
     ballparking before join planning) never needs.
     """
-    return (
+    est = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_suppkey", rsd=0.05).alias("approx_supp"),
-            F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_part"),
+            F.countDistinct("l_suppkey").alias("exact_supp"),
+            F.countDistinct("l_partkey").alias("exact_part"),
+            F.approx_count_distinct("l_suppkey", rsd=APPROX_RSD).alias("a_supp"),
+            F.approx_count_distinct("l_partkey", rsd=APPROX_RSD).alias("a_part"),
         )
+    )
+    within = lambda a, x: (  # noqa: E731
+        F.abs(F.col(a) - F.col(x)) <= F.lit(APPROX_BOUND) * F.col(x)
+    )
+    return est.select(
+        "l_returnflag",
+        "exact_supp",
+        "exact_part",
+        within("a_supp", "exact_supp").alias("approx_supp_ok"),
+        within("a_part", "exact_part").alias("approx_part_ok"),
     )
 
 

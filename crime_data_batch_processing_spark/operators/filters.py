@@ -44,12 +44,43 @@ SAMPLE_M = 1 << 32
 SAMPLE_KEEP = SAMPLE_M // 10  # 10% sample
 
 
+def sample_hash32(key: F.Column) -> F.Column:
+    """(key · SAMPLE_A) mod 2^32 without int64 overflow.
+
+    The naive product overflows int64 for keys above ~3.47e9 — Spark
+    (non-ANSI) would wrap silently while DuckDB raises, breaking
+    cross-engine determinism exactly at the key ranges a 100 TB table
+    reaches. Splitting the reduced key into 16-bit halves keeps every
+    intermediate below 2^48:
+
+        k = key mod 2^32;  k = hi·2^16 + lo
+        h = ((hi·A mod 2^16)·2^16 + lo·A) mod 2^32  ==  k·A mod 2^32
+
+    Identical to the naive form wherever it didn't overflow, so the
+    sampled row set is unchanged. Keys are non-negative ids (both
+    engines agree on % for those).
+    """
+    k = key.cast("long") % SAMPLE_M
+    hi = F.shiftrightunsigned(k, 16)
+    lo = k.bitwiseAND(F.lit(65535).cast("long"))
+    return ((hi * SAMPLE_A) % 65536 * 65536 + lo * SAMPLE_A) % SAMPLE_M
+
+
+def sql_sample_hash32(expr: str) -> str:
+    """DuckDB rendering of :func:`sample_hash32` (same algebra)."""
+    k = f"(({expr}) % {SAMPLE_M})"
+    return (
+        f"((({k} >> 16) * {SAMPLE_A}) % 65536 * 65536"
+        f" + ({k} & 65535) * {SAMPLE_A}) % {SAMPLE_M}"
+    )
+
+
 @query(
     "sample_hash",
     oracle=f"""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
-    WHERE (o_orderkey * {SAMPLE_A}) % {SAMPLE_M} < {SAMPLE_KEEP}
+    WHERE {sql_sample_hash32('o_orderkey')} < {SAMPLE_KEEP}
     """,
 )
 def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +95,7 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join of the samples IS the sample of the join). Pure int64
     arithmetic, stays inside whole-stage codegen.
     """
-    keep = (F.col("o_orderkey") * SAMPLE_A) % SAMPLE_M < SAMPLE_KEEP
+    keep = sample_hash32(F.col("o_orderkey")) < SAMPLE_KEEP
     return (
         load_table(spark, sf_dir, "orders")
         .filter(keep)
@@ -117,7 +148,7 @@ _SQL_STRATA_CASE = " ".join(
     oracle=f"""
     SELECT event_id, event_type, user_id, value
     FROM events
-    WHERE (event_id * {SAMPLE_A}) % {SAMPLE_M}
+    WHERE {sql_sample_hash32('event_id')}
           < CASE event_type {_SQL_STRATA_CASE} ELSE 0 END
     """,
 )
@@ -137,7 +168,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = F.lit(0)
     for k, v in STRATA_KEEP.items():
         threshold = F.when(F.col("event_type") == k, F.lit(v)).otherwise(threshold)
-    keep = (F.col("event_id") * SAMPLE_A) % SAMPLE_M < threshold
+    keep = sample_hash32(F.col("event_id")) < threshold
     return (
         load_table(spark, sf_dir, "events")
         .filter(keep)

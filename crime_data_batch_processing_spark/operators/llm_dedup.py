@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from crime_data_batch_processing_spark.cachekit import track
 from crime_data_batch_processing_spark.functions.textkit import (
     SHINGLE_K,
     jaccard,
@@ -70,13 +71,18 @@ COSINE_THRESHOLD = 0.4
 
 def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Repartition ahead of superlinear per-row work (signatures,
-    all-pairs joins). The local testdata is one parquet file → one
-    input split, which would serialize the expensive stage onto a
-    single core; shuffling N small rows is noise next to the O(N·k)
-    signature math or O(N²) pair math it parallelizes. On a real
-    multi-split corpus the scan is already parallel and AQE coalesces
-    any excess, so this stays harmless at scale."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    all-pairs joins) — but ONLY when the input is under-split. The
+    local testdata is one parquet file → one input split, which would
+    serialize the expensive stage onto a single core; shuffling N
+    small rows is noise next to the O(N·k) signature math or O(N²)
+    pair math it parallelizes. A real multi-split corpus is already
+    parallel, so the shuffle is skipped entirely there (an
+    unconditional repartition would insert a full-corpus Exchange at
+    100 TB for nothing)."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,6 +101,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") >= SHINGLE_K)
         .select("doc_id", shingles_of(F.col("toks")).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
     )
 
 
@@ -244,7 +251,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bhash").persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("doc_id", "bb.band", "bb.bhash").persist(StorageLevel.MEMORY_AND_DISK).transform(track)
     # persisted AND materialized before the self-join: two cold
     # branches in one job would otherwise race the cache and each run
     # the 32-hash signature pipeline (the count also fills the
@@ -268,40 +275,102 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # hash-function-dependent → rows-only
+def _sql_hexfold(expr: str) -> str:
+    """DuckDB: parse an 8-hex-digit string to BIGINT (== Spark CONV)."""
+    return (
+        f"list_reduce(list_transform(string_split({expr}, ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        f"(a, x) -> a * 16 + x)"
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    """Generated DuckDB oracle for `dedup_simhash`: recompute the md5
+    token bits, the 64 votes, the packed fingerprint, then score ALL
+    pairs with bit_count(xor) at the Hamming radius — the all-pairs
+    form is exactly what Spark's banded search returns, because the
+    pigeonhole banding is lossless for radius ≤ BAND count - 1."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    # bit 63 is the sign bit: 2^63 overflows a signed BIGINT literal,
+    # so it is added as min-long (same two's-complement bit pattern
+    # Spark's shiftleft(1L, 63) produces)
+    pack = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END"
+        for j in range(SIMHASH_BITS - 1)
+    )
+    pack += (
+        f" + CASE WHEN v{SIMHASH_BITS - 1} > 0 "
+        "THEN (-9223372036854775807 - 1) ELSE 0 END"
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), h AS (
+        SELECT doc_id,
+               {_sql_hexfold("substring(md5(t), 1, 8)")} AS lo,
+               {_sql_hexfold("substring(md5(t), 9, 8)")} AS hi
+        FROM tok
+    ), votes AS (
+        SELECT doc_id, {votes} FROM h GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, {pack} AS simhash FROM votes
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+    """
+
+
+@query("dedup_simhash", oracle=_sql_simhash_pairs())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints + banded Hamming-radius pairs.
 
-    Fingerprint: per bit j, sum sign((xxhash64(token) >> j) & 1) over
-    the token multiset (so term frequency weights, as in Charikar's
+    Fingerprint: per bit j, sum sign(bit j of hash(token)) over the
+    token multiset (so term frequency weights, as in Charikar's
     construction); bit j of the fingerprint is the sign of that sum.
+    The token hash is the first 64 bits of md5 — chosen over xxhash64
+    because md5 is byte-identical across engines, which makes the
+    whole operator SQL-expressible and lets the DuckDB oracle verify
+    fingerprints and pairs bit-for-bit (a production deployment would
+    swap in xxhash64 for speed; the operator shape is unchanged).
     Candidate generation: split the 64 bits into 8 byte-bands; by
     pigeonhole, Hamming distance ≤ 7 forces at least one equal band.
     Pairs are scored with the true `bit_count(a XOR b)` and filtered
     at radius 7 — band collisions beyond the radius are dropped, so
     the output is exactly {pairs : hamming ≤ 7}, found without an
-    all-pairs comparison.
+    all-pairs comparison (the oracle does run the all-pairs form:
+    same set, by the pigeonhole guarantee).
 
     Shape: explode tokens → hash-aggregate with 64 conditional SUMs
     (one per bit) → pack the signs into one int64. The per-bit vote
     counting stays inside whole-stage codegen this way; the
     array-lambda formulation (aggregate() per bit) is a
     CodegenFallback and measured ~4× slower. The shuffle carries one
-    (doc_id, 64-bit-hash) row per token — partial aggregation
+    (doc_id, two-longs) row per token — partial aggregation
     map-side combines, so at 100 TB the exchange is bounded by
     docs × 64 longs, not corpus tokens.
     """
     docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     one = F.lit(1).cast("long")
-    hashed = docs.select(
-        "doc_id", F.explode(tokens("text")).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    hashed = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", F.md5("tok").alias("m"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("lo"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("hi"),
+        )
+    )
 
     def vote(j: int) -> F.Column:
-        mask = F.shiftleft(one, j)
-        return F.sum(
-            F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(-1)
-        ).alias(f"v{j}")
+        src = F.col("lo") if j < 32 else F.col("hi")
+        bit = F.shiftrightunsigned(src, j % 32).bitwiseAND(F.lit(1).cast("long"))
+        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{j}")
 
     votes = hashed.groupBy("doc_id").agg(*[vote(j) for j in range(SIMHASH_BITS)])
     packed = F.lit(0).cast("long")
@@ -329,7 +398,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "bb.band", "bb.bval").persist(
         StorageLevel.MEMORY_AND_DISK  # self-joined below; 64-bit
         # fingerprint math would otherwise run once per side
-    )
+    ).transform(track)
     bands.count()  # materialize before the self-join (cache race)
     return (
         bands.alias("a")
@@ -342,9 +411,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")  # oracle side is BIGINT; bit_count is int32
+            .alias("hamming"),
         )
         # radius filter BEFORE distinct: band collisions are mostly
         # far pairs (a hot 8-bit bucket is quadratic), and filtering

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.jdbc import read_jdbc_partitioned
 from crime_data_batch_processing_spark.sources.tables import load_table
 
 NATION_SCHEMA = T.StructType(
@@ -170,4 +171,68 @@ def project_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("y", F.lit("2026"))
         .withColumn("m", F.lit("8"))
         .withColumn("d", F.lit("13"))
+    )
+
+
+#: scan_jdbc fixture: every 20th order — small enough that the one-time
+#: Derby load stays sub-second at bench SF, large enough to span all
+#: read partitions.
+JDBC_MOD = 20
+JDBC_PARTITIONS = 8
+_JDBC_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+@query(
+    "scan_jdbc",
+    oracle=f"""
+    SELECT {', '.join(_JDBC_COLS)}
+    FROM orders
+    WHERE o_orderkey % {JDBC_MOD} = 0
+    """,
+)
+def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned JDBC scan, end-to-end against embedded Derby (O1).
+
+    The reference's ingest pulls its whole table through ONE task
+    (no partitionColumn — /root/reference/spark_ingest_script.py:56-61);
+    this exercises the fixed reader (`sources/jdbc.py`) against a real
+    JDBC database: Derby ships in Spark's jars and runs embedded, so
+    the full write → partitioned-read → verify loop needs no external
+    server. The read plans JDBC_PARTITIONS stride-parallel tasks —
+    on a real RDBMS each task opens its own cursor.
+
+    Fixture (one-time per sf_dir): every 20th order is INSERTed over
+    JDBC. The registered output is the partitioned read-back; the
+    oracle recomputes the same subset from the source parquet, so a
+    row lost/duplicated/type-mangled by either JDBC direction breaks
+    the hash.
+    """
+    import hashlib
+
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    db = f"/tmp/cdbp_jdbc/{key}/orders"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % JDBC_MOD == 0)
+        .select(*_JDBC_COLS)
+    )
+    marker = f"/tmp/cdbp_jdbc/{key}/_FIXTURE_OK"
+    if not os.path.exists(marker):
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        src.write.jdbc(url, "orders_jdbc", mode="overwrite", properties=props)
+        open(marker, "w").close()
+    # stride bounds: the standard min/max(partitionColumn) lookup every
+    # partitioned JDBC ingest performs (a scalar agg, not row data)
+    lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    return read_jdbc_partitioned(
+        spark,
+        url,
+        "orders_jdbc",
+        "o_orderkey",
+        int(lo),
+        int(hi),
+        num_partitions=JDBC_PARTITIONS,
+        properties=props,
     )

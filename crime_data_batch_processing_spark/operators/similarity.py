@@ -35,6 +35,7 @@ from crime_data_batch_processing_spark.functions.veckit import (
     quantize,
     sql_cosine,
 )
+from crime_data_batch_processing_spark.cachekit import track
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -209,7 +210,7 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantization + norms feed three branches (query side, candidate
     # side, scoring); persist + materialize once so the Arrow
     # signature UDF and int64 norm pipeline run a single time
-    corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus = track(corpus.persist(StorageLevel.MEMORY_AND_DISK))
     corpus.count()
 
     def banded(df: DataFrame, vec_col: str) -> DataFrame:
@@ -272,7 +273,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries, corpus = _with_norms(emb)
-    corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus = track(corpus.persist(StorageLevel.MEMORY_AND_DISK))
     n = corpus.count()
     stride = max(1, n // IVF_NLIST)
     cents = (

@@ -127,10 +127,16 @@ def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"/tmp/cdbp_snap/{os.path.basename(sf_dir.rstrip('/'))}/orders"
     orders = load_table(spark, sf_dir, "orders")
     write_snapshot(orders.filter(F.col("o_orderstatus") == "F"), base, "2026-08-12")
-    # append-style second run: overwrite only its own partition
+    # append-style second run: overwrite only its own partition.
+    # The conf is session-shared — restore it so later writes in the
+    # same session keep their expected (static) overwrite semantics.
     stamped = stamp_partitions(orders, "2026-08-13")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    stamped.write.mode("overwrite").partitionBy("y", "m", "d").parquet(base)
+    try:
+        stamped.write.mode("overwrite").partitionBy("y", "m", "d").parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     latest = read_latest_snapshot(spark, base, "2026-08-13")
     return (
         latest.groupBy("o_orderstatus")

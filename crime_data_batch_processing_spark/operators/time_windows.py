@@ -97,7 +97,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_session",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, epoch_us(ts) AS us,
+        SELECT user_id, event_id, epoch_us(ts) AS us,
                LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
                    AS prev_us
         FROM events
@@ -105,7 +105,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, us,
                SUM(CASE WHEN prev_us IS NULL
                          OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY us
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
         FROM ordered

@@ -6,9 +6,10 @@ with no partitioning options (/root/reference/spark_ingest_script.py:56-61)
 — a single executor pulls every row, the deliberate scalability gap
 SURVEY.md §3.2 flags. This reader always partitions the scan.
 
-No database exists in the test environment, so this module is exercised
-by unit tests only up to plan construction; the API is the public
-DataFrameReader JDBC surface.
+Exercised end-to-end by the `scan_jdbc` query (operators/scans.py):
+Derby ships in Spark's jars and runs embedded in the driver JVM, so
+the write → partitioned-read round trip needs no external server and
+is oracle-verified like any other scan.
 """
 
 from __future__ import annotations

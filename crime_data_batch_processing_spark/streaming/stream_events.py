@@ -19,6 +19,7 @@ exercises a restart against the same checkpoint.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -132,12 +133,25 @@ def run_stream_to_parquet(
 
 def _stream_src(sf_dir: str) -> str:
     """Expose a table's single parquet file through a scratch
-    directory (file stream sources need a directory), copy-free."""
-    src = f"/tmp/cdbp_stream_src/{os.path.basename(sf_dir.rstrip('/'))}"
+    directory (file stream sources need a directory), copy-free.
+
+    The scratch key hashes the ABSOLUTE sf_dir — basename-only keying
+    would silently share (stale) data between two sf dirs with the
+    same basename. `lexists` (not `exists`) sees dangling symlinks, and
+    a link pointing at a different target is re-pointed, so leftover
+    state from a deleted testdata tree can't shadow the real input.
+    """
+    target = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    key = hashlib.sha256(target.encode()).hexdigest()[:16]
+    src = f"/tmp/cdbp_stream_src/{key}"
     os.makedirs(src, exist_ok=True)
     link = os.path.join(src, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(target):
+            os.unlink(link)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
     return src
 
 
@@ -145,7 +159,7 @@ def _stream_src(sf_dir: str) -> str:
     "stream_session",
     oracle="""
     WITH ordered AS (
-        SELECT user_id, epoch_us(ts) AS us,
+        SELECT user_id, event_id, epoch_us(ts) AS us,
                LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
                    AS prev_us
         FROM events
@@ -153,7 +167,7 @@ def _stream_src(sf_dir: str) -> str:
         SELECT user_id, us,
                SUM(CASE WHEN prev_us IS NULL
                          OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY us
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS session_id
         FROM ordered
@@ -313,6 +327,55 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def click_purchase_join(
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The stream-stream interval-join TOPOLOGY (unstarted): clicks
+    joined to purchases within [click, click+1h] per user, both sides
+    watermarked. Shared by the registered query (bounded run) and the
+    restart/late-data tests (file-by-file micro-batches against a
+    checkpoint)."""
+    clicks = (
+        streaming_events(spark, src_dir, max_files_per_trigger)
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        streaming_events(spark, src_dir, max_files_per_trigger)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+            """
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+
+
 @query(
     "stream_stream_join",
     oracle="""
@@ -354,44 +417,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions (32 stores) beat the session's compute-sized default
     (at 32: 128 stores whose open/commit cost dominates the query).
     """
-    src = _stream_src(sf_dir)
+    joined = click_purchase_join(spark, _stream_src(sf_dir))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    clicks = (
-        streaming_events(spark, src, max_files_per_trigger=None)
-        .where(F.col("event_type") == "click")
-        .select(
-            "user_id",
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        streaming_events(spark, src, max_files_per_trigger=None)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            """
-            user_id = p_user_id
-            AND purchase_ts >= click_ts
-            AND purchase_ts <= click_ts + INTERVAL 1 HOUR
-            """
-        ),
-    ).select(
-        "user_id",
-        "click_id",
-        "purchase_id",
-        F.unix_micros("click_ts").alias("click_ts_us"),
-        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
-    )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         return _run_bounded(joined, "cdbp_stream_stream_join", "append")

@@ -28,6 +28,16 @@ def duck(sf_dir):
     con.close()
 
 
+@pytest.fixture(autouse=True)
+def _release_caches():
+    """Unpersist each query's tracked signature/corpus caches after the
+    comparison consumed the result (cachekit contract)."""
+    yield
+    from crime_data_batch_processing_spark import cachekit
+
+    cachekit.release_all()
+
+
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_query_matches_oracle(spark, sf_dir, duck, key):
     df = registry.QUERIES[key](spark, sf_dir)

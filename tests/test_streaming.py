@@ -147,3 +147,71 @@ def test_stream_batch_equivalence_complete_mode(spark, stream_dirs):
     )
     stream_total = sum(r.n_events for r in out.collect())
     assert stream_total == 40
+
+
+def _run_join_to_parquet(spark, src: str, out: str, ckpt: str):
+    """Drive the stream-stream join topology to a parquet sink against
+    a checkpoint (AvailableNow), returning the cumulative sink rows."""
+    from crime_data_batch_processing_spark.streaming.stream_events import (
+        click_purchase_join,
+    )
+
+    joined = click_purchase_join(spark, src)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def test_stream_stream_join_drops_late_rows_across_restart(
+    spark, stream_dirs, tmp_path
+):
+    """Restart path of the stream-stream interval join: a purchase
+    arriving BEHIND the checkpointed watermark must not produce a
+    joined row (its matching click's state was evicted), while an
+    in-time pair arriving in the same restart batch must."""
+    src, ckpt = stream_dirs
+    out = str(tmp_path / "join_out")
+    # run 1: click(0)@0.0 + purchase(1)@0.5 match; the hour-10 pair
+    # advances BOTH side watermarks to ~9h, which evicts the hour-0
+    # click state (it can't match any purchase after 1.0h anyway)
+    _write_batch(
+        spark,
+        [
+            _event(0, 0.0, "click"),
+            _event(1, 0.5, "purchase"),
+            _event(2, 10.0, "click"),
+            _event(3, 10.2, "purchase"),
+        ],
+        src,
+        "b0",
+    )
+    first = _run_join_to_parquet(spark, src, out, ckpt)
+    pairs = {(r.click_id, r.purchase_id) for r in first.collect()}
+    assert pairs == {(0, 1), (2, 3)}, pairs
+
+    # run 2 (restart from checkpoint): purchase(4)@0.4 is hours behind
+    # the recovered watermark → dropped, even though click 0 would have
+    # matched it; the fresh pair (5, 6) at hour ~10.5 joins normally
+    # (purchase 6 @10.6 also matches the still-live click 2 @10.0 —
+    # within its 1h window — proving run-1 state survived the restart)
+    _write_batch(
+        spark,
+        [
+            _event(4, 0.4, "purchase"),
+            _event(5, 10.5, "click"),
+            _event(6, 10.6, "purchase"),
+        ],
+        src,
+        "b1",
+    )
+    second = _run_join_to_parquet(spark, src, out, ckpt)
+    pairs2 = {(r.click_id, r.purchase_id) for r in second.collect()}
+    assert (0, 4) not in pairs2, pairs2  # late row produced no join
+    assert pairs2 == {(0, 1), (2, 3), (2, 6), (5, 6)}, pairs2
