@@ -23,6 +23,10 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: repetitions per query; >1 reports the per-query MEDIAN (used when
+#: re-recording BASELINE.md so the 2x gate compares medians, not a
+#: single sample subject to job-scheduling noise)
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
 
 
 def sf_from_dir(path: str) -> float:
@@ -45,18 +49,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     for key in sorted(registry.QUERIES):
         fn = registry.QUERIES[key]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[key] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # keep benching the rest; surface the failure
-            timings[key] = -1.0
-            print(f"# bench FAILED {key}: {exc}", file=sys.stderr)
-        finally:
-            # drop this query's cached signature/corpus state so later
-            # queries aren't timed against a shrinking storage pool
-            cachekit.release_all()
+        samples: list[float] = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            except Exception as exc:  # keep benching; surface the failure
+                samples = []
+                print(f"# bench FAILED {key}: {exc}", file=sys.stderr)
+                break
+            finally:
+                # drop this query's cached signature/corpus state so
+                # later runs aren't timed against a shrinking pool
+                cachekit.release_all()
+        timings[key] = (
+            round(sorted(samples)[len(samples) // 2], 4) if samples else -1.0
+        )
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(

@@ -145,3 +145,28 @@ def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+def pin_latest_table(
+    spark: SparkSession, table: str, partition_dir: str
+) -> None:
+    """O12 compat mode: the reference's literal location-pinning
+    protocol — an unpartitioned table whose LOCATION is repointed at
+    the newest ``y=/m=/d=`` directory each run (`CREATE TABLE ... USING
+    PARQUET LOCATION` on first run, `ALTER TABLE ... SET LOCATION`
+    after, /root/reference/spark_ingest_script.py:97-105 — but via the
+    public `spark.catalog.tableExists`, not the `_jsparkSession` JVM
+    handle the reference reaches for at line 99).
+
+    The predicate-pruned read (`read_latest_snapshot`) is the default
+    and strictly better (no mutable-location DDL race under concurrent
+    readers); this exists for bit-parity with deployments whose
+    downstream consumers address the unsuffixed table name through a
+    shared metastore.
+    """
+    if spark.catalog.tableExists(table):
+        spark.sql(f"ALTER TABLE {table} SET LOCATION '{partition_dir}'")
+    else:
+        spark.sql(
+            f"CREATE TABLE {table} USING PARQUET LOCATION '{partition_dir}'"
+        )

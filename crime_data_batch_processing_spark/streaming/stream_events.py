@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -217,6 +218,20 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _scratch_ckpt() -> str:
+    """Ephemeral checkpoint dir for BOUNDED runs: tmpfs when available.
+
+    State-store commits fsync every delta file; for a bounded
+    AvailableNow run into a memory sink the checkpoint is discarded at
+    the end, so paying disk fsync for it is pure overhead (measured
+    ~40% of stream_stream_join wall time locally). Durable storage is
+    only required for checkpoints that outlive the query — the restart
+    tests and `run_stream_to_parquet` keep theirs on disk.
+    """
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="cdbp_stream_ckpt_", dir=base)
+
+
 def _run_bounded(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Run a bounded streaming query to completion into a memory sink
     and return the sink table. Synchronous; stops any prior query of
@@ -225,14 +240,19 @@ def _run_bounded(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
+    ckpt = _scratch_ckpt()
     q = (
         agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -321,7 +341,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark late-drop behavior is exercised separately in
     tests/test_streaming.py where data arrives across restarts).
     """
-    ckpt = tempfile.mkdtemp(prefix="cdbp_stream_ckpt_")
+    ckpt = _scratch_ckpt()
     return run_stream_to_memory(
         spark, _stream_src(sf_dir), query_name="cdbp_stream_events", checkpoint=ckpt
     )

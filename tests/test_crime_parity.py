@@ -150,3 +150,30 @@ def test_latest_snapshot_roundtrip(spark, crime_csv, tmp_path):
     latest = read_latest_snapshot(spark, base, "2022-01-05")
     assert latest.count() == 400
     assert set(latest.columns) == {f.name for f in CRIME_RAW_SCHEMA.fields}
+
+
+class TestLatestSnapshotCompat:
+    def test_location_pinning_repoints_table(self, spark, sf_dir, tmp_path):
+        """O12 compat mode: readers of the unsuffixed table see exactly
+        the run whose partition dir is pinned, and a repoint switches
+        them to the newer snapshot (spark_ingest_script.py:97-105
+        semantics, rebuilt on public DDL)."""
+        from crime_data_batch_processing_spark.operators.sinks import (
+            pin_latest_table,
+            write_snapshot,
+        )
+        from crime_data_batch_processing_spark.sources.tables import load_table
+
+        base = str(tmp_path / "orders_snap")
+        orders = load_table(spark, sf_dir, "orders")
+        stale = orders.filter("o_orderstatus = 'F'")
+        d1 = write_snapshot(stale, base, "2026-08-12")
+        d2 = write_snapshot(orders, base, "2026-08-13")
+        tbl = "cdbp_orders_latest_compat"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        pin_latest_table(spark, tbl, d1)
+        assert spark.table(tbl).count() == stale.count()
+        pin_latest_table(spark, tbl, d2)  # ALTER path
+        spark.sql(f"REFRESH TABLE {tbl}")
+        assert spark.table(tbl).count() == orders.count()
+        spark.sql(f"DROP TABLE {tbl}")
