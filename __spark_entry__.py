@@ -61,7 +61,7 @@ _VERIFY_FIRST = [
     # round-1 no_oracle (now registered in oracle-comparable form)
     "dedup_minhash", "dedup_simhash", "agg_approx_distinct",
     # new in round 2 (never seen by the driver)
-    "scan_jdbc",
+    "scan_jdbc", "pipeline_pretrain", "stream_cdc_upsert",
 ]
 
 

@@ -7,6 +7,7 @@ from crime_data_batch_processing_spark.operators import (  # noqa: F401
     joins,
     llm_dedup,
     multimodal,
+    pipeline,
     projections,
     reshape,
     scale_patterns,

@@ -444,3 +444,95 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_bounded(joined, "cdbp_stream_stream_join", "append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def cdc_merge_batch(target_dir: str):
+    """foreachBatch merge function: fold one micro-batch of change
+    records into a latest-per-key parquet table.
+
+    This is the sink-side MERGE idiom (the plain-parquet stand-in for
+    Delta/Iceberg `MERGE INTO`): per-key state lives in the TABLE, not
+    in stream memory, so the stream's own state is zero and the
+    topology survives any key cardinality. `localCheckpoint`
+    materializes the merged result before the overwrite — reading and
+    overwriting the same directory in one lazy plan would race.
+
+    At 100 TB the target would be partitioned/bucketed by key and the
+    merge restricted to the partitions a batch touches; the fold logic
+    is unchanged.
+    """
+    from pyspark.sql import Window
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        s = batch.sparkSession
+        try:
+            existing = s.read.parquet(target_dir)
+            all_rows = existing.unionByName(batch.select(existing.columns))
+        except Exception:  # first batch: no target yet
+            all_rows = batch
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            all_rows.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        latest.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_dir
+        )
+
+    return _merge
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           epoch_us(ts) AS last_ts_us,
+           event_type AS last_type,
+           value AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC compaction: treat the event stream as change
+    records and maintain the latest record per user in a parquet
+    target via `foreachBatch` merge (the streaming twin of the batch
+    `cdc_upsert` operator).
+
+    The fold is idempotent — merging an already-compacted target with
+    any replay of the same records yields the same table — which is
+    what makes foreachBatch's at-least-once contract safe here. The
+    oracle is the batch latest-per-key query over all events;
+    (ts, event_id) descending is a total order, so the winner per key
+    is unique and the result deterministic.
+    """
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    target = f"/tmp/cdbp_cdc_target/{key}"
+    shutil.rmtree(target, ignore_errors=True)
+    events = streaming_events(spark, _stream_src(sf_dir), max_files_per_trigger=None)
+    ckpt = _scratch_ckpt()
+    q = (
+        events.writeStream.foreachBatch(cdc_merge_batch(target))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(target).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )

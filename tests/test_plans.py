@@ -214,3 +214,28 @@ def test_stratified_sample_stays_in_codegen(spark, sf_dir):
     plan = physical_plan(registry.QUERIES["sample_stratified"](spark, sf_dir))
     assert re.search(r"\* Filter", plan), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scan_jdbc_reads_in_stride_partitions(spark, sf_dir):
+    """The JDBC scan must plan JDBC_PARTITIONS parallel stride tasks —
+    one task pulling the whole table is the reference's scalability
+    gap (spark_ingest_script.py:59) this reader exists to fix."""
+    from crime_data_batch_processing_spark.operators.scans import JDBC_PARTITIONS
+
+    df = registry.QUERIES["scan_jdbc"](spark, sf_dir)
+    assert df.rdd.getNumPartitions() == JDBC_PARTITIONS
+
+
+def test_spread_skips_shuffle_on_presplit_input(spark, sf_dir):
+    """_spread() exists to parallelize single-split local inputs; on an
+    input already split across the cluster it must be a no-op — an
+    unconditional repartition would insert a full-corpus Exchange."""
+    from crime_data_batch_processing_spark.operators.llm_dedup import _spread
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    cores = spark.sparkContext.defaultParallelism
+    presplit = load_table(spark, sf_dir, "documents").repartition(cores)
+    assert _spread(presplit, spark) is presplit
+
+    single = load_table(spark, sf_dir, "documents").coalesce(1)
+    assert _spread(single, spark).rdd.getNumPartitions() == cores

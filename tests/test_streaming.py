@@ -215,3 +215,42 @@ def test_stream_stream_join_drops_late_rows_across_restart(
     pairs2 = {(r.click_id, r.purchase_id) for r in second.collect()}
     assert (0, 4) not in pairs2, pairs2  # late row produced no join
     assert pairs2 == {(0, 1), (2, 3), (2, 6), (5, 6)}, pairs2
+
+
+def test_cdc_merge_folds_batches_into_latest_per_key(spark, stream_dirs, tmp_path):
+    """foreachBatch CDC merge across TWO micro-batches: a later change
+    record must overwrite the key's row in the target table, untouched
+    keys must survive, and replaying a batch must not duplicate rows
+    (idempotent fold)."""
+    from crime_data_batch_processing_spark.streaming.stream_events import (
+        cdc_merge_batch,
+        streaming_events,
+    )
+
+    src, ckpt = stream_dirs
+    target = str(tmp_path / "cdc_target")
+    # batch 0: user 1 clicks at hour 0.5, user 2 views at hour 1.0
+    _write_batch(
+        spark,
+        [(0, BASE_NS + HOUR_NS // 2, 1, "click", 1.0, "{}"),
+         (1, BASE_NS + HOUR_NS, 2, "view", 2.0, "{}")],
+        src, "b0",
+    )
+    # batch 1: user 1 purchases later — must replace the click row
+    _write_batch(
+        spark,
+        [(2, BASE_NS + 2 * HOUR_NS, 1, "purchase", 9.0, "{}")],
+        src, "b1",
+    )
+    q = (
+        streaming_events(spark, src)  # maxFilesPerTrigger=1 → 2 batches
+        .writeStream.foreachBatch(cdc_merge_batch(target))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.user_id: (r.event_id, r.event_type, r.value)
+            for r in spark.read.parquet(target).collect()}
+    assert rows == {1: (2, "purchase", 9.0), 2: (1, "view", 2.0)}, rows
+    assert spark.read.parquet(target).count() == 2  # one row per key
