@@ -62,6 +62,7 @@ _VERIFY_FIRST = [
     "dedup_minhash", "dedup_simhash", "agg_approx_distinct",
     # new in round 2 (never seen by the driver)
     "scan_jdbc", "pipeline_pretrain", "stream_cdc_upsert",
+    "agg_approx_percentile", "join_range_bucketed",
 ]
 
 

@@ -121,3 +121,63 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.9).alias("p90_price"),
         F.median("l_tax").alias("med_tax"),
     )
+
+
+#: approx_percentile accuracy: rank error <= 1/ACCURACY of the group
+#: size. The oracle-checkable contract brackets the sketch value
+#: between the exact quantiles at p +/- RANK_EPS.
+APPROX_PCT_ACCURACY = 10_000
+RANK_EPS = 0.01
+
+
+@query(
+    "agg_approx_percentile",
+    # Like agg_approx_distinct: the sketch value itself is
+    # engine-specific, but its rank-error CONTRACT is SQL-expressible —
+    # the estimate must land between the exact quantiles at p-eps and
+    # p+eps, which holds deterministically for fixed data (the KLL/GK
+    # sketch has no run-to-run randomness).
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+           quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile with a bounded-rank-error oracle contract —
+    the 100 TB form of agg_percentile.
+
+    Exact percentiles materialize every group's values; the sketch is
+    mergeable with bounded memory, so it survives any group size. The
+    registered output emits the exact quantiles plus flags asserting
+    the sketch landed inside its guaranteed rank window
+    [q(p-eps), q(p+eps)] — at scale one would drop the exact columns
+    and keep only the sketch.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    # ONE array-percentile per aggregate kind: six scalar
+    # F.percentile() calls each collect their own copy of the group's
+    # values (measured 5× slower at sf0.1); the array form shares a
+    # single buffer and sorts it once.
+    probe = [0.5 - RANK_EPS, 0.5, 0.5 + RANK_EPS,
+             0.95 - RANK_EPS, 0.95, 0.95 + RANK_EPS]
+    est = li.groupBy("l_returnflag").agg(
+        F.percentile(price, F.array(*[F.lit(p) for p in probe])).alias("pcts"),
+        F.approx_percentile(
+            price, F.array(F.lit(0.5), F.lit(0.95)), APPROX_PCT_ACCURACY
+        ).alias("apx"),
+    )
+    pc = lambda i: F.element_at("pcts", i)  # noqa: E731
+    ap = lambda i: F.element_at("apx", i)  # noqa: E731
+    return est.select(
+        "l_returnflag",
+        pc(2).alias("p50_exact"),
+        pc(5).alias("p95_exact"),
+        ap(1).between(pc(1), pc(3)).alias("p50_ok"),
+        ap(2).between(pc(4), pc(6)).alias("p95_ok"),
+    )

@@ -241,3 +241,71 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
         )
     )
+
+
+#: Range-join bucket width in microseconds == the range width, so an
+#: in-range pair spans at most 2 consecutive buckets.
+RANGE_US = 900_000_000  # 15 minutes
+
+
+@query(
+    "join_range_bucketed",
+    oracle=f"""
+    SELECT c.event_id AS click_id,
+           COUNT(p.event_id) AS n_purchases_15m
+    FROM events c
+    LEFT JOIN events p
+      ON p.event_type = 'purchase'
+     AND epoch_us(p.ts) >= epoch_us(c.ts)
+     AND epoch_us(p.ts) < epoch_us(c.ts) + {RANGE_US}
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure time-range join (no equi key), made hash-joinable by
+    bucketizing: purchases within 15 minutes after each click, counted
+    per click — across ALL users, so unlike `join_theta` there is no
+    equi column to ride on and a naive plan is a nested loop over
+    |clicks|x|purchases|.
+
+    The bucketing trick: with bucket width == range width, an in-range
+    purchase lands in the click's bucket or the next one. Explode each
+    click to (bucket, bucket+1), equi-join on the bucket, then apply
+    the exact range predicate. Each in-range pair matches EXACTLY once
+    (a purchase has one bucket; the click contributes that bucket one
+    time), so no dedup is needed, and the nested loop becomes a
+    shuffle hash join whose per-bucket fan-in is bounded by the data
+    rate per 15 minutes — the standard interval-join shape at 100 TB
+    (Flink and KDB range joins do the same under the hood).
+
+    LEFT join keeps zero-purchase clicks; the count ignores the NULL
+    probe rows from empty buckets.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), us.alias("c_us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        us.alias("p_us"),
+        (us / RANGE_US).cast("long").alias("bucket"),
+    )
+    exploded = clicks.select(
+        "click_id",
+        "c_us",
+        F.explode(
+            F.array(
+                (F.col("c_us") / RANGE_US).cast("long"),
+                (F.col("c_us") / RANGE_US).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    joined = exploded.join(purchases, "bucket", "left")
+    in_range = (F.col("p_us") >= F.col("c_us")) & (
+        F.col("p_us") < F.col("c_us") + RANGE_US
+    )
+    return joined.groupBy("click_id").agg(
+        F.count(F.when(in_range, 1)).alias("n_purchases_15m")
+    )

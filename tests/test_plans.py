@@ -239,3 +239,14 @@ def test_spread_skips_shuffle_on_presplit_input(spark, sf_dir):
 
     single = load_table(spark, sf_dir, "documents").coalesce(1)
     assert _spread(single, spark).rdd.getNumPartitions() == cores
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    """The bucketized range join must plan as a hash/sort-merge join
+    on the bucket key — the naive pure-range predicate would force
+    BroadcastNestedLoop (quadratic fact-to-fact at scale)."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["join_range_bucketed"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
