@@ -62,7 +62,7 @@ _VERIFY_FIRST = [
     "dedup_minhash", "dedup_simhash", "agg_approx_distinct",
     # new in round 2 (never seen by the driver)
     "scan_jdbc", "pipeline_pretrain", "stream_cdc_upsert",
-    "agg_approx_percentile", "join_range_bucketed",
+    "agg_approx_percentile", "join_range_bucketed", "text_pii_scrub",
 ]
 
 

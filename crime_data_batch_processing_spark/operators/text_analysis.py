@@ -322,3 +322,73 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+#: PII patterns restricted to regex constructs with identical
+#: semantics in Java (Spark) and RE2 (DuckDB): char classes, \d, \b,
+#: bounded quantifiers. No lookarounds, no backrefs.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' Contact user' || doc_id ||
+               '@example.com or call 555-' ||
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' today.' AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, phone numbers) — the scrub
+    pass every pretraining pipeline runs before tokenization.
+
+    The synthetic corpus contains no real PII, so the query PLANTS a
+    deterministic email + phone per document first (same augmentation
+    in the oracle), making the scrub's effect non-trivial and
+    hash-verified: counts prove detection, the scrubbed text proves
+    redaction. Both engines replace ALL occurrences (Spark
+    `regexp_replace` is global by default; DuckDB takes the 'g' flag),
+    and the patterns use only Java/RE2-portable constructs.
+
+    Pure Catalyst expressions — at 100 TB this is a shuffle-free
+    map-only pass, exactly like the quality filters it composes with.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" today."),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )

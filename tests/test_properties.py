@@ -198,3 +198,21 @@ class TestChunkingPacking:
                 assert r.pack_id == shard * 1000000 + cum // PACK_CAPACITY
                 assert r.pack_offset == cum % PACK_CAPACITY
                 cum += r.n_tokens
+
+
+def test_pii_scrub_actually_redacts(spark, sf_dir):
+    """The oracle compare can't distinguish 'both engines scrubbed'
+    from 'both engines identically failed to scrub' — assert the
+    redaction really fired: every planted email/phone is counted,
+    markers appear, and no raw PII survives."""
+    from crime_data_batch_processing_spark.operators.text_analysis import (
+        text_pii_scrub,
+    )
+
+    rows = text_pii_scrub(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails >= 1 and r.n_phones >= 1, r
+        assert "<EMAIL>" in r.scrubbed and "<PHONE>" in r.scrubbed, r.scrubbed[-80:]
+        assert "@example.com" not in r.scrubbed, r.scrubbed[-80:]
+        assert "call 555-" not in r.scrubbed, r.scrubbed[-80:]
