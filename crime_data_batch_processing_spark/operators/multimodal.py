@@ -214,3 +214,49 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media.uri", "media.mime", "media.data"
     )
     return flat.mapInPandas(_byte_features, schema=FEATURE_SCHEMA)
+
+
+#: Thumbnail stand-in: the first THUMB_BYTES of the payload. A real
+#: deployment swaps `_thumb` for resize_image() once PIL is present —
+#: the Spark-side plumbing (transform_media) is identical.
+THUMB_BYTES = 64
+
+
+@query(
+    "multimodal_thumbnail",
+    oracle=f"""
+    SELECT doc_id,
+           least(octet_length(encode(text)), {THUMB_BYTES}) AS thumb_len,
+           CAST(list_sum(list_transform(
+                    string_split(substring(text, 1, {THUMB_BYTES}), ''),
+                    c -> ascii(c))) % {CHECKSUM_MOD} AS BIGINT) AS thumb_sum
+    FROM documents
+    """,
+)
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload transform through the GENERIC `transform_media`
+    plumbing — the path `resize_image`/`sample_frames` plug into.
+
+    The transform is a deterministic byte-level thumbnail (first
+    {THUMB_BYTES} bytes + additive checksum) standing in for an image
+    resize, so the full chain — typed envelope → payload flatten →
+    Arrow-batched mapInPandas → per-row Python transform → typed
+    output — runs and is oracle-verified even without decode
+    libraries (payloads are ASCII text, so byte arithmetic is SQL-
+    reproducible).
+    """
+
+    def _thumb(payload: bytes, row: dict) -> dict:
+        head = payload[:THUMB_BYTES]
+        return {
+            "doc_id": row["doc_id"],
+            "thumb_len": len(head),
+            "thumb_sum": sum(head) % CHECKSUM_MOD,
+        }
+
+    docs = load_table(spark, sf_dir, "documents")
+    return transform_media(
+        media_envelope(docs),
+        "doc_id long, thumb_len long, thumb_sum long",
+        _thumb,
+    )
