@@ -63,7 +63,7 @@ _VERIFY_FIRST = [
     # new in round 2 (never seen by the driver)
     "scan_jdbc", "pipeline_pretrain", "stream_cdc_upsert",
     "agg_approx_percentile", "join_range_bucketed", "text_pii_scrub",
-    "multimodal_thumbnail",
+    "multimodal_thumbnail", "agg_listagg", "agg_mode",
 ]
 
 

@@ -25,7 +25,7 @@ explosion); the exact form needs a two-phase expand + shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crime_data_batch_processing_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
@@ -235,5 +235,83 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_linestatus").cast("long").alias("g_status"),
             F.count(F.lit(1)).alias("n_rows"),
             dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg semantics).
+
+    `collect_list` order is partition-dependent — never hashable as
+    is. `array_sort` before the join imposes a total order, making the
+    concatenation deterministic across partitionings and engines (the
+    oracle's `ORDER BY` inside string_agg is the same contract).
+    Collecting a group into one row is only safe when groups are
+    bounded (here: nations per region); unbounded groups want
+    explode-side processing instead.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT l_returnflag, l_linestatus AS mode_status, cnt AS mode_count
+    FROM (
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY COUNT(*) DESC, l_linestatus ASC
+               ) AS rn
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value).
+
+    Built-in `F.mode` breaks ties arbitrarily — unusable under a hash
+    oracle. The count + row_number formulation pins ties to the
+    lexicographically smallest value, and its two-phase shape (hash
+    aggregate, then a window over the tiny per-group distinct set) is
+    also the scalable plan: the window input is |groups|·|distinct
+    values|, not the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_linestatus").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linestatus").alias("mode_status"),
+            F.col("cnt").alias("mode_count"),
         )
     )
