@@ -216,3 +216,38 @@ def test_pii_scrub_actually_redacts(spark, sf_dir):
         assert "<EMAIL>" in r.scrubbed and "<PHONE>" in r.scrubbed, r.scrubbed[-80:]
         assert "@example.com" not in r.scrubbed, r.scrubbed[-80:]
         assert "call 555-" not in r.scrubbed, r.scrubbed[-80:]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=8
+    )
+)
+def test_sample_hash32_overflow_safe_and_cross_engine(spark, keys):
+    """The split-multiply hash must equal (k·A) mod 2^32 computed in
+    unbounded Python arithmetic for ANY non-negative int64 key — the
+    naive int64 product overflows past ~3.47e9, which is exactly the
+    key range a 100 TB table reaches — and DuckDB must agree using the
+    SQL rendering."""
+    import duckdb
+
+    from crime_data_batch_processing_spark.operators.filters import (
+        SAMPLE_A,
+        SAMPLE_M,
+        sample_hash32,
+        sql_sample_hash32,
+    )
+
+    expected = [(k * SAMPLE_A) % SAMPLE_M for k in keys]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got_spark = [
+        r.h for r in df.select(sample_hash32(F.col("k")).alias("h")).collect()
+    ]
+    assert got_spark == expected
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {sql_sample_hash32(str(k))}").fetchone()[0]
+        for k in keys
+    ]
+    assert got_duck == expected
