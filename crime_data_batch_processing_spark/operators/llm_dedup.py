@@ -499,6 +499,67 @@ _SQL_CLUSTERS = f"""
 """
 
 
+def connected_components(
+    pairs: DataFrame, max_rounds: int = MAX_CC_ROUNDS
+) -> DataFrame:
+    """Min-label propagation over an undirected pair list
+    (doc_a, doc_b) → (doc_id, cluster_id) for every doc touched by a
+    pair. Extracted from `dedup_clusters` so pathological topologies
+    (paths, stars, cycles — shapes the fixed testdata can't plant) are
+    unit-testable directly.
+
+    Each round is one distributed join + min-aggregate; the driver
+    reads only a scalar convergence count. `localCheckpoint` truncates
+    lineage per round so the plan stays O(1) deep. Rounds ≈ component
+    diameter; a path of length > max_rounds raises rather than
+    silently returning split components.
+    """
+    a, b = pairs.columns[:2]
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    edges = fwd.union(rev).persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()  # materialize: referenced twice per round
+
+    # iterate ONLY over docs that appear in some pair — everything
+    # else keeps its identity label by definition. At scale this is
+    # the difference between looping over the corpus and looping over
+    # the (far smaller) near-dup subgraph.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("src"), "cluster_id"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, "doc_id")
+            .select(
+                "doc_id",
+                "cluster_id",
+                F.least(F.col("cluster_id"), F.col("nbr_min")).alias("next_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.where(F.col("next_id") < F.col("cluster_id")).count()
+        labels = stepped.select("doc_id", F.col("next_id").alias("cluster_id"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds"
+        )
+    edges.unpersist()
+    return labels
+
+
 @query("dedup_clusters", oracle=_SQL_CLUSTERS)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup graph: pair detection is
@@ -526,50 +587,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    edges.count()  # materialize: referenced twice per round
-
-    # iterate ONLY over docs that appear in some pair — everything
-    # else keeps its identity label by definition. At scale this is
-    # the difference between looping over the corpus and looping over
-    # the (far smaller) near-dup subgraph.
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(MAX_CC_ROUNDS):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("src"), "cluster_id"
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        stepped = (
-            labels.join(nbr_min, "doc_id")
-            .select(
-                "doc_id",
-                "cluster_id",
-                F.least(F.col("cluster_id"), F.col("nbr_min")).alias("next_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = stepped.where(F.col("next_id") < F.col("cluster_id")).count()
-        labels = stepped.select("doc_id", F.col("next_id").alias("cluster_id"))
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"label propagation did not converge in {MAX_CC_ROUNDS} rounds")
-    edges.unpersist()
+    labels = connected_components(pairs)
     return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")

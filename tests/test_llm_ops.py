@@ -266,3 +266,50 @@ class TestDedupClusters:
         for d, c in label.items():
             members.setdefault(c, []).append(d)
         assert all(c == min(ms) for c, ms in members.items())
+
+
+class TestConnectedComponents:
+    """Synthetic-topology tests for the label-propagation core — the
+    fixed testdata only plants shallow clusters, so path/star/cycle
+    shapes (and the convergence bound) need direct construction."""
+
+    def _cc(self, spark, pairs):
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        return {
+            r.doc_id: r.cluster_id for r in connected_components(df).collect()
+        }
+
+    def test_path_graph_converges_to_min_label(self, spark):
+        # 0-1-2-...-9 chain: worst diameter per node count
+        got = self._cc(spark, [(i, i + 1) for i in range(9)])
+        assert got == {i: 0 for i in range(10)}
+
+    def test_star_and_separate_component(self, spark):
+        got = self._cc(spark, [(5, 50), (5, 51), (5, 52), (100, 101)])
+        assert got == {5: 5, 50: 5, 51: 5, 52: 5, 100: 100, 101: 100}
+
+    def test_cycle_and_reversed_pair_order(self, spark):
+        # cycle 1-2-3-1 plus a pair given high-id-first: direction of
+        # the input pair must not matter (edges are undirected)
+        got = self._cc(spark, [(1, 2), (2, 3), (3, 1), (20, 10)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 20: 10}
+
+    def test_long_path_beyond_round_budget_raises(self, spark):
+        import pytest as _pytest
+
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            connected_components,
+        )
+
+        # min-label takes ~diameter rounds on a path; a 12-node chain
+        # cannot finish in 3 rounds — the loop must fail loudly, never
+        # return silently split components
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_rounds=3)
