@@ -602,3 +602,84 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
         )
     )
+
+
+def connected_components_star(
+    pairs: DataFrame, max_rounds: int = MAX_CC_ROUNDS
+) -> DataFrame:
+    """Large-star / small-star connected components [Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14] —
+    converges in O(log n) rounds regardless of graph DIAMETER, where
+    plain min-label propagation (`connected_components`) needs
+    ~diameter rounds. Same (doc_id, cluster_id) contract.
+
+    Use this variant when components can be deep (chains of pairwise
+    near-dups, link graphs); propagation stays the default for
+    near-dup clusters, whose diameter is small — star contraction
+    costs two grouped passes per round instead of one.
+
+    Each round:
+      * large-star: for every node u, connect every LARGER neighbor
+        v > u to m = min(N(u) ∪ {u});
+      * small-star: connect every neighbor v ≤ u to m.
+    Both are one groupBy(min) + join + explode-free projection; the
+    edge set monotonically contracts toward star graphs rooted at
+    component minima. Fixed point = every edge (v, root).
+    """
+    a, b = pairs.columns[:2]
+    # canonical undirected edge list as (hi, lo) pairs, deduped
+    e = (
+        pairs.select(
+            F.greatest(F.col(a), F.col(b)).alias("u"),
+            F.least(F.col(a), F.col(b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(edges: DataFrame, large: bool) -> DataFrame:
+        # neighbors of u (both directions), min per u; m = min(N(u)∪{u})
+        both = edges.union(edges.select("v", "u"))
+        m = both.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        nbr = both.join(m, "u")
+        keep = F.col("v") > F.col("u") if large else F.col("v") < F.col("u")
+        out = nbr.where(keep & (F.col("v") != F.col("m"))).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        if not large:
+            # small-star ranges over N(u) ∪ {u}: the node's own (u, m)
+            # link must be re-emitted or the contracted edges vanish
+            out = out.union(
+                m.where(F.col("u") != F.col("m")).select("u", "m")
+            )
+        return (
+            out.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        stepped = _star(_star(e, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        if stepped.exceptAll(e).isEmpty() and e.exceptAll(stepped).isEmpty():
+            e = stepped
+            break
+        e = stepped
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    # fixed point: edges are (node, component_min); nodes that ended up
+    # as roots label themselves
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return members.union(roots).groupBy("doc_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )

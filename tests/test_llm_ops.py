@@ -313,3 +313,66 @@ class TestConnectedComponents:
         )
         with _pytest.raises(RuntimeError, match="did not converge"):
             connected_components(df, max_rounds=3)
+
+
+class TestStarContraction:
+    """connected_components_star: O(log n)-round variant — must agree
+    with a union-find reference on random graphs and handle depths the
+    propagation variant's round budget cannot."""
+
+    def _cc_star(self, spark, pairs, max_rounds=20):
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            connected_components_star,
+        )
+
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        return {
+            r.doc_id: r.cluster_id
+            for r in connected_components_star(df, max_rounds).collect()
+        }
+
+    @staticmethod
+    def _reference(pairs):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in pairs:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        return {n: find(n) for n in parent}
+
+    def test_long_path_converges_in_log_rounds(self, spark):
+        # diameter 60 — far beyond the propagation variant's 20-round
+        # budget; star contraction needs ~log2(60) doubled passes
+        pairs = [(i, i + 1) for i in range(60)]
+        got = self._cc_star(spark, pairs, max_rounds=12)
+        assert got == {i: 0 for i in range(61)}
+
+    def test_matches_union_find_on_random_graph(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        pairs = [
+            (rnd.randrange(200), rnd.randrange(200)) for _ in range(120)
+        ]
+        pairs = [(x, y) for x, y in pairs if x != y]
+        assert self._cc_star(spark, pairs) == self._reference(pairs)
+
+    def test_agrees_with_propagation_variant(self, spark):
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            connected_components,
+        )
+
+        pairs = [(0, 1), (1, 2), (5, 9), (9, 7), (30, 31)]
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        prop = {
+            r.doc_id: r.cluster_id for r in connected_components(df).collect()
+        }
+        assert self._cc_star(spark, pairs) == prop
