@@ -12,15 +12,25 @@ Design for 100 TB:
   corpus — cost |Q|·N exact cosines, embarrassingly parallel, zero
   shuffle beyond the final per-query top-k. Correct baseline, linear
   scan.
-* the LSH path computes a 16-bit random-hyperplane signature per
-  vector, explodes it into 4 four-bit bands, and joins query↔corpus
+* the LSH path computes an 18-bit random-hyperplane signature per
+  vector, explodes it into 6 three-bit bands, and joins query↔corpus
   only within colliding buckets — the candidate set shrinks from N to
   the bucket occupancy, which is the difference between scanning the
-  corpus per query and probing ~N/2^4 of it per band. Exact cosine
+  corpus per query and probing a slice of it per band. Exact cosine
   re-ranks candidates, so precision of returned neighbors is exact;
   only recall is probabilistic (asserted against brute force in
   tests). An IVF index is the same shape with learned (k-means)
   buckets instead of hyperplane signs.
+
+Both approximate paths are nevertheless DETERMINISTIC functions of the
+data — hyperplanes are fixed integer weights (signature bit = sign of
+an exact int64 dot product over the quantized vectors) and IVF routing
+uses the bit-reproducible decimal cosine with total-order tie-breaks —
+so each has a full-value DuckDB oracle that replays the same
+bucketing/routing and must match row-for-row, hash-for-hash. The
+oracle verifies the index *mechanism*; recall vs. brute force stays a
+separate statistical assertion in tests (it is a property of the
+geometry, not of either engine).
 """
 
 from __future__ import annotations
@@ -58,57 +68,63 @@ LSH_BITS = 18
 LSH_BANDS = 6
 LSH_BAND_BITS = LSH_BITS // LSH_BANDS
 EMBED_DIM = 64
+#: hyperplane weights are INTEGERS in [-2^20, 2^20): the signature bit
+#: is then the sign of an exact int64 dot with the (already int64-
+#: quantized) vector — overflow-free (64 · 2·10^6 · 2^20 ≈ 1.3·10^14
+#: « 2^63) and bit-identical in Spark, NumPy, and the DuckDB oracle.
+PLANE_SCALE = 1 << 20
 
 
-def _hyperplanes(bits: int = LSH_BITS, dim: int = EMBED_DIM) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+def _hyperplanes(bits: int = LSH_BITS, dim: int = EMBED_DIM) -> list[list[int]]:
+    """Deterministic pseudo-random INTEGER hyperplanes in [-2^20, 2^20).
 
     A fixed-seed 64-bit LCG (MMIX constants) rather than any RNG
     library, so the planes are bit-identical on every platform and
     every run — signature stability is what makes an LSH index
-    re-usable across pipeline runs.
+    re-usable across pipeline runs, and integer weights are what make
+    the signature exactly reproducible by the SQL oracle (a float
+    plane would expose summation-order rounding at the sign boundary).
     """
     state = 42
-    planes: list[list[float]] = []
+    planes: list[list[int]] = []
     for _ in range(bits):
         row = []
         for _ in range(dim):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            row.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+            row.append((state >> 11) % (2 * PLANE_SCALE) - PLANE_SCALE)
         planes.append(row)
     return planes
 
 
 def _signature(vec) -> F.Column:
     """Sign signature: bit i = [dot(vec, plane_i) >= 0], computed as
-    ONE Arrow-vectorized pandas UDF.
+    ONE Arrow-vectorized pandas UDF over the QUANTIZED int64 vectors.
 
-    Signatures only route vectors to buckets — they never surface in
-    results, so float associativity doesn't matter (any consistent
-    value is a valid signature) and numpy double matmul is fine. The
-    expression-level alternative (one `aggregate` lambda per plane) is
-    a CodegenFallback evaluated interpretively per row per plane —
-    this is exactly the case the engine's UDF policy reserves the
-    Arrow path for: a dense matrix product the relational algebra
-    can't express efficiently. One matmul per Arrow batch:
-    (batch × dim) @ (dim × bits) → sign bits → packed int64. Works
-    unchanged on the quantized int64 arrays: uniform positive scaling
-    never flips a sign.
+    The dot products are exact int64 arithmetic (integer planes ×
+    integer quantized elements, no overflow per PLANE_SCALE bound), so
+    the packed signature is a pure function of the data — the DuckDB
+    oracle recomputes the identical bits. The expression-level
+    alternative (one `aggregate` lambda per plane) is a
+    CodegenFallback evaluated interpretively per row per plane — this
+    is exactly the case the engine's UDF policy reserves the Arrow
+    path for: a dense matrix product the relational algebra can't
+    express efficiently. One matmul per Arrow batch:
+    (batch × dim) @ (dim × bits) → sign bits → packed int64.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    planes = np.array(_hyperplanes(), dtype="float64").T  # (dim, bits)
-    weights = (1 << np.arange(planes.shape[1], dtype="uint64")).astype("uint64")
+    planes = np.array(_hyperplanes(), dtype="int64").T  # (dim, bits)
+    weights = 1 << np.arange(planes.shape[1], dtype="int64")
 
     @F.pandas_udf(T.LongType())
     def _sig(col):  # (pd.Series of arrays) -> pd.Series[int64]; hints
         # omitted — locally-imported pd breaks string-hint resolution
-        mat = np.stack(col.to_numpy()).astype("float64")  # (batch, dim)
-        bits = (mat @ planes) >= 0  # (batch, bits)
-        packed = (bits.astype("uint64") * weights).sum(axis=1)
-        return pd.Series(packed.astype("int64"))
+        mat = np.stack(col.to_numpy()).astype("int64")  # (batch, dim)
+        bits = (mat @ planes) >= 0  # exact int64 matmul → sign bits
+        packed = (bits.astype("int64") * weights).sum(axis=1)
+        return pd.Series(packed)
 
     return _sig(vec)
 
@@ -195,15 +211,86 @@ def sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
-@query("sim_search_lsh")  # bucket routing is hash-dependent → rows-only
+#: DuckDB rendering of veckit.quantize: array<float> → list<BIGINT>
+#: scaled by 10^6 (float→double exact; double→DECIMAL(18,6) is the one
+#: rounding, same as Spark's cast; ×10^6 then →BIGINT are exact).
+_SQL_QUANT = (
+    "list_transform({e}, x -> "
+    "CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+)
+
+
+def _sql_lsh() -> str:
+    """Full-value DuckDB oracle for `sim_search_lsh`: replay the exact
+    signature → banding → bucket join → exact-cosine re-rank pipeline.
+
+    Each signature bit is `SUM(q_i · w_i) >= 0` over the quantized
+    vector and the integer plane, rendered with the engine's proven
+    lockstep-unnest dot pattern (veckit.sql_dot) against a literal
+    weight list. Integer math end-to-end, so the oracle's buckets are
+    the Spark buckets — this checks the index machinery itself, not
+    just a recall contract.
+    """
+    planes = _hyperplanes()
+
+    def bit_dot(plane: list[int]) -> str:
+        lit = "[" + ", ".join(str(w) for w in plane) + "]"
+        return (
+            "(SELECT SUM(__qx * __wx) FROM "
+            f"(SELECT unnest(qe) AS __qx, unnest({lit}) AS __wx))"
+        )
+
+    sig = " + ".join(
+        f"CASE WHEN {bit_dot(p)} >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    band_mask = (1 << LSH_BAND_BITS) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"(sig >> {b * LSH_BAND_BITS}) & {band_mask} AS bval FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS qe
+        FROM embeddings
+    ), sig AS (
+        SELECT vec_id, ({sig}) AS sig FROM q
+    ), bands AS (
+        {bands}
+    ), cand AS (
+        SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS vec_id
+        FROM bands qb JOIN bands cb
+          ON qb.band = cb.band AND qb.bval = cb.bval
+        WHERE qb.vec_id < {N_QUERIES} AND cb.vec_id != qb.vec_id
+    ), scored AS (
+        SELECT cand.qid, cand.vec_id,
+               {sql_cosine('qe.embedding', 'ce.embedding')} AS cos_sim
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.qid
+        JOIN embeddings ce ON ce.vec_id = cand.vec_id
+    ), ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT qid, rank, vec_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_search_lsh", oracle=_sql_lsh())
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded random-hyperplane LSH ANN: probe colliding buckets only.
 
     Near vectors (small angle) agree on most hyperplane signs, so
-    they collide in some 4-bit band with high probability; the join
+    they collide in some 3-bit band with high probability; the join
     touches only bucket collisions instead of the full corpus.
     Candidates are re-ranked with the exact cosine — same output
-    schema as `sim_search`, so the test measures recall directly.
+    schema as `sim_search`, so the test measures recall directly,
+    and the oracle replays the identical signature/band pipeline
+    (integer planes → exact dot signs), so the full output is
+    hash-verified, not just row-counted.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries, corpus = _with_norms(emb)
@@ -251,7 +338,61 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
-@query("sim_search_ivf")  # cell routing is approximate → rows-only
+def _sql_ivf() -> str:
+    """Full-value DuckDB oracle for `sim_search_ivf`: replay the
+    centroid selection (vec_id-strided), the struct-max cell
+    assignment (rcos DESC, cid DESC), the nprobe routing (rcos DESC,
+    cid ASC), and the exact-cosine re-rank. Every comparison runs on
+    the bit-reproducible decimal cosine, so cell boundaries fall
+    identically in both engines.
+    """
+    return f"""
+    WITH p AS (
+        SELECT GREATEST(1, COUNT(*) // {IVF_NLIST}) AS stride
+        FROM embeddings
+    ), cents AS (
+        SELECT CAST(e.vec_id // p.stride AS INT) AS cid, e.embedding AS ce
+        FROM embeddings e, p
+        WHERE e.vec_id % p.stride = 0 AND e.vec_id // p.stride < {IVF_NLIST}
+    ), routed AS (
+        SELECT e.vec_id, c.cid,
+               {sql_cosine('e.embedding', 'c.ce')} AS rcos
+        FROM embeddings e CROSS JOIN cents c
+    ), assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY rcos DESC, cid DESC) AS rn
+            FROM routed
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS qid, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY rcos DESC, cid ASC) AS rn
+            FROM routed WHERE vec_id < {N_QUERIES}
+        ) WHERE rn <= {IVF_NPROBE}
+    ), cand AS (
+        SELECT DISTINCT pr.qid, a.vec_id
+        FROM probes pr JOIN assign a ON a.cid = pr.cid
+        WHERE a.vec_id != pr.qid
+    ), scored AS (
+        SELECT cand.qid, cand.vec_id,
+               {sql_cosine('qe.embedding', 'ce.embedding')} AS cos_sim
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.qid
+        JOIN embeddings ce ON ce.vec_id = cand.vec_id
+    ), ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT qid, rank, vec_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_search_ivf", oracle=_sql_ivf())
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into coarse cells,
     probe only the cells nearest each query.
