@@ -560,6 +560,25 @@ def connected_components(
     return labels
 
 
+def _clustered(spark: SparkSession, sf_dir: str, labels: DataFrame) -> DataFrame:
+    """Project component labels onto the full corpus: docs untouched by
+    any pair keep their identity label; canonical = cluster minimum."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+        )
+    )
+
+
 @query("dedup_clusters", oracle=_SQL_CLUSTERS)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup graph: pair detection is
@@ -587,21 +606,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs)
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .join(labels, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-        )
-        .select(
-            "doc_id",
-            "cluster_id",
-            (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
-        )
-    )
+    return _clustered(spark, sf_dir, connected_components(pairs))
 
 
 def connected_components_star(
@@ -627,11 +632,17 @@ def connected_components_star(
     component minima. Fixed point = every edge (v, root).
     """
     a, b = pairs.columns[:2]
+    # materialize the raw pair list ONCE — both the edge list and the
+    # node-id set derive from it, and `pairs` may be an expensive plan
+    # (the Jaccard pipeline) that must not run per consumer
+    raw = pairs.select(
+        F.col(a).alias("x"), F.col(b).alias("y")
+    ).localCheckpoint(eager=True)
     # canonical undirected edge list as (hi, lo) pairs, deduped
     e = (
-        pairs.select(
-            F.greatest(F.col(a), F.col(b)).alias("u"),
-            F.least(F.col(a), F.col(b)).alias("v"),
+        raw.select(
+            F.greatest(F.col("x"), F.col("y")).alias("u"),
+            F.least(F.col("x"), F.col("y")).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
@@ -680,6 +691,33 @@ def connected_components_star(
     roots = e.select(F.col("v").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
-    return members.union(roots).groupBy("doc_id").agg(
+    labeled = members.union(roots).groupBy("doc_id").agg(
         F.min("cluster_id").alias("cluster_id")
     )
+    # contract parity with `connected_components`: a doc appearing ONLY
+    # in self-pairs (u == v) has no surviving edge after the canonical
+    # dedup above, yet the propagation variant labels it — union every
+    # id seen in the input back in with its identity label
+    ids = (
+        raw.select(F.col("x").alias("doc_id"))
+        .union(raw.select(F.col("y").alias("doc_id")))
+        .distinct()
+    )
+    return ids.join(labeled, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+
+
+@query("dedup_clusters_star", oracle=_SQL_CLUSTERS)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_clusters` computed with the large-star/small-star
+    O(log n) contraction instead of min-label propagation — same
+    fixed point, same output contract, same oracle.
+
+    Registered as its own query key so the deep-graph variant is
+    driver-verified end-to-end (the propagation variant covers the
+    shallow-cluster common case; this one covers chain-shaped
+    components whose diameter exceeds any fixed round budget).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _clustered(spark, sf_dir, connected_components_star(pairs))

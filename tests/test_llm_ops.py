@@ -376,3 +376,19 @@ class TestStarContraction:
             r.doc_id: r.cluster_id for r in connected_components(df).collect()
         }
         assert self._cc_star(spark, pairs) == prop
+
+    def test_self_pair_only_node_is_labeled(self, spark):
+        """A doc appearing ONLY in a self-pair (u == v) must still get
+        its identity label — the propagation variant emits it, so the
+        star variant must too (same contract)."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            connected_components,
+        )
+
+        pairs = [(7, 7), (1, 2)]
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        prop = {
+            r.doc_id: r.cluster_id for r in connected_components(df).collect()
+        }
+        got = self._cc_star(spark, pairs)
+        assert got == prop == {7: 7, 1: 1, 2: 1}
