@@ -5,6 +5,16 @@ Thin re-export over the engine's query/oracle registry
 registers its `(spark, sf_dir) -> DataFrame` callable and — when
 ANSI-SQL-expressible — its DuckDB oracle SQL via the `@query`
 decorator, keeping implementation and oracle side by side.
+
+Executor-storage contract: some queries persist derived frames
+(signature state, quantized corpora). Every registered callable
+releases the PREVIOUS registered call's tracked frames before building
+its plan, so a harness running many `queries()` entries sequentially
+in one session holds at most one query's cache at a time without any
+cleanup call of its own. A harness wanting a fully clean session after
+the last query may additionally call
+`crime_data_batch_processing_spark.cachekit.release_all()` once its
+final result is consumed.
 """
 
 from __future__ import annotations
@@ -36,34 +46,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["agg_count_filter"](spark, SMOKE_SF_DIR)
 
 
-# The driver's correctness pass walks queries() in dict order and may cap
-# how many it checks per round (round 1 stopped at entry #50).  Keys that
-# still lack a green CORRECTNESS row — never-reached, hash-failed, or
-# no_oracle in round 1 — are exported FIRST so the cap always lands on
-# already-verified keys, never on unverified ones.
+# The driver's correctness pass walks queries() in dict order and caps
+# how many it checks per round (~50).  Export order therefore front-loads,
+# in priority order: (1) keys whose CODE or ORACLE changed this round —
+# a stale green row proves nothing about changed code; (2) new keys the
+# driver has never seen; (3) keys whose only green row is from round 1
+# (the round-2 cap never re-reached them, and some of their shared
+# machinery has been touched since).  Keys verified green in round 2 at
+# unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
-    # round-1 untested (driver never reached registration entry >50)
-    "sort_limit", "topk_per_group",
-    "window_rank", "window_analytic", "window_range_frame", "window_cume",
-    "subquery_exists", "subquery_in", "subquery_scalar",
-    "text_token_count", "text_quality", "text_lang_id",
-    "text_fingerprint", "text_ngrams", "text_tfidf",
-    "udf_scalar", "udaf_grouped",
-    "window_tumbling", "window_sliding", "window_session",
+    # (1) changed in round 3: ANN keys gained full-value oracles
+    # (integer hyperplanes), clustering machinery gained the self-pair
+    # parity fix, registry now releases caches per registered call
     "sim_search_lsh", "sim_search_ivf",
-    "sink_partitioned", "latest_snapshot",
-    "stream_events", "stream_stateful", "stream_static_join",
-    "stream_dedup", "stream_session", "stream_stream_join",
-    # round-1 err (array-typed cols broke the driver's canonicalizer; fixed)
-    "string_funcs", "array_funcs",
-    # round-1 hash-fail (DuckDB HUGEINT typing; oracle now casts to BIGINT)
-    "pack_sequences", "multimodal_cols",
-    # round-1 no_oracle (now registered in oracle-comparable form)
-    "dedup_minhash", "dedup_simhash", "agg_approx_distinct",
-    # new in round 2 (never seen by the driver)
-    "scan_jdbc", "pipeline_pretrain", "stream_cdc_upsert",
-    "agg_approx_percentile", "join_range_bucketed", "text_pii_scrub",
-    "multimodal_thumbnail", "agg_listagg", "agg_mode",
+    # (2) new in round 3
+    "dedup_clusters_star",
+    # (1) changed in round 2 but only round-1-verified: sample-hash
+    # algebra rewrite, llm_dedup refactor (connected_components
+    # extraction feeds dedup_clusters; shared shingle plumbing feeds
+    # the pair detectors)
+    "dedup_clusters", "sample_hash", "sample_stratified",
+    "dedup_ngram_jaccard", "dedup_embedding",
+    # (3) green in round 1 only — never re-reached under round 2's cap
+    "scan_source", "scan_csv", "scan_catalog", "scan_json", "scan_orc",
+    "scan_binary",
+    "filter_eq", "filter_compound", "project_lit", "project_expr",
+    "agg_count_filter", "agg_multi", "agg_distinct", "agg_rollup",
+    "agg_grouping_sets", "agg_percentile", "agg_salted",
+    "join_inner", "join_outer", "join_semi_anti", "join_broadcast",
+    "join_theta", "join_asof", "join_bucketed", "join_salted",
+    "set_union", "set_intersect_except", "dedup_exact",
+    "map_json_funcs", "sim_search",
+    "pivot_wide", "unpivot_long", "cdc_upsert", "doc_chunks",
+    # (1) touched in round 3 (cdc first-batch error handling; jdbc
+    # fixture locking) — re-verify even though green in round 2
+    "stream_cdc_upsert", "scan_jdbc",
+    # round-2-verified keys whose code is unchanged follow in dict order
 ]
 
 

@@ -65,10 +65,14 @@ def main() -> None:
                 # later runs aren't timed against a shrinking pool
                 cachekit.release_all()
         timings[key] = (
-            round(sorted(samples)[len(samples) // 2], 4) if samples else -1.0
+            round(sorted(samples)[len(samples) // 2], 3) if samples else -1.0
         )
 
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # compact separators + 3-decimal seconds: the driver records only a
+    # bounded tail of stdout, and the ~90-key payload must fit inside
+    # it whole or the per-query timings are unparseable (round 2's
+    # BENCH capture lost the head of the line)
     print(
         json.dumps(
             {
@@ -77,7 +81,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_from_dir(SF_DIR),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

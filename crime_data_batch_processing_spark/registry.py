@@ -19,6 +19,7 @@ Determinism rules every registered query follows (SURVEY.md §5.2):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from typing import TYPE_CHECKING
 
@@ -37,12 +38,31 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     ``oracle=None`` marks a genuinely non-SQL-expressible operator
     (custom stateful streaming, LSH, pandas-UDF pipelines) — the
     driver then records a weaker rows-only check.
+
+    The REGISTERED entry (what ``QUERIES[key]`` holds) releases every
+    cachekit-tracked frame from the *previous* registered invocation
+    before building its own plan, so a harness that walks many queries
+    sequentially without calling ``cachekit.release_all()`` itself
+    (the external driver) accumulates at most one query's signature
+    caches instead of all of them. Releasing a consumed query's frames
+    is free; an unconsumed one merely recomputes lazily. The decorator
+    returns the ORIGINAL function, so operators composing each other
+    directly (e.g. clustering calling the pair detector) never drop
+    caches mid-plan.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if key in QUERIES:
             raise ValueError(f"duplicate query key: {key}")
-        QUERIES[key] = fn
+
+        @functools.wraps(fn)
+        def entrypoint(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+            from crime_data_batch_processing_spark import cachekit
+
+            cachekit.release_all()
+            return fn(spark, sf_dir)
+
+        QUERIES[key] = entrypoint
         if oracle is not None:
             ORACLES[key] = " ".join(oracle.split())
         return fn
