@@ -197,6 +197,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which holds deterministically on this corpus (fixed xxhash64
     # salts; verified at sf0.001 and sf0.01, and the planted near-dups
     # sit at j≈0.98 where the per-pair miss probability is ~1.6e-9).
+    # That equality is a PER-CORPUS property, guarded explicitly by
+    # tests/test_llm_ops.py::test_minhash_oracle_validity_full_recall —
+    # on a corpus where banding misses an above-threshold pair, the
+    # guard (not the driver) fails with instructions: re-tune
+    # bands/rows or switch this key to a recall-contract output.
     # Sub-threshold recall remains probabilistic and is asserted
     # separately in tests/test_llm_ops.py.
     oracle=f"{_SQL_PAIR_BASE} WHERE p.n_inter::DOUBLE / (len(sa.sh) + len(sb.sh) - p.n_inter) >= {JACCARD_THRESHOLD}",

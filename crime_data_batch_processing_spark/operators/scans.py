@@ -221,11 +221,38 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = f"/tmp/cdbp_jdbc/{key}/_FIXTURE_OK"
     if not os.path.exists(marker):
         os.makedirs(os.path.dirname(marker), exist_ok=True)
-        src.write.jdbc(url, "orders_jdbc", mode="overwrite", properties=props)
-        open(marker, "w").close()
+        # embedded Derby is single-JVM: two processes bootstrapping the
+        # same sf_dir fixture concurrently would fight over the db boot
+        # lock. An O_EXCL lockfile elects one loader; losers wait for
+        # the marker (or surface the winner's failure as a timeout).
+        lockfile = f"/tmp/cdbp_jdbc/{key}/_FIXTURE_LOCK"
+        try:
+            fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            import time
+
+            deadline = time.monotonic() + 120
+            while not os.path.exists(marker):
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"JDBC fixture loader holding {lockfile} did not "
+                        "produce the marker within 120s"
+                    )
+                time.sleep(0.25)
+        else:
+            try:
+                src.write.jdbc(
+                    url, "orders_jdbc", mode="overwrite", properties=props
+                )
+                open(marker, "w").close()
+            finally:
+                os.close(fd)
+                os.unlink(lockfile)
     # stride bounds: the standard min/max(partitionColumn) lookup every
     # partitioned JDBC ingest performs (a scalar agg, not row data)
     lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    if lo is None:  # empty source ⇒ no stride bounds; single-cursor read
+        return spark.read.jdbc(url, "orders_jdbc", properties=props)
     return read_jdbc_partitioned(
         spark,
         url,

@@ -465,10 +465,13 @@ def cdc_merge_batch(target_dir: str):
 
     def _merge(batch: DataFrame, _batch_id: int) -> None:
         s = batch.sparkSession
-        try:
+        # "first batch" is decided by the target's absence, never by a
+        # failed read — a transient/corrupt read must raise, not
+        # silently discard all previously merged state in the overwrite
+        if os.path.isdir(target_dir):
             existing = s.read.parquet(target_dir)
             all_rows = existing.unionByName(batch.select(existing.columns))
-        except Exception:  # first batch: no target yet
+        else:
             all_rows = batch
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").desc(), F.col("event_id").desc()

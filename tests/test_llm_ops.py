@@ -46,6 +46,25 @@ class TestDedup:
         approx = _pairs(dedup_minhash(spark, sf_dir))
         assert approx <= exact
 
+    def test_minhash_oracle_validity_full_recall(self, spark, sf_dir):
+        """ORACLE-VALIDITY GUARD: `dedup_minhash`'s registered oracle is
+        the exact-Jaccard pair set, which is only correct while banded
+        LSH recall is 1.0 on THIS corpus (a data-dependent property —
+        a single banding miss of an above-threshold pair would be a
+        designed-in approximation, not a bug, yet would hash-fail the
+        driver row). This test asserts that equality engine-side, so a
+        testdata change that breaks the assumption fails HERE with an
+        explanation instead of as an opaque driver mismatch; the fix
+        then is to re-tune bands/rows or switch the key to a
+        recall-contract output, not to patch the operator."""
+        exact = _pairs(dedup_ngram_jaccard(spark, sf_dir))
+        approx = _pairs(dedup_minhash(spark, sf_dir))
+        assert approx == exact, (
+            f"banded-LSH recall < 1.0 on this corpus: misses "
+            f"{sorted(exact - approx)[:5]} — dedup_minhash's exact-set "
+            "oracle is no longer valid at this sf"
+        )
+
     def test_minhash_recall_on_near_dups(self, spark, sf_dir):
         """Planted near-dups (Jaccard ≥ 0.8) collide in ≥1 band with
         prob ≈ 1-(1-0.8^4)^8 ≈ 0.98 — demand full recall on this
