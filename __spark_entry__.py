@@ -60,7 +60,7 @@ _VERIFY_FIRST = [
     # parity fix, registry now releases caches per registered call
     "sim_search_lsh", "sim_search_ivf",
     # (2) new in round 3
-    "dedup_clusters_star",
+    "dedup_clusters_star", "join_skew_aqe",
     # (1) changed in round 2 but only round-1-verified: sample-hash
     # algebra rewrite, llm_dedup refactor (connected_components
     # extraction feeds dedup_clusters; shared shingle plumbing feeds

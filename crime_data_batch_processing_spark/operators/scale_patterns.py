@@ -243,6 +243,100 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skew_case() -> F.Column:
+    """Derived skew: route ~80% of fact rows onto ONE join key (a
+    deterministic CASE on the unique event_id, so the oracle can
+    mirror it exactly). The real events table is near-uniform across
+    its 5 types — fine for salting demos, invisible to AQE's
+    median-based skew detector, hence the synthetic hot key. (A
+    function, not a module constant: Column construction needs a live
+    SparkContext, which import time doesn't have.)"""
+    return F.when(F.col("event_id") % 5 != 0, F.lit("click")).otherwise(
+        F.col("event_type")
+    )
+#: AQE skew knobs scaled DOWN to the local testdata (shuffle
+#: partitions here are a few KB; production keeps the 256 MB default
+#: threshold and lets the same rule fire on real skew).
+_AQE_SKEW_TEST_CONF = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100b",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50b",
+}
+
+
+def skewed_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSALTED skewed fact⋈dim topology — the shape `join_salted`
+    fixes by hand, left for AQE to fix at runtime instead.
+
+    The `merge` hint pins a sort-merge join (the tiny dim would
+    otherwise broadcast at test scale, and a broadcast join has no
+    shuffle to skew-split); both sides then shuffle on the hot key and
+    AQE's OptimizeSkewedJoin splits the oversized partition into
+    advisory-sized chunks, duplicating the matching dim rows per
+    chunk. Same result, no salting code.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim_rows = ", ".join(f"('{t}', '{c}', {w}D)" for t, c, w in EVENT_TYPE_DIM)
+    dim = spark.sql(
+        f"SELECT * FROM VALUES {dim_rows} AS t(event_type, category, weight)"
+    )
+    fact = ev.select(_skew_case().alias("event_type"), "value")
+    return (
+        fact.join(dim.hint("merge"), "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
+        )
+    )
+
+
+@query(
+    "join_skew_aqe",
+    oracle=f"""
+    WITH dim AS (
+        SELECT * FROM (VALUES {_SQL_DIM_ROWS}) AS t(event_type, category, weight)
+    ), fact AS (
+        SELECT CASE WHEN event_id % 5 <> 0 THEN 'click' ELSE event_type END
+                   AS event_type,
+               value
+        FROM events
+    )
+    SELECT d.category,
+           COUNT(*) AS n_events,
+           {sql_dsum('f.value * CAST(d.weight AS DOUBLE)')} AS weighted_value
+    FROM fact f JOIN dim d ON f.event_type = d.event_type
+    GROUP BY d.category
+    """,
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed join WITHOUT salting: AQE's runtime skew-join splitting
+    handles the hot key (`join_salted` is the manual alternative for
+    the shapes AQE can't fix — see its docstring).
+
+    The skew thresholds are lowered to testdata scale and restored
+    after an in-function materialization, because AQE reads them at
+    EXECUTION time — restoring before a lazy return would execute the
+    plan under the restored (production) thresholds and silently skip
+    the very mechanism this query demonstrates. The plan assertion
+    (SortMergeJoin(skew=true)) lives in tests/test_plans.py; the
+    oracle verifies the split join still produces exact results
+    (decimal sums are reassociation-proof, so chunked hot partitions
+    cannot drift).
+    """
+    prev = {k: spark.conf.get(k, None) for k in _AQE_SKEW_TEST_CONF}
+    for k, v in _AQE_SKEW_TEST_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        return skewed_type_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 #: Range-join bucket width in microseconds == the range width, so an
 #: in-range pair spans at most 2 consecutive buckets.
 RANGE_US = 900_000_000  # 15 minutes

@@ -250,3 +250,29 @@ def test_range_join_avoids_nested_loop(spark, sf_dir):
     plan = physical_plan(registry.QUERIES["join_range_bucketed"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_aqe_splits_skewed_join_without_salting(spark, sf_dir):
+    """join_salted proves MANUAL skew handling; this proves the runtime
+    alternative: on the same hot-key shape, AQE's OptimizeSkewedJoin
+    must split the oversized shuffle partition — final adaptive plan
+    shows SortMergeJoin(skew=true) over a skewed AQEShuffleRead — with
+    no salting code at all. Thresholds are testdata-scaled (shuffle
+    partitions here are KBs, not the 256 MB production default)."""
+    from crime_data_batch_processing_spark.operators.scale_patterns import (
+        _AQE_SKEW_TEST_CONF,
+        skewed_type_join,
+    )
+
+    prev = {k: spark.conf.get(k, None) for k in _AQE_SKEW_TEST_CONF}
+    for k, v in _AQE_SKEW_TEST_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        df = skewed_type_join(spark, sf_dir)
+        df.collect()  # AQE decides at runtime; must materialize first
+        final = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "skew=true" in final, final
+    assert "skewed" in final, final  # the AQEShuffleRead carries splits

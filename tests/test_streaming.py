@@ -196,15 +196,19 @@ def test_stream_stream_join_drops_late_rows_across_restart(
     pairs = {(r.click_id, r.purchase_id) for r in first.collect()}
     assert pairs == {(0, 1), (2, 3)}, pairs
 
-    # run 2 (restart from checkpoint): purchase(4)@0.4 is hours behind
-    # the recovered watermark → dropped, even though click 0 would have
-    # matched it; the fresh pair (5, 6) at hour ~10.5 joins normally
-    # (purchase 6 @10.6 also matches the still-live click 2 @10.0 —
-    # within its 1h window — proving run-1 state survived the restart)
+    # run 2 (restart from checkpoint): late rows on BOTH sides behind
+    # the recovered watermark — purchase(4)@0.4 (click 0 would have
+    # matched it) AND click(7)@0.3 (purchase 4 would have matched it,
+    # so if either side's late row slipped past the recovered watermark
+    # the pair (7, 4) would appear). Both must be dropped on input.
+    # The fresh pair (5, 6) at hour ~10.5 joins normally (purchase 6
+    # @10.6 also matches the still-live click 2 @10.0 — within its 1h
+    # window — proving run-1 state survived the restart).
     _write_batch(
         spark,
         [
             _event(4, 0.4, "purchase"),
+            _event(7, 0.3, "click"),
             _event(5, 10.5, "click"),
             _event(6, 10.6, "purchase"),
         ],
@@ -213,7 +217,8 @@ def test_stream_stream_join_drops_late_rows_across_restart(
     )
     second = _run_join_to_parquet(spark, src, out, ckpt)
     pairs2 = {(r.click_id, r.purchase_id) for r in second.collect()}
-    assert (0, 4) not in pairs2, pairs2  # late row produced no join
+    assert (0, 4) not in pairs2, pairs2  # late purchase produced no join
+    assert (7, 4) not in pairs2, pairs2  # late click joined nothing either
     assert pairs2 == {(0, 1), (2, 3), (2, 6), (5, 6)}, pairs2
 
 
