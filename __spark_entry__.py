@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     "sim_search_lsh", "sim_search_ivf",
     # (2) new in round 3
     "dedup_clusters_star", "join_skew_aqe",
+    "text_decontaminate", "text_repetition", "sample_mixture",
     # (1) changed in round 2 but only round-1-verified: sample-hash
     # algebra rewrite, llm_dedup refactor (connected_components
     # extraction feeds dedup_clusters; shared shingle plumbing feeds

@@ -66,6 +66,31 @@ def sql_shingles(text_expr: str, k: int = SHINGLE_K) -> str:
     )
 
 
+def raw_shingles_of(toks: Column, k: int = SHINGLE_K) -> Column:
+    """k-token shingles WITH duplicates, order-preserving — the
+    multiset view that repetition metrics need (``shingles_of`` is the
+    distinct set view that dedup needs). Same <k-token empty guard."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def sql_raw_shingles(text_expr: str, k: int = SHINGLE_K) -> str:
+    """DuckDB rendering of :func:`raw_shingles_of`."""
+    toks = f"string_split({text_expr}, ' ')"
+    parts = " || ' ' || ".join(f"{toks}[i + {j + 1}]" for j in range(k))
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(range(len({toks}) - {k - 1}), i -> {parts}) "
+        f"ELSE [] END"
+    )
+
+
 def jaccard(inter: Column, size_a: Column, size_b: Column) -> Column:
     """|A∩B| / |A∪B| as a double.
 

@@ -174,3 +174,88 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep)
         .select("event_id", "event_type", "user_id", "value")
     )
+
+
+#: Target language mixture in basis points (sums to 10000) and the
+#: overall sampling budget: the output should be ~3/10 of the corpus,
+#: distributed across languages per the weights (English-heavy corpora
+#: get downsampled toward the target; scarce languages keep everything
+#: they have — the `LEAST(10000, ...)` cap).
+MIXTURE_BP = {"en": 4000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1500}
+MIXTURE_BUDGET_NUM, MIXTURE_BUDGET_DEN = 3, 10
+
+_SQL_MIXTURE_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_BP.items()
+)
+
+
+@query(
+    "sample_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts
+    ), rates AS (
+        SELECT lang,
+               {SAMPLE_M} * LEAST(10000,
+                   10000 * ((total * {MIXTURE_BUDGET_NUM}
+                             // {MIXTURE_BUDGET_DEN})
+                            * (CASE lang {_SQL_MIXTURE_CASE} ELSE 0 END)
+                            // 10000)
+                   // cnt) // 10000 AS thr
+        FROM counts, tot
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {sql_sample_hash32('d.doc_id')} < r.thr
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-targeted sampling: hit a TARGET language mix, not fixed
+    per-stratum rates (`sample_stratified` is the fixed-rate cousin).
+
+    The domain/language-rebalancing pass of a pretraining pipeline:
+    given target proportions and a total budget, the keep-rate per
+    stratum is computed FROM the observed counts —
+    rate = min(1, budget·weight / observed) — so over-represented
+    strata are cut to the target and under-represented ones keep all
+    rows. Two passes: a tiny per-stratum count aggregate (broadcast
+    back to the scan), then the same deterministic multiplicative-hash
+    keep decision as `sample_hash` — re-runnable, partition-layout-
+    independent, co-samplable with any other table keyed the same way.
+
+    All rate math is int64 (basis points, truncating division —
+    Spark `div` and DuckDB `//` agree on non-negatives), so thresholds
+    are bit-identical cross-engine; bounds: 10^4 · budget < 2^63 keeps
+    every intermediate exact past 10^14-row corpora.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    w_bp = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in MIXTURE_BP.items()
+        ],
+        F.lit(0),
+    ).cast("long")
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("w_bp", w_bp)
+        .withColumn(
+            "thr",
+            F.expr(
+                f"{SAMPLE_M}L * least(10000L, "
+                f"10000L * ((total * {MIXTURE_BUDGET_NUM} "
+                f"div {MIXTURE_BUDGET_DEN}) * w_bp div 10000) "
+                f"div cnt) div 10000"
+            ),
+        )
+        .select("lang", "thr")
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(sample_hash32(F.col("doc_id")) < F.col("thr"))
+        .select("doc_id", "lang")
+    )

@@ -726,3 +726,72 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return _clustered(spark, sf_dir, connected_components_star(pairs))
+
+
+#: Decontamination: the "benchmark" is a deterministic ~1% slice of the
+#: corpus (stand-in for a held-out eval set shipped as a small table)
+#: and the overlap unit is a 5-token shingle — long enough that chance
+#: collisions are rare, short enough to catch paraphrase-free copying.
+BENCH_MOD = 97
+DECON_K = 5
+
+_SQL_DECON = f"""
+    WITH bg AS (
+        SELECT DISTINCT unnest({sql_shingles('text', DECON_K)}) AS g
+        FROM documents WHERE doc_id % {BENCH_MOD} = 0
+    ), corpus AS (
+        SELECT doc_id, {sql_shingles('text', DECON_K)} AS sh
+        FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+    ), hits AS (
+        SELECT DISTINCT e.doc_id
+        FROM (SELECT doc_id, unnest(sh) AS g FROM corpus) e
+        JOIN bg ON e.g = bg.g
+    )
+    SELECT c.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+@query("text_decontaminate", oracle=_SQL_DECON)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with a held-out benchmark set (here a deterministic 1%
+    doc_id slice standing in for the eval suite).
+
+    The LLM-pipeline step every serious pretraining run performs —
+    a train document containing an eval question verbatim inflates
+    downstream scores, so overlapping docs must be flagged/dropped
+    before training.
+
+    Shape: the benchmark's distinct 5-gram set is tiny relative to the
+    corpus (eval suites are MBs; corpora are TBs), so it BROADCASTS —
+    the corpus side then streams map-only through explode → broadcast
+    hash join → per-doc distinct, no corpus-sized shuffle on gram
+    strings. The flag join back to the doc list shuffles only doc_ids.
+    Plan-asserted in tests/test_plans.py; output is the full per-doc
+    contamination verdict (downstream pipelines filter on it).
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    with_sh = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles_of(F.col("toks"), DECON_K).alias("sh"))
+    )
+    bench_grams = (
+        with_sh.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    corpus = with_sh.where(F.col("doc_id") % BENCH_MOD != 0)
+    hits = (
+        corpus.select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits.withColumn("hit", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("hit", F.lit(False)).alias("contaminated")
+        )
+    )

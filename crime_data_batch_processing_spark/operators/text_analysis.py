@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crime_data_batch_processing_spark.functions.textkit import tokens
+from crime_data_batch_processing_spark.functions.textkit import (
+    raw_shingles_of,
+    sql_raw_shingles,
+    tokens,
+)
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -391,4 +395,65 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             PHONE_RE,
             "<PHONE>",
         ).alias("scrubbed"),
+    )
+
+
+#: Repetition metrics use 2-gram multisets (Gopher-style "duplicate
+#: n-gram fraction"): short enough that every real document has many,
+#: long enough that repetition is structure, not vocabulary reuse.
+REP_K = 2
+
+_SQL_REPETITION = f"""
+    WITH g AS (
+        SELECT doc_id, unnest({sql_raw_shingles('text', REP_K)}) AS gram
+        FROM documents
+    ), per_gram AS (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS dup_gram_frac,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_gram_frac
+    FROM per_gram GROUP BY doc_id
+"""
+
+
+@query("text_repetition", oracle=_SQL_REPETITION)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality metrics per document: duplicate-2-gram
+    fraction and most-frequent-2-gram share (the Gopher repetition
+    rules — a document whose text loops the same phrases is low-value
+    training data no matter how clean each sentence looks; pipelines
+    threshold on these columns).
+
+    Shape: raw (multiset) 2-grams explode once, then two hash
+    aggregates — (doc, gram) counts, then per-doc rollup. Both
+    aggregates partially aggregate map-side, so the shuffle carries
+    per-doc-distinct grams, not corpus tokens. Ratios are single IEEE
+    divisions of exact int64 counts — bit-identical cross-engine.
+    Documents with fewer than 2 tokens have no grams and no row (no
+    repetition evidence either way).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .where(F.size("toks") >= REP_K)
+        .select(
+            "doc_id", F.explode(raw_shingles_of(F.col("toks"), REP_K)).alias("gram")
+        )
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (
+            (F.sum("c") - F.count(F.lit(1))).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("dup_gram_frac"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_gram_frac"
+        ),
     )

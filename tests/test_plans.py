@@ -276,3 +276,23 @@ def test_aqe_splits_skewed_join_without_salting(spark, sf_dir):
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert "skew=true" in final, final
     assert "skewed" in final, final  # the AQEShuffleRead carries splits
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark 5-gram set is eval-suite-sized (MBs) against a
+    corpus-sized probe side — it must broadcast; a shuffled join on
+    gram strings would move the whole exploded corpus."""
+    from crime_data_batch_processing_spark.plans import uses_broadcast_join
+
+    df = registry.QUERIES["text_decontaminate"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_sample_mixture_broadcasts_rates(spark, sf_dir):
+    """Per-stratum keep thresholds are a handful of rows — the join
+    back to the corpus scan must broadcast, keeping the sampling pass
+    map-only (scan → broadcast join → filter, no corpus shuffle)."""
+    from crime_data_batch_processing_spark.plans import uses_broadcast_join
+
+    df = registry.QUERIES["sample_mixture"](spark, sf_dir)
+    assert uses_broadcast_join(df)
