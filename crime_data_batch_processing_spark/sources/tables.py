@@ -38,21 +38,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL] — Spark
-    timestamps are microsecond precision). Read the physical int64
-    nanos via the nanosAsLong conf and truncate to µs engine-side.
+    """events.parquet's `ts` physical type has varied across testdata
+    generations — TIMESTAMP(NANOS) (which Spark's parquet reader
+    rejects outright, [PARQUET_TYPE_ILLEGAL] — Spark timestamps are
+    microsecond precision) and plain TIMESTAMP(MICROS). Adapt to
+    whatever is on disk instead of assuming one generation:
 
-    Truncation (`div 1000`) matches DuckDB's `epoch_us()` on the same
-    values exactly (verified empirically), so oracle comparisons on
-    derived timestamps agree. Sub-µs residue is dropped — the same
-    thing DuckDB does when handing TIMESTAMP_NS to any µs consumer.
+    * int64 after `nanosAsLong` (i.e. NANOS on disk): truncate to µs.
+      Truncation (`div 1000`) matches DuckDB's `epoch_us()` on the
+      same values exactly (verified empirically), so oracle
+      comparisons on derived timestamps agree.
+    * TIMESTAMP_NTZ (MICROS, isAdjustedToUTC=false): cast to
+      session-zoned TIMESTAMP. The session is pinned to UTC
+      (session.py), so the instant equals DuckDB's naive reading.
+    * TIMESTAMP: already what every downstream operator expects.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = raw.schema["ts"].dataType.simpleString()
+    if dt == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -31,9 +31,11 @@ from pyspark.sql import types as T
 from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
 from crime_data_batch_processing_spark.registry import query
 
-#: Physical schema of events.parquet — ts is int64 NANOS on disk
-#: (Spark's µs TimestampType can't be declared for a nanos column;
-#: see sources/tables.py).
+#: Physical schema of events.parquet files whose ts is int64 NANOS on
+#: disk (Spark's µs TimestampType can't be declared for a nanos
+#: column; see sources/tables.py). Testdata generations with µs
+#: timestamps use EVENTS_FILE_SCHEMA_US instead — streaming_events
+#: probes the footer to pick.
 EVENTS_FILE_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -44,6 +46,36 @@ EVENTS_FILE_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+EVENTS_FILE_SCHEMA_US = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _probe_ts_unit(src_dir: str) -> str:
+    """Read one parquet footer under src_dir and report the physical
+    `ts` flavor: 'ns' (int64 nanos / TIMESTAMP(NANOS)) or 'us'.
+
+    File stream sources need a declared schema up front, and the two
+    testdata generations disagree on the physical type — a footer
+    probe (metadata-only, no row reads) picks the right one. Defaults
+    to 'ns' when no file exists yet (a stream source dir may fill
+    after start; the engine's own fixtures write nanos).
+    """
+    import pyarrow.parquet as pq
+
+    for name in sorted(os.listdir(src_dir)):
+        if name.endswith(".parquet"):
+            t = str(pq.read_schema(os.path.join(src_dir, name)).field("ts").type)
+            return "ns" if t in ("int64", "timestamp[ns]") else "us"
+    return "ns"
 
 
 def streaming_events(
@@ -56,11 +88,15 @@ def streaming_events(
     ``None`` lets AvailableNow take everything in one batch.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    unit = _probe_ts_unit(src_dir)
+    schema = EVENTS_FILE_SCHEMA if unit == "ns" else EVENTS_FILE_SCHEMA_US
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(src_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "ns":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
