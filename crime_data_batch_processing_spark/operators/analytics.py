@@ -1,0 +1,264 @@
+"""Composed analytics queries: multi-join + aggregate + top-k shapes.
+
+The reference executes exactly one composed query (filter → group →
+count, /root/reference/spark_process_script.py:37) and leaves every
+richer analytics shape to "write your own SQL against the snapshot
+tables" (/root/reference/README.md architecture section). This module
+is that promise made concrete: four classic warehouse query shapes
+(patterned on TPC-H Q3/Q5/Q10/Q18, adapted to the testdata's column
+subset) composed entirely from the engine's primitive operators —
+dimension-filtered joins, decimal-exact revenue aggregation, grouped
+HAVING, and tie-broken top-k.
+
+Scale notes (the point of composing these natively rather than
+hand-staging them):
+
+* Join ordering and broadcast selection are left to Catalyst + AQE.
+  The tiny dims (region 5 rows, nation 25, supplier 100·sf) get
+  explicit `broadcast()` hints — at any realistic scale they fit in
+  an executor; customer/orders/lineitem joins stay shuffle hash /
+  sort-merge and AQE re-plans them from runtime stats.
+* Every filter sits directly on the scan side of its join, so
+  predicate pushdown reaches the parquet reader and partition-prunes
+  before the first shuffle (the Q3 segment filter cuts customer 5×
+  before it ever moves).
+* Revenue sums accumulate in DECIMAL (functions/exact.py) — at 100 TB
+  the aggregation tree's shape is nondeterministic, and IEEE-double
+  sums would differ run to run; decimal accumulation is
+  order-independent, so results are stable AND oracle-bit-exact.
+* Top-k carries a total-order tiebreak, so `LIMIT` is deterministic
+  — `TakeOrderedAndProject`, no global sort materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "analytics_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum(_REVENUE)} AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, order_date ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue for one market segment.
+
+    Three-table join where every table is filtered BEFORE the join, so
+    pushdown does the heavy lifting; the grouped revenue then feeds a
+    tie-broken top-10 (TakeOrderedAndProject — the limit folds into
+    the sort, no full-result materialization).
+    """
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(dsum(F.expr(_REVENUE)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("order_date"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+    )
+
+
+@query(
+    "analytics_regional_revenue",
+    oracle=f"""
+    SELECT n_name, {sql_dsum(_REVENUE)} AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def analytics_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per nation in one region.
+
+    Six-table snowflake join. region/nation/supplier are broadcast —
+    they are bounded dims (5 / 25 / 100·sf rows) at every scale that
+    matters; the customer⋈orders⋈lineitem spine stays shuffled and
+    AQE picks its physical strategy. The `s_nationkey = c_nationkey`
+    equi-condition rides on the supplier join (local-supplier
+    semantics, same as Q5's).
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        customer.join(
+            F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.expr(_REVENUE)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "analytics_returned_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum(_REVENUE)} AS revenue,
+           c_acctbal
+    FROM customer
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def analytics_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, per customer, top 20.
+
+    The half-year order window and the R-flag filter both push to
+    their scans; nation broadcasts; the grouped output carries the
+    customer attributes through the aggregate (grouping on them is
+    free — c_custkey is the real key and determines the rest).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-07-01 00:00:00").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        customer.join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum(F.expr(_REVENUE)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+    )
+
+
+@query(
+    "analytics_large_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice,
+           {sql_dsum('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(28,6))) > 250
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE),
+             o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers who placed very large orders.
+
+    The HAVING subquery becomes a grouped pre-aggregate LEFT SEMI
+    joined back onto lineitem's own order key — one extra hash
+    aggregate instead of a correlated subquery, and Spark's partial
+    aggregation means the per-order quantity sums combine map-side
+    before the shuffle. Quantity accumulates in DECIMAL so the
+    HAVING threshold cuts identically in both engines (an IEEE sum
+    straddling the threshold could disagree in the last ulp).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            lineitem.join(big, "l_orderkey", "left_semi"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+        )
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "order_date",
+            "o_totalprice", "total_qty",
+        )
+    )

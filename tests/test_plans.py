@@ -296,3 +296,31 @@ def test_sample_mixture_broadcasts_rates(spark, sf_dir):
 
     df = registry.QUERIES["sample_mixture"](spark, sf_dir)
     assert uses_broadcast_join(df)
+
+
+def test_analytics_top_k_is_take_ordered(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    for key in ("analytics_shipping_priority", "analytics_returned_revenue",
+                "analytics_large_orders"):
+        df = registry.QUERIES[key](spark, sf_dir)
+        assert "TakeOrderedAndProject" in physical_plan(df), (
+            f"{key}: grouped top-k must fold the limit into the sort"
+        )
+
+
+def test_analytics_pushes_filters_and_broadcasts_dims(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import uses_broadcast_join
+
+    df = registry.QUERIES["analytics_regional_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert uses_broadcast_join(df), "region/nation/supplier must broadcast"
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan or (
+        "EqualTo(r_name,ASIA)" in plan
+    ), "region filter must reach its scan"
+
+    df3 = registry.QUERIES["analytics_shipping_priority"](spark, sf_dir)
+    p3 = df3._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(c_mktsegment,BUILDING)" in p3, (
+        "segment filter must reach the customer scan"
+    )
