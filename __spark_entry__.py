@@ -58,6 +58,8 @@ _VERIFY_FIRST = [
     # (2) new in round 3 — no driver row exists at all
     "analytics_shipping_priority", "analytics_regional_revenue",
     "analytics_returned_revenue", "analytics_large_orders",
+    "rollup_hypertable", "window_funnel", "scan_zone_map",
+    "window_retention", "agg_histogram",
     "dedup_clusters_star", "join_skew_aqe",
     "text_decontaminate", "text_repetition", "sample_mixture",
     # (1) changed in round 3: the events loader became
@@ -81,8 +83,7 @@ _VERIFY_FIRST = [
     "dedup_ngram_jaccard", "dedup_embedding",
     "scan_source", "scan_csv", "scan_catalog", "scan_json", "scan_orc",
     "scan_binary",
-    "filter_eq", "filter_compound", "project_lit", "project_expr",
-    "agg_count_filter", "agg_multi", "agg_distinct",
+    "filter_eq", "filter_compound",
     # the remaining round-1-only keys (agg_rollup, grouping_sets,
     # percentile, the join/setop/reshape family) and unchanged
     # round-2-verified keys follow in dict order; with the new

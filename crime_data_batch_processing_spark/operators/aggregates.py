@@ -315,3 +315,44 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+#: Fixed-width histogram: 20 × 25k buckets over [0, 500k) — the
+#: total-price domain of the testdata generator; the top bucket
+#: clamps, so out-of-range values cannot silently vanish.
+HIST_WIDTH = 25_000
+HIST_BUCKETS = 20
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(LEAST(FLOOR(o_totalprice / {HIST_WIDTH}),
+                      {HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority, bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group — the profiling aggregate
+    behind every numeric-distribution dashboard.
+
+    Bucketing is arithmetic on the scan (`floor(x / w)` — one IEEE
+    division both engines perform identically), so the whole query is
+    a single map-side-combining hash aggregate: the shuffle carries
+    at most groups × buckets rows per task no matter how many input
+    rows. The clamp to the top bucket keeps the output domain fixed.
+    For unknown domains, compose with a min/max or approx-quantile
+    probe to pick the width (`agg_approx_percentile`).
+    """
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / HIST_WIDTH),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("long")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

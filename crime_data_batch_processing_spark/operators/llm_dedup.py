@@ -772,9 +772,16 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination verdict (downstream pipelines filter on it).
     """
     docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    # persisted, not just bound: the frame feeds three branches (bench
+    # grams, the hit probe, the verdict spine), and an un-persisted
+    # explode re-evaluates the whole shingle transform per OUTPUT gram
+    # (GenerateExec inlines the generator child) — measured 10x slower
+    # than exploding the materialized arrays at sf0.1
     with_sh = (
         docs.select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", shingles_of(F.col("toks"), DECON_K).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
     )
     bench_grams = (
         with_sh.where(F.col("doc_id") % BENCH_MOD == 0)

@@ -324,3 +324,25 @@ def test_analytics_pushes_filters_and_broadcasts_dims(spark, sf_dir):
     assert "EqualTo(c_mktsegment,BUILDING)" in p3, (
         "segment filter must reach the customer scan"
     )
+
+
+def test_window_funnel_single_shuffle(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    df = registry.QUERIES["window_funnel"](spark, sf_dir)
+    plan = physical_plan(df)
+    # one shuffle on user_id for the array aggregation; the fold and
+    # the stage filters are map-side — no per-stage self-join shuffles
+    assert plan.count("Exchange") <= 2, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, (
+        "funnel must not plan as per-stage self-joins"
+    )
+
+
+def test_zone_map_scan_reads_file_subset(spark, sf_dir):
+    df = registry.QUERIES["scan_zone_map"](spark, sf_dir)
+    files = {r[0] for r in df.select(
+        __import__("pyspark.sql.functions", fromlist=["F"]).input_file_name()
+    ).distinct().collect()}
+    # the manifest pruned the read down to the zone(s) holding the key
+    assert 1 <= len(files) <= 2, files
