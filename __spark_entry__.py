@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "analytics_returned_revenue", "analytics_large_orders",
     "rollup_hypertable", "window_funnel", "scan_zone_map",
     "window_retention", "agg_histogram",
+    "stream_rollup_incremental", "pipeline_curate",
     "dedup_clusters_star", "join_skew_aqe",
     "text_decontaminate", "text_repetition", "sample_mixture",
     # (1) changed in round 3: the events loader became
@@ -83,13 +84,13 @@ _VERIFY_FIRST = [
     "dedup_ngram_jaccard", "dedup_embedding",
     "scan_source", "scan_csv", "scan_catalog", "scan_json", "scan_orc",
     "scan_binary",
-    "filter_eq", "filter_compound",
-    # the remaining round-1-only keys (agg_rollup, grouping_sets,
-    # percentile, the join/setop/reshape family) and unchanged
-    # round-2-verified keys follow in dict order; with the new
-    # testdata generation EVERY old row is stale, so the cap lands on
-    # changed-code keys first and pure re-runs last. All 94 keys were
-    # strict-verified against DuckDB at sf0.01 locally this round.
+    # the remaining round-1-only keys (filter/project, agg_rollup,
+    # grouping_sets, percentile, the join/setop/reshape family) and
+    # unchanged round-2-verified keys follow in dict order; with the
+    # new testdata generation EVERY old row is stale, so the cap lands
+    # on changed-code keys first and pure re-runs last. All 105 keys
+    # were strict-verified against DuckDB at sf0.01 locally this round
+    # (the verify skill's driver-replica harness).
 ]
 
 

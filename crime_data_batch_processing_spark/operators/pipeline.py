@@ -24,15 +24,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crime_data_batch_processing_spark.functions.textkit import tokens
+from crime_data_batch_processing_spark.functions.textkit import (
+    sql_shingles,
+    tokens,
+)
+from crime_data_batch_processing_spark.operators.filters import (
+    _SQL_MIXTURE_CASE,
+    MIXTURE_BP,
+    MIXTURE_BUDGET_DEN,
+    MIXTURE_BUDGET_NUM,
+    SAMPLE_M,
+    sample_hash32,
+    sql_sample_hash32,
+)
 from crime_data_batch_processing_spark.operators.chunking import (
     CHUNK_STRIDE,
     CHUNK_TOKENS,
 )
 from crime_data_batch_processing_spark.operators.llm_dedup import (
     _SQL_PAIR_BASE,
+    BENCH_MOD,
+    DECON_K,
     JACCARD_THRESHOLD,
     dedup_ngram_jaccard,
+    text_decontaminate,
 )
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
@@ -123,4 +138,114 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("i") + CHUNK_TOKENS, F.size("t")) - F.col("i")
             ).alias("n_tokens"),
         )
+    )
+
+
+_SQL_CURATE = f"""
+    WITH bg AS (
+        SELECT DISTINCT unnest({sql_shingles('text', DECON_K)}) AS g
+        FROM documents WHERE doc_id % {BENCH_MOD} = 0
+    ), corpus AS (
+        SELECT doc_id, text, lang FROM documents
+        WHERE doc_id % {BENCH_MOD} <> 0
+    ), hits AS (
+        SELECT DISTINCT e.doc_id
+        FROM (SELECT doc_id,
+                     unnest({sql_shingles('text', DECON_K)}) AS g
+              FROM corpus) e
+        JOIN bg ON e.g = bg.g
+    ), clean AS (
+        SELECT c.* FROM corpus c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM hits)
+    ), q AS (
+        SELECT * FROM clean
+        WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}
+          AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= {MIN_DISTINCT_RATIO}
+    ), kept AS (
+        SELECT d.doc_id, d.lang
+        FROM q d JOIN (SELECT MIN(doc_id) AS m FROM q GROUP BY text) k
+          ON d.doc_id = k.m
+    ), counts AS (
+        SELECT lang, COUNT(*) AS cnt FROM kept GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts
+    ), rates AS (
+        SELECT lang,
+               {SAMPLE_M} * LEAST(10000,
+                   10000 * ((total * {MIXTURE_BUDGET_NUM}
+                             // {MIXTURE_BUDGET_DEN})
+                            * (CASE lang {_SQL_MIXTURE_CASE} ELSE 0 END)
+                            // 10000)
+                   // cnt) // 10000 AS thr
+        FROM counts, tot
+    )
+    SELECT d.doc_id, d.lang
+    FROM kept d JOIN rates r ON d.lang = r.lang
+    WHERE {sql_sample_hash32('d.doc_id')} < r.thr
+"""
+
+
+@query("pipeline_curate", oracle=_SQL_CURATE)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation chain: decontaminate → quality-filter →
+    exact-dedup → mixture-targeted sample, composed lazily.
+
+    `pipeline_pretrain` proves the dedup/chunking stages compose; this
+    one proves the ROUND-3 stages do — benchmark decontamination
+    first (an eval-overlapping doc must not survive into any later
+    stage), Gopher-style quality rules, keep-first exact dedup, then
+    language-mixture rebalancing whose keep rates are computed from
+    the counts of the corpus that SURVIVED the earlier stages (the
+    order production pipelines use: rates computed pre-filter would
+    overshoot the budget).
+
+    One lazy plan end-to-end: the decontamination anti-join and the
+    dedup aggregate are the only corpus-sized shuffles; the mixture
+    stage adds a tiny count aggregate broadcast back onto the
+    survivors. Stage semantics are the registered operators'
+    (`text_decontaminate`, `pipeline_pretrain`'s quality rules,
+    `dedup_exact` keep-first, `sample_mixture` rate algebra), so each
+    piece is also independently driver-verified.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    verdicts = text_decontaminate(spark, sf_dir)
+    clean = (
+        docs.join(
+            verdicts.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+        )
+    )
+    toks_c = tokens("text")
+    n = F.size(toks_c)
+    q = clean.where(
+        (n >= MIN_TOKENS)
+        & (F.size(F.array_distinct(toks_c)).cast("double") / n >= MIN_DISTINCT_RATIO)
+    )
+    winners = q.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    kept = q.join(winners.select("doc_id"), "doc_id").select("doc_id", "lang")
+
+    counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    w_bp = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in MIXTURE_BP.items()],
+        F.lit(0),
+    ).cast("long")
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("w_bp", w_bp)
+        .withColumn(
+            "thr",
+            F.expr(
+                f"{SAMPLE_M}L * least(10000L, "
+                f"10000L * ((total * {MIXTURE_BUDGET_NUM} "
+                f"div {MIXTURE_BUDGET_DEN}) * w_bp div 10000) "
+                f"div cnt) div 10000"
+            ),
+        )
+        .select("lang", "thr")
+    )
+    return (
+        kept.join(F.broadcast(rates), "lang")
+        .where(sample_hash32(F.col("doc_id")) < F.col("thr"))
+        .select("doc_id", "lang")
     )
