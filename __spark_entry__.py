@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     "rollup_hypertable", "window_funnel", "scan_zone_map",
     "window_retention", "agg_histogram",
     "stream_rollup_incremental", "pipeline_curate",
+    "agg_sketch_rollup", "agg_corr", "snapshot_diff", "graph_triangles",
     "dedup_clusters_star", "join_skew_aqe",
     "text_decontaminate", "text_repetition", "sample_mixture",
     # (1) changed in round 3: the events loader became
@@ -82,13 +83,12 @@ _VERIFY_FIRST = [
     # algebra, llm_dedup shingle plumbing)
     "sample_hash", "sample_stratified",
     "dedup_ngram_jaccard", "dedup_embedding",
-    "scan_source", "scan_csv", "scan_catalog", "scan_json", "scan_orc",
-    "scan_binary",
+    "scan_source", "scan_catalog",
     # the remaining round-1-only keys (filter/project, agg_rollup,
     # grouping_sets, percentile, the join/setop/reshape family) and
     # unchanged round-2-verified keys follow in dict order; with the
     # new testdata generation EVERY old row is stale, so the cap lands
-    # on changed-code keys first and pure re-runs last. All 105 keys
+    # on changed-code keys first and pure re-runs last. All 109 keys
     # were strict-verified against DuckDB at sf0.01 locally this round
     # (the verify skill's driver-replica harness).
 ]

@@ -356,3 +356,152 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+#: Apache DataSketches HLL (Spark 3.5+ `hll_sketch_agg`): default
+#: lgConfigK=12 gives ~1.6% relative standard error; 0.05 is the
+#: same 3-sigma contract bound style as `agg_approx_distinct`.
+SKETCH_BOUND = 0.05
+
+
+@query(
+    "agg_sketch_rollup",
+    # Like agg_approx_distinct, the sketch bytes are engine-specific;
+    # the CONTRACT is SQL-expressible: exact distincts per year and
+    # overall, plus "the (merged) estimate is within the bound" —
+    # deterministically TRUE here. The 'ALL' row's estimate comes from
+    # UNIONING the stored per-year sketches, never from rescanning.
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS y,
+           COUNT(DISTINCT o_custkey) AS exact_cust,
+           TRUE AS est_ok
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT o_custkey), TRUE FROM orders
+    """,
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-as-data rollup: persist per-partition HLL sketches once,
+    answer cross-partition distinct queries by MERGING sketches.
+
+    The mergeable-aggregate pattern that makes distinct counting
+    feasible at 100 TB: each ingest partition (here: order year)
+    stores a fixed-size DataSketches HLL of its keys; any slice or
+    rollup of partitions is answered by `hll_union_agg` over a few
+    KB of sketch bytes instead of a re-scan + re-shuffle of raw data.
+    Output pairs exact counts with bounded-error flags on the real
+    estimates (the sketch bytes themselves stay out of the hashed
+    output — binary cells aren't canonicalizable, and the estimate is
+    what callers consume).
+    """
+    from crime_data_batch_processing_spark.operators.timeseries import (
+        _build_once,
+        _scratch,
+    )
+
+    base = _scratch("sketch", sf_dir)
+    sketch_path = f"{base}/custkey_by_year"
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.select(
+        F.year("o_orderdate").cast("string").alias("y"), "o_custkey"
+    )
+
+    def build() -> None:
+        (
+            yearly.groupBy("y")
+            .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+            .write.mode("overwrite")
+            .parquet(sketch_path)
+        )
+
+    _build_once(base, build)
+    sketches = spark.read.parquet(sketch_path)
+
+    exact_per_year = yearly.groupBy("y").agg(
+        F.countDistinct("o_custkey").alias("exact_cust")
+    )
+    per_year = (
+        exact_per_year.join(sketches, "y")
+        .select(
+            "y",
+            "exact_cust",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("exact_cust"))
+                <= F.lit(SKETCH_BOUND) * F.col("exact_cust")
+            ).alias("est_ok"),
+        )
+    )
+    merged_est = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact_all = yearly.agg(
+        F.countDistinct("o_custkey").alias("exact_cust")
+    )
+    all_row = (
+        exact_all.crossJoin(F.broadcast(merged_est))
+        .select(
+            F.lit("ALL").alias("y"),
+            "exact_cust",
+            (
+                F.abs(F.col("est") - F.col("exact_cust"))
+                <= F.lit(SKETCH_BOUND) * F.col("exact_cust")
+            ).alias("est_ok"),
+        )
+    )
+    return per_year.unionByName(all_row)
+
+
+@query(
+    "agg_corr",
+    # corr from EXACT decimal moments, with the identical final IEEE
+    # expression spelled out on both sides (never the engines' own
+    # corr(), whose accumulation order differs).
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {sql_dsum('l_quantity')} AS sx,
+               {sql_dsum('l_discount')} AS sy,
+               {sql_dsum('l_quantity * l_discount')} AS sxy,
+               {sql_dsum('l_quantity * l_quantity')} AS sxx,
+               {sql_dsum('l_discount * l_discount')} AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_disc
+    FROM m
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation from exact moments.
+
+    One map-combining hash aggregate computes the five moments as
+    exact decimals (order-independent — `F.corr`'s streaming update
+    would differ run-to-run at scale); the correlation itself is a
+    fixed tree of correctly-rounded IEEE ops over those exact inputs,
+    so both engines produce the identical double.
+
+    Column choice bounds the moment magnitudes: quantity ≤ 50 and
+    discount ≤ 0.1 keep every Σ under ~2^50 scale-6 quanta at these
+    SFs, so the final decimal → double cast is value-exact in both
+    engines. (Σ price² would exceed 2^53 quanta, where Spark's
+    one-step correctly-rounded conversion and DuckDB's
+    int128-then-divide path can differ by an ulp.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum("l_discount").alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_discount")).alias("sxy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        dsum(F.col("l_discount") * F.col("l_discount")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select("l_returnflag", "n", (num / den).alias("corr_qty_disc"))

@@ -170,3 +170,89 @@ def pin_latest_table(
         spark.sql(
             f"CREATE TABLE {table} USING PARQUET LOCATION '{partition_dir}'"
         )
+
+
+@query(
+    "snapshot_diff",
+    # Snapshot B is derived from A by deterministic key rules, so the
+    # oracle reconstructs both sides and classifies with the same
+    # full-outer-join semantics.
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+    ), b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 103 = 0
+                    THEN o_totalprice + 100.0 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 101 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_totalprice
+        FROM orders WHERE o_orderkey % 107 = 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_orderkey IS NULL THEN 'added'
+                ELSE 'changed' END AS change_type,
+           a.o_totalprice AS old_price,
+           b.o_totalprice AS new_price
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two dated snapshots into added / removed / changed rows.
+
+    The audit operator the reference's snapshot protocol (O12) begs
+    for: each run overwrites the 'latest' table, so "what changed
+    since yesterday" needs a diff of two partition directories. One
+    full outer join on the business key classifies every divergence;
+    unchanged rows (the overwhelming majority at 100 TB) are filtered
+    out BEFORE anything is collected or written, so the output is
+    O(churn), not O(table). With both snapshots bucketed by key the
+    join runs exchange-free (`join_bucketed` pattern); here the
+    second snapshot is synthesized from the first by deterministic
+    key rules (deletes: %101, updates: %103, inserts: %107-keyed new
+    ids), which keeps the operator self-contained and the oracle
+    exact.
+    """
+    a = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = (
+        a.where(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 103 == 0, F.col("o_totalprice") + 100.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            a.where(F.col("o_orderkey") % 107 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    return (
+        joined.where(
+            F.col("a.o_orderkey").isNull()
+            | F.col("b.o_orderkey").isNull()
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+        )
+        .select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("b.o_orderkey").isNull(), "removed")
+            .when(F.col("a.o_orderkey").isNull(), "added")
+            .otherwise("changed")
+            .alias("change_type"),
+            F.col("a.o_totalprice").alias("old_price"),
+            F.col("b.o_totalprice").alias("new_price"),
+        )
+    )
