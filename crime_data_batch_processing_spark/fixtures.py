@@ -1,0 +1,64 @@
+"""Derived-fixture scratch management shared by every operator that
+materializes state from a testdata table (CSV/JSON/ORC/binary copies,
+the Derby JDBC database, rollup/zone-map/sketch tables).
+
+Two invariants every fixture needs:
+
+1. **Generation safety.** Scratch keys hash the absolute sf_dir AND
+   each source table's (size, mtime) fingerprint: the round driver
+   rewrites /root/testdata in place between rounds while /tmp can
+   survive, and a fixture built from the previous generation would
+   otherwise serve silently stale rows. A regeneration keys a fresh
+   scratch dir and the fixture rebuilds. (Path-only hashing also
+   prevents two sf trees with the same basename from sharing state.)
+
+2. **Concurrency safety.** `build_once` elects exactly one builder
+   per scratch dir across processes with an O_EXCL lockfile; losers
+   wait for the completion marker, so a half-written fixture is never
+   read (the idiom proven by the embedded-Derby loader, which is
+   additionally single-JVM).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from collections.abc import Callable
+
+
+def scratch_dir(kind: str, sf_dir: str, *source_tables: str) -> str:
+    """Scratch root for a fixture of `kind` derived from the given
+    testdata tables."""
+    h = hashlib.sha256(os.path.abspath(sf_dir).encode())
+    for name in source_tables:
+        p = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+        st = os.stat(p)
+        h.update(f"|{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"/tmp/cdbp_{kind}/{h.hexdigest()[:16]}"
+
+
+def build_once(base: str, build: Callable[[], None]) -> None:
+    """Run `build()` exactly once per scratch dir across processes."""
+    marker = f"{base}/_BUILD_OK"
+    if os.path.exists(marker):
+        return
+    os.makedirs(base, exist_ok=True)
+    lockfile = f"{base}/_BUILD_LOCK"
+    try:
+        fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        deadline = time.monotonic() + 120
+        while not os.path.exists(marker):
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"builder holding {lockfile} did not finish within 120s"
+                )
+            time.sleep(0.25)
+    else:
+        try:
+            build()
+            open(marker, "w").close()
+        finally:
+            os.close(fd)
+            os.unlink(lockfile)

@@ -399,7 +399,7 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scratch,
     )
 
-    base = _scratch("sketch", sf_dir)
+    base = _scratch("sketch", sf_dir, "orders")
     sketch_path = f"{base}/custkey_by_year"
     orders = load_table(spark, sf_dir, "orders")
     yearly = orders.select(

@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crime_data_batch_processing_spark.fixtures import scratch_dir
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -127,7 +128,7 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     front-doors compact payloads into parquet binary columns (the
     `multimodal_cols` shape) after exactly this scan.
     """
-    bin_dir = f"/tmp/cdbp_bin/{os.path.basename(sf_dir.rstrip('/'))}/documents"
+    bin_dir = f"{scratch_dir('bin', sf_dir, 'documents')}/documents"
     marker = os.path.join(bin_dir, "_FIXTURE_OK")
     if not os.path.exists(marker):
         os.makedirs(bin_dir, exist_ok=True)

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from crime_data_batch_processing_spark.fixtures import build_once, scratch_dir
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.jdbc import read_jdbc_partitioned
 from crime_data_batch_processing_spark.sources.tables import load_table
@@ -68,9 +69,9 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     The CSV fixture is materialized once per sf_dir from the parquet
     table so the oracle (which reads the parquet) sees identical rows.
     """
-    csv_dir = f"/tmp/cdbp_csv/{os.path.basename(sf_dir.rstrip('/'))}/nation"
-    marker = os.path.join(csv_dir, "_SUCCESS")
-    if not os.path.exists(marker):
+    csv_dir = f"{scratch_dir('csv', sf_dir, 'nation')}/nation"
+
+    def _build() -> None:
         (
             load_table(spark, sf_dir, "nation")
             .coalesce(1)
@@ -79,6 +80,8 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("quoteAll", True)
             .csv(csv_dir)
         )
+
+    build_once(os.path.dirname(csv_dir), _build)
     df = spark.read.csv(csv_dir, header=True, quote='"', schema=NATION_SCHEMA)
     return df.orderBy("n_nationkey")
 
@@ -98,12 +101,14 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     would round-trip through shortest-repr printing — fine for Spark,
     but a separate code path this fixture deliberately avoids.
     """
-    json_dir = f"/tmp/cdbp_json/{os.path.basename(sf_dir.rstrip('/'))}/nation"
-    marker = os.path.join(json_dir, "_SUCCESS")
-    if not os.path.exists(marker):
+    json_dir = f"{scratch_dir('json', sf_dir, 'nation')}/nation"
+
+    def _build() -> None:
         load_table(spark, sf_dir, "nation").coalesce(1).write.mode(
             "overwrite"
         ).json(json_dir)
+
+    build_once(os.path.dirname(json_dir), _build)
     return spark.read.json(json_dir, schema=NATION_SCHEMA)
 
 
@@ -120,12 +125,14 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plans. Round-trips `customer` (int64/int32/double/string)
     through an ORC copy and reads it back.
     """
-    orc_dir = f"/tmp/cdbp_orc/{os.path.basename(sf_dir.rstrip('/'))}/customer"
-    marker = os.path.join(orc_dir, "_SUCCESS")
-    if not os.path.exists(marker):
+    orc_dir = f"{scratch_dir('orc', sf_dir, 'customer')}/customer"
+
+    def _build() -> None:
         load_table(spark, sf_dir, "customer").coalesce(1).write.mode(
             "overwrite"
         ).orc(orc_dir)
+
+    build_once(os.path.dirname(orc_dir), _build)
     return spark.read.orc(orc_dir)
 
 
@@ -207,10 +214,11 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     row lost/duplicated/type-mangled by either JDBC direction breaks
     the hash.
     """
-    import hashlib
-
-    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    db = f"/tmp/cdbp_jdbc/{key}/orders"
+    # path+generation-fingerprint key (fixtures.py): a Derby fixture
+    # loaded from a previous testdata generation must never serve a
+    # regenerated sf_dir at the same path
+    jdbc_base = scratch_dir("jdbc", sf_dir, "orders")
+    db = f"{jdbc_base}/orders"
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     src = (
@@ -218,14 +226,14 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % JDBC_MOD == 0)
         .select(*_JDBC_COLS)
     )
-    marker = f"/tmp/cdbp_jdbc/{key}/_FIXTURE_OK"
+    marker = f"{jdbc_base}/_FIXTURE_OK"
     if not os.path.exists(marker):
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         # embedded Derby is single-JVM: two processes bootstrapping the
         # same sf_dir fixture concurrently would fight over the db boot
         # lock. An O_EXCL lockfile elects one loader; losers wait for
         # the marker (or surface the winner's failure as a timeout).
-        lockfile = f"/tmp/cdbp_jdbc/{key}/_FIXTURE_LOCK"
+        lockfile = f"{jdbc_base}/_FIXTURE_LOCK"
         try:
             fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:

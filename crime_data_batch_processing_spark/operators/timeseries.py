@@ -24,55 +24,19 @@ are what that architecture is missing at 100 TB:
 
 from __future__ import annotations
 
-import hashlib
-import os
-import time
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crime_data_batch_processing_spark.fixtures import build_once, scratch_dir
 from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
 
-def _scratch(kind: str, sf_dir: str) -> str:
-    """Per-(kind, absolute sf_dir) scratch root — hash-keyed so two sf
-    trees with the same basename can never share (stale) state."""
-    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return f"/tmp/cdbp_{kind}/{key}"
-
-
-def _build_once(base: str, build: Callable[[], None]) -> None:
-    """Run `build()` exactly once per scratch dir across processes.
-
-    Same election idiom as the JDBC fixture (scans.py): an O_EXCL
-    lockfile picks one builder; losers wait for the completion marker
-    so a half-written fixture is never read.
-    """
-    marker = f"{base}/_BUILD_OK"
-    if os.path.exists(marker):
-        return
-    os.makedirs(base, exist_ok=True)
-    lockfile = f"{base}/_BUILD_LOCK"
-    try:
-        fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        deadline = time.monotonic() + 120
-        while not os.path.exists(marker):
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"builder holding {lockfile} did not finish within 120s"
-                )
-            time.sleep(0.25)
-    else:
-        try:
-            build()
-            open(marker, "w").close()
-        finally:
-            os.close(fd)
-            os.unlink(lockfile)
+#: Shared fixture helpers — re-exported under the module-local names
+#: the operator bodies (and aggregates.agg_sketch_rollup) import.
+_scratch = scratch_dir
+_build_once = build_once
 
 
 @query(
@@ -111,7 +75,7 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.max("ts")).alias("b")
     ).collect()[0]["b"]
 
-    base = _scratch("rollup", sf_dir)
+    base = _scratch("rollup", sf_dir, "events")
     rollup_path = f"{base}/events_hourly"
 
     def build() -> None:
@@ -290,7 +254,7 @@ def scan_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, so a file wrongly skipped surfaces as missing output.
     (o_custkey 42 exists at every testdata sf.)
     """
-    base = _scratch("zonemap", sf_dir)
+    base = _scratch("zonemap", sf_dir, "orders")
     data_dir = f"{base}/data"
     manifest_dir = f"{base}/manifest"
 
