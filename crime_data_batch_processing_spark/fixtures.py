@@ -38,27 +38,52 @@ def scratch_dir(kind: str, sf_dir: str, *source_tables: str) -> str:
     return f"/tmp/cdbp_{kind}/{h.hexdigest()[:16]}"
 
 
+#: A lock older than this is presumed orphaned (builder SIGKILLed /
+#: OOM-killed before its finally-unlink) and is broken by the next
+#: caller. Builds here are tens of seconds at bench SF; 180s leaves
+#: generous headroom while keeping a wedged fixture self-healing.
+STALE_LOCK_S = 180
+
+
 def build_once(base: str, build: Callable[[], None]) -> None:
-    """Run `build()` exactly once per scratch dir across processes."""
+    """Run `build()` exactly once per scratch dir across processes.
+
+    Losers of the lockfile election wait for the winner's completion
+    marker. A lock whose mtime exceeds STALE_LOCK_S with no marker is
+    treated as a dead builder: it is removed (best-effort — racing
+    removers are harmless, the O_EXCL retry re-elects) and the
+    election re-runs, so a hard-killed process can never wedge every
+    future run the way a permanent lock would.
+    """
     marker = f"{base}/_BUILD_OK"
-    if os.path.exists(marker):
-        return
-    os.makedirs(base, exist_ok=True)
-    lockfile = f"{base}/_BUILD_LOCK"
-    try:
-        fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        deadline = time.monotonic() + 120
-        while not os.path.exists(marker):
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"builder holding {lockfile} did not finish within 120s"
-                )
-            time.sleep(0.25)
-    else:
+    while not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+        lockfile = f"{base}/_BUILD_LOCK"
         try:
-            build()
-            open(marker, "w").close()
-        finally:
-            os.close(fd)
-            os.unlink(lockfile)
+            fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            deadline = time.monotonic() + STALE_LOCK_S + 30
+            while not os.path.exists(marker):
+                try:
+                    age = time.time() - os.stat(lockfile).st_mtime
+                except FileNotFoundError:
+                    break  # holder finished or lock was broken: re-elect
+                if age > STALE_LOCK_S:
+                    try:
+                        os.unlink(lockfile)
+                    except FileNotFoundError:
+                        pass
+                    break
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"builder holding {lockfile} did not finish in time"
+                    )
+                time.sleep(0.25)
+        else:
+            try:
+                build()
+                open(marker, "w").close()
+            finally:
+                os.close(fd)
+                os.unlink(lockfile)
+            return

@@ -80,3 +80,22 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     """DuckDB-side rendering of :func:`davg` for oracle strings."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({expr})"
+
+
+def dsum_merge(col: Column | str) -> Column:
+    """Re-combine already-decimal-summed doubles exactly.
+
+    Partial sums produced by :func:`dsum` are exact decimals cast to
+    double — a value-preserving cast while the total stays under ~2^53
+    scale-6 quanta (the engine's columns are chosen to). Re-casting
+    each partial back to DECIMAL(28,6) recovers the exact partial, and
+    the decimal re-sum is order-independent, so a merge of partials
+    (rollup + tail, delta folds) equals the one-pass :func:`dsum` of
+    the raw rows bit-for-bit. Used by the continuous-aggregate
+    operators (timeseries.rollup_hypertable,
+    streaming.stream_rollup_incremental).
+    """
+    from pyspark.sql.types import DecimalType
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DecimalType(28, 6))).cast("double")

@@ -394,12 +394,12 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     output — binary cells aren't canonicalizable, and the estimate is
     what callers consume).
     """
-    from crime_data_batch_processing_spark.operators.timeseries import (
-        _build_once,
-        _scratch,
+    from crime_data_batch_processing_spark.fixtures import (
+        build_once,
+        scratch_dir,
     )
 
-    base = _scratch("sketch", sf_dir, "orders")
+    base = scratch_dir("sketch", sf_dir, "orders")
     sketch_path = f"{base}/custkey_by_year"
     orders = load_table(spark, sf_dir, "orders")
     yearly = orders.select(
@@ -414,7 +414,7 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sketch_path)
         )
 
-    _build_once(base, build)
+    build_once(base, build)
     sketches = spark.read.parquet(sketch_path)
 
     exact_per_year = yearly.groupBy("y").agg(

@@ -72,14 +72,24 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale. Every triangle is reported once, keyed by its
     lowest-(degree, id) corner ("apex").
     """
+    # materialized once: the exact-Jaccard pair pipeline is the
+    # expensive stage, and the graph below consumes it from four
+    # branches (degrees, orientation, wedges via a self-join, closing
+    # edges) — without truncation each branch re-runs the whole
+    # shingle shuffle (same rationale as connected_components_star)
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .where(F.col("doc_a") != F.col("doc_b"))
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint(eager=True)
     )
-    und = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    und = (
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     e = (
         pairs.join(

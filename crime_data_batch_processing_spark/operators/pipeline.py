@@ -24,6 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.storagelevel import StorageLevel
+
+from crime_data_batch_processing_spark.cachekit import track
 from crime_data_batch_processing_spark.functions.textkit import (
     sql_shingles,
     tokens,
@@ -222,7 +225,15 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size(F.array_distinct(toks_c)).cast("double") / n >= MIN_DISTINCT_RATIO)
     )
     winners = q.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    kept = q.join(winners.select("doc_id"), "doc_id").select("doc_id", "lang")
+    # persisted: the curated spine feeds the rate computation AND the
+    # final sampled join — un-persisted, each branch re-runs the
+    # decontamination join + quality filter + dedup aggregate
+    kept = (
+        q.join(winners.select("doc_id"), "doc_id")
+        .select("doc_id", "lang")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
 
     counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))

@@ -226,36 +226,16 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % JDBC_MOD == 0)
         .select(*_JDBC_COLS)
     )
-    marker = f"{jdbc_base}/_FIXTURE_OK"
-    if not os.path.exists(marker):
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        # embedded Derby is single-JVM: two processes bootstrapping the
-        # same sf_dir fixture concurrently would fight over the db boot
-        # lock. An O_EXCL lockfile elects one loader; losers wait for
-        # the marker (or surface the winner's failure as a timeout).
-        lockfile = f"{jdbc_base}/_FIXTURE_LOCK"
-        try:
-            fd = os.open(lockfile, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            import time
-
-            deadline = time.monotonic() + 120
-            while not os.path.exists(marker):
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"JDBC fixture loader holding {lockfile} did not "
-                        "produce the marker within 120s"
-                    )
-                time.sleep(0.25)
-        else:
-            try:
-                src.write.jdbc(
-                    url, "orders_jdbc", mode="overwrite", properties=props
-                )
-                open(marker, "w").close()
-            finally:
-                os.close(fd)
-                os.unlink(lockfile)
+    # embedded Derby is single-JVM: two processes bootstrapping the
+    # same fixture concurrently would fight over the db boot lock, so
+    # the one-time INSERT load goes through the shared build-once
+    # election (stale-lock-healing, see fixtures.py)
+    build_once(
+        jdbc_base,
+        lambda: src.write.jdbc(
+            url, "orders_jdbc", mode="overwrite", properties=props
+        ),
+    )
     # stride bounds: the standard min/max(partitionColumn) lookup every
     # partitioned JDBC ingest performs (a scalar agg, not row data)
     lo, hi = src.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()

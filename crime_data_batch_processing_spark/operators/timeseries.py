@@ -28,23 +28,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crime_data_batch_processing_spark.fixtures import build_once, scratch_dir
-from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
+from crime_data_batch_processing_spark.functions.exact import (
+    dsum,
+    dsum_merge,
+    sql_dsum,
+)
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
-
-
-#: Shared fixture helpers — re-exported under the module-local names
-#: the operator bodies (and aggregates.agg_sketch_rollup) import.
-_scratch = scratch_dir
-_build_once = build_once
 
 
 @query(
     "rollup_hypertable",
     oracle=f"""
-    WITH bound AS (
-        SELECT date_trunc('day', max(ts)) AS tail_start FROM events
-    )
     SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
            event_type,
            COUNT(*) AS n_events,
@@ -75,7 +70,7 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.max("ts")).alias("b")
     ).collect()[0]["b"]
 
-    base = _scratch("rollup", sf_dir, "events")
+    base = scratch_dir("rollup", sf_dir, "events")
     rollup_path = f"{base}/events_hourly"
 
     def build() -> None:
@@ -93,7 +88,7 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(rollup_path)
         )
 
-    _build_once(base, build)
+    build_once(base, build)
 
     tail = (
         events.filter(F.col("ts") >= F.lit(tail_start))
@@ -118,19 +113,6 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum_merge("sum_value").alias("sum_value"),
         )
     )
-
-
-def dsum_merge(col: str) -> F.Column:
-    """Re-combine already-decimal-summed doubles exactly.
-
-    Partial sums are exact decimals cast to double (lossless for the
-    magnitudes involved, <2^53 at scale 6); re-accumulating them in
-    decimal keeps the merge order-independent, so rollup+tail equals
-    the oracle's single-pass sum bit-for-bit.
-    """
-    from pyspark.sql.types import DecimalType
-
-    return F.sum(F.col(col).cast(DecimalType(28, 6))).cast("double")
 
 
 @query(
@@ -254,7 +236,7 @@ def scan_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, so a file wrongly skipped surfaces as missing output.
     (o_custkey 42 exists at every testdata sf.)
     """
-    base = _scratch("zonemap", sf_dir, "orders")
+    base = scratch_dir("zonemap", sf_dir, "orders")
     data_dir = f"{base}/data"
     manifest_dir = f"{base}/manifest"
 
@@ -277,7 +259,7 @@ def scan_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(manifest_dir)
         )
 
-    _build_once(base, build)
+    build_once(base, build)
 
     key = 42
     paths = [
@@ -286,7 +268,13 @@ def scan_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("lo") <= key) & (F.col("hi") >= key))
         .collect()
     ]
-    assert paths, "zone map must keep at least the file holding the key"
+    if not paths:
+        # no zone intersects the key ⇒ the key is absent from the
+        # table and the correct (oracle-matching) answer is empty —
+        # returned explicitly, since spark.read.parquet() needs ≥1 path
+        return spark.createDataFrame(
+            [], "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+        )
     return (
         spark.read.parquet(*paths)
         .filter(F.col("o_custkey") == key)

@@ -71,6 +71,8 @@ def _probe_ts_unit(src_dir: str) -> str:
     """
     import pyarrow.parquet as pq
 
+    if not os.path.isdir(src_dir):
+        return "ns"
     for name in sorted(os.listdir(src_dir)):
         if name.endswith(".parquet"):
             t = str(pq.read_schema(os.path.join(src_dir, name)).field("ts").type)
@@ -638,9 +640,11 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     each delta is O(hours × types), so a day of micro-batches folds
     thousands of tiny rows, not the event history.
     """
-    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    delta_base = f"/tmp/cdbp_rollup_delta/{key}"
-    shutil.rmtree(delta_base, ignore_errors=True)
+    # per-RUN-unique delta root (mkdtemp): each invocation restreams
+    # from scratch, and a shared path-keyed dir would let a concurrent
+    # run's cleanup delete this run's deltas mid-fold. The dir is tiny
+    # (O(hours x types) rows per batch) and /tmp-resident.
+    delta_base = tempfile.mkdtemp(prefix="cdbp_rollup_delta_")
     events = streaming_events(spark, _stream_src(sf_dir))
     ckpt = _scratch_ckpt()
     q = (
@@ -653,15 +657,13 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    from pyspark.sql.types import DecimalType
+    from crime_data_batch_processing_spark.functions.exact import dsum_merge
 
     return (
         spark.read.parquet(delta_base)
         .groupBy("hour_us", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum(F.col("sum_value").cast(DecimalType(28, 6)))
-            .cast("double")
-            .alias("sum_value"),
+            dsum_merge("sum_value").alias("sum_value"),
         )
     )
