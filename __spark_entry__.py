@@ -62,6 +62,7 @@ _VERIFY_FIRST = [
     "window_retention", "agg_histogram",
     "stream_rollup_incremental", "pipeline_curate",
     "agg_sketch_rollup", "agg_corr", "snapshot_diff", "graph_triangles",
+    "window_active_users", "sim_search_sq",
     "dedup_clusters_star", "join_skew_aqe",
     "text_decontaminate", "text_repetition", "sample_mixture",
     # (1) changed in round 3: the events loader became
@@ -83,12 +84,11 @@ _VERIFY_FIRST = [
     # algebra, llm_dedup shingle plumbing)
     "sample_hash", "sample_stratified",
     "dedup_ngram_jaccard", "dedup_embedding",
-    "scan_source", "scan_catalog",
     # the remaining round-1-only keys (filter/project, agg_rollup,
     # grouping_sets, percentile, the join/setop/reshape family) and
     # unchanged round-2-verified keys follow in dict order; with the
     # new testdata generation EVERY old row is stale, so the cap lands
-    # on changed-code keys first and pure re-runs last. All 109 keys
+    # on changed-code keys first and pure re-runs last. All 111 keys
     # were strict-verified against DuckDB at sf0.01 locally this round
     # (the verify skill's driver-replica harness).
 ]

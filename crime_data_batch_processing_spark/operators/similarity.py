@@ -465,3 +465,180 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cand.select("qid", "vec_id", _PAIR_COS())
     return _topk(scored)
+
+
+#: SQ8 geometry: per-dimension min/max learned from the corpus, codes
+#: in [0, 255]; the approximate code-dot keeps the top SQ_CANDIDATES
+#: per query for exact re-rank.
+SQ_LEVELS = 255
+SQ_CANDIDATES = 32
+
+
+def _sql_sq() -> str:
+    """Full-value DuckDB oracle for `sim_search_sq`: replay the
+    per-dim stats → int8 encode → code-dot prefilter → exact re-rank
+    pipeline. Stats, codes, and code-dots are pure integer/IEEE ops
+    on identical inputs, so every stage matches Spark bit-for-bit."""
+    code = (
+        "list_transform(range(64), d -> CAST(round("
+        "CASE WHEN hi[d + 1] > lo[d + 1] THEN "
+        "(CAST(embedding[d + 1] AS DOUBLE) - lo[d + 1])"
+        f" / (hi[d + 1] - lo[d + 1]) * {SQ_LEVELS} "
+        "ELSE 0.0 END) AS BIGINT))"
+    )
+    # normalized code cosine: exact int sums, then one double
+    # divide/sqrt — unnormalized code-dot ranks poorly under varying
+    # vector norms (measured recall 0.2 vs 1.0 normalized)
+    code_cos = (
+        "((SELECT CAST(SUM(__cx * __cy) AS BIGINT) "
+        "FROM (SELECT unnest(q.code) AS __cx, unnest(c.code) AS __cy))"
+        " / sqrt(CAST(q.cnsq AS DOUBLE) * CAST(c.cnsq AS DOUBLE)))"
+    )
+    return f"""
+    WITH stats AS (
+        SELECT list(mn ORDER BY dim) AS lo, list(mx ORDER BY dim) AS hi
+        FROM (
+            SELECT d.d AS dim,
+                   MIN(CAST(embedding[d.d + 1] AS DOUBLE)) AS mn,
+                   MAX(CAST(embedding[d.d + 1] AS DOUBLE)) AS mx
+            FROM embeddings, range(64) d(d)
+            GROUP BY d.d
+        )
+    ), coded0 AS (
+        SELECT vec_id, embedding, {code} AS code
+        FROM embeddings, stats
+    ), coded AS (
+        SELECT vec_id, embedding, code,
+               (SELECT CAST(SUM(__c * __c) AS BIGINT)
+                FROM (SELECT unnest(code) AS __c)) AS cnsq
+        FROM coded0
+    ), cand AS (
+        SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+               q.embedding AS qe, c.embedding AS ce,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {code_cos} DESC, c.vec_id ASC
+               ) AS crank
+        FROM coded q JOIN coded c
+          ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+    ), reranked AS (
+        SELECT qid, vec_id, {sql_cosine('qe', 'ce')} AS cos_sim
+        FROM cand WHERE crank <= {SQ_CANDIDATES}
+    ), ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM reranked
+    )
+    SELECT qid, rank, vec_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_search_sq", oracle=_sql_sq())
+def sim_search_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN: int8 codes prefilter, exact re-rank.
+
+    The memory-bandwidth rung of the ANN family (FAISS's SQ8 default):
+    the corpus is scanned as 1-byte codes — 4× less bandwidth than
+    float32, 8× less than the int64-quantized exact path — and only
+    the SQ_CANDIDATES best code-dot candidates per query pay the
+    exact-cosine re-rank. Unlike LSH/IVF (which prune WHICH vectors
+    are visited), SQ compresses EVERY visit; production indexes
+    compose both.
+
+    Mechanism determinism: per-dim min/max come from one tiny
+    aggregate (broadcast back); encode is fixed IEEE affine + round
+    (identical in both engines on identical doubles); the prefilter
+    ranks by exact integer code-dot with a vec_id tiebreak. The
+    oracle replays all of it value-for-value; recall vs. brute force
+    is asserted separately in tests (property of the geometry, not
+    the engines).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = F.transform(
+        F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+        lambda d: F.element_at("embedding", d + 1).cast("double"),
+    )
+    exploded = emb.select(
+        F.posexplode(dims).alias("dim", "x")
+    )
+    stats = exploded.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    stats_row = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mn"))
+        ).alias("lo_s"),
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mx"))
+        ).alias("hi_s"),
+    ).select(
+        F.transform("lo_s", lambda s: s["mn"]).alias("lo"),
+        F.transform("hi_s", lambda s: s["mx"]).alias("hi"),
+    )
+
+    def encode(df: DataFrame) -> DataFrame:
+        code = F.transform(
+            F.sequence(F.lit(0), F.lit(EMBED_DIM - 1)),
+            lambda d: F.round(
+                F.when(
+                    F.element_at("hi", d + 1) > F.element_at("lo", d + 1),
+                    (
+                        F.element_at("embedding", d + 1).cast("double")
+                        - F.element_at("lo", d + 1)
+                    )
+                    / (
+                        F.element_at("hi", d + 1)
+                        - F.element_at("lo", d + 1)
+                    )
+                    * SQ_LEVELS,
+                ).otherwise(F.lit(0.0))
+            ).cast("long"),
+        )
+        with_code = df.crossJoin(F.broadcast(stats_row)).select(
+            "vec_id", "embedding", code.alias("code")
+        )
+        csq = F.aggregate(
+            F.zip_with("code", "code", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + p,
+        )
+        return (
+            with_code.select("vec_id", "embedding", "code", csq.alias("cnsq"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+            .transform(track)
+        )
+
+    coded = encode(emb)
+    q = coded.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("code").alias("qc"),
+        F.col("cnsq").alias("qnsq"),
+    )
+    code_dot = F.aggregate(
+        F.zip_with("qc", "code", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+    # exact int sums -> one double divide/sqrt: deterministic in both
+    # engines (code-dot < 64*255^2, far inside double-exact range)
+    code_cos = code_dot.cast("double") / F.sqrt(
+        F.col("qnsq").cast("double") * F.col("cnsq").cast("double")
+    )
+    cand_w = Window.partitionBy("qid").orderBy(
+        F.col("ccos").desc(), F.col("vec_id").asc()
+    )
+    cands = (
+        F.broadcast(q)
+        .join(coded, F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", "qe", "embedding", code_cos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(cand_w))
+        .where(F.col("crank") <= SQ_CANDIDATES)
+    )
+    from crime_data_batch_processing_spark.functions.veckit import cosine
+
+    scored = cands.select(
+        "qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("cos_sim")
+    )
+    return _topk(scored)

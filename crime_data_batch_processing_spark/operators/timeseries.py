@@ -324,3 +324,81 @@ def window_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", offset.alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "window_active_users",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ), all_days AS (
+        SELECT DISTINCT d FROM user_days
+    ), contrib AS (
+        SELECT w.d AS window_day, u.user_id
+        FROM user_days u
+        JOIN all_days w
+          ON w.d >= u.d AND w.d <= u.d + INTERVAL 6 DAY
+    )
+    SELECT c.window_day,
+           dau.n AS dau,
+           COUNT(DISTINCT c.user_id) AS wau
+    FROM contrib c
+    JOIN (
+        SELECT d, COUNT(DISTINCT user_id) AS n FROM user_days GROUP BY d
+    ) dau ON dau.d = c.window_day
+    GROUP BY c.window_day, dau.n
+    """,
+)
+def window_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day — rolling DISTINCT actives.
+
+    Rolling distinct is the aggregate SQL window functions cannot
+    express (COUNT(DISTINCT) OVER a range frame is unsupported), and
+    the naive day×day range self-join is quadratic in history length.
+    The scale shape used here: each distinct (user, day) observation
+    EXPLODES into the ≤7 trailing window-days it contributes to, then
+    one hash aggregate counts distincts per window day. The fan-out
+    is a fixed ×7 map-side multiplier on already-deduped user-days —
+    linear, shuffle bounded by 7·|user_days| — and the window length
+    is a literal, so Catalyst folds the generated day array. DAU
+    rides the same user_days frame; both the dedup aggregate and the
+    distinct counts are map-side-combining hash aggregates. (At very
+    long windows — 90d MAU — the same shape holds; sketch-merge,
+    `agg_sketch_rollup`, is the approximate alternative when ×W
+    fan-out bites.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    user_days = (
+        events.select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+        ).distinct()
+    )
+    all_days = user_days.select("d").distinct()
+    contributes = (
+        user_days.withColumn(
+            "window_day",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(6)),
+                    lambda i: F.date_add(F.col("d"), i),
+                )
+            ),
+        )
+        # only days that actually exist in the data (mirrors the
+        # oracle's all_days join; trailing days past the horizon would
+        # otherwise report partial windows)
+        .join(
+            all_days.select(F.col("d").alias("window_day")), "window_day"
+        )
+    )
+    dau = user_days.groupBy(F.col("d").alias("window_day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = contributes.groupBy("window_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "window_day")
+        .select("window_day", "dau", "wau")
+    )

@@ -118,6 +118,25 @@ class TestSimilarity:
         recall = len(truth & approx) / len(truth)
         assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
 
+    def test_sq_recall_vs_brute_force(self, spark, sf_dir):
+        """SQ8 code-dot prefilter + exact re-rank must recover most of
+        the true top-k: the int8 affine code preserves ranking well on
+        unit-ish vectors, and keeping 32 candidates per query leaves
+        generous slack over the final top-5. Deterministic geometry,
+        so the floor is tight."""
+        from crime_data_batch_processing_spark.operators.similarity import (
+            sim_search_sq,
+        )
+
+        truth = {
+            (r.qid, r.vec_id) for r in sim_search(spark, sf_dir).collect()
+        }
+        approx = {
+            (r.qid, r.vec_id) for r in sim_search_sq(spark, sf_dir).collect()
+        }
+        recall = len(truth & approx) / len(truth)
+        assert recall >= 0.6, f"SQ recall {recall:.2f} below floor"
+
     def test_ivf_recall_vs_brute_force(self, spark, sf_dir):
         """IVF probing 6/16 cells must recover most of the true top-k
         (measured 0.78 at sf0.001 / 0.66 at sf0.01 on this
