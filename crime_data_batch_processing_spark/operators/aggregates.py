@@ -123,21 +123,25 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: HLL++ error contract: rsd=0.05 is a standard deviation; 3σ = 15%
-#: relative error bounds the estimate with ~99.7% confidence — and
-#: DETERMINISTICALLY for a fixed dataset, since the sketch hash is
-#: fixed (no run-to-run randomness). That determinism is what lets
-#: the bounded-error check be a hashable oracle column.
+#: HLL++ error contract: rsd=0.05 is a standard deviation. The flag
+#: compares at 8σ (40% relative error), NOT the ~3σ publication bound:
+#: the estimate is deterministic per dataset, but the round driver
+#: REGENERATES testdata between rounds, and a 3σ bound leaves ~0.3%
+#: of generations where a perfectly correct sketch legitimately fails
+#: its own oracle. 8σ keeps the flag a real sanity check (a broken
+#: sketch is off by 2×, not 40%) while making a false flip
+#: astronomically unlikely across regenerations.
 APPROX_RSD = 0.05
-APPROX_BOUND = 3 * APPROX_RSD
+APPROX_BOUND = 8 * APPROX_RSD
 
 
 @query(
     "agg_approx_distinct",
     # The HLL estimate itself is engine-specific, so the oracle can't
     # reproduce it — but the CONTRACT is SQL-expressible: the exact
-    # distinct counts plus "the estimate is within 3·rsd of exact",
-    # which is deterministically TRUE for this data. The estimate is
+    # distinct counts plus "the estimate is within 8·rsd of exact",
+    # which is TRUE for any correct sketch on any generation. The
+    # estimate is
     # genuinely computed (the booleans derive from it); only its raw
     # value stays out of the hashed output.
     oracle=f"""
@@ -156,7 +160,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     HyperLogLog++ sketches are mergeable, so the aggregation stays
     one-pass with bounded per-key state. The registered output pairs
     the exact counts with bounded-error flags on the HLL estimates
-    (|approx - exact| ≤ 3·rsd·exact), making the probabilistic
+    (|approx - exact| ≤ 8·rsd·exact), making the probabilistic
     operator's contract oracle-checkable; at 100 TB one would drop
     the exact columns and keep only the sketch.
 
@@ -359,9 +363,12 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Apache DataSketches HLL (Spark 3.5+ `hll_sketch_agg`): default
-#: lgConfigK=12 gives ~1.6% relative standard error; 0.05 is the
-#: same 3-sigma contract bound style as `agg_approx_distinct`.
-SKETCH_BOUND = 0.05
+#: lgConfigK=12 gives ~1.6% relative standard error; 0.15 is ~9σ —
+#: like APPROX_BOUND, deliberately far past the 3σ tail so a
+#: regenerated testdata generation cannot legitimately flip the
+#: hardcoded `est_ok=TRUE` oracle column on a correct sketch, while a
+#: genuinely broken estimate (wrong merge, wrong column) still trips.
+SKETCH_BOUND = 0.15
 
 
 @query(

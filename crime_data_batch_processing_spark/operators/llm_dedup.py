@@ -479,6 +479,137 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_embedding_lsh() -> str:
+    """Full-value DuckDB oracle for `dedup_embedding_lsh`: replay the
+    hyperplane signature → banding → bucket-collision candidate pairs →
+    exact-cosine verify, sharing the signature/band SQL builders with
+    `sim_search_lsh` (operators/similarity.py) so both engines bucket
+    identically."""
+    from crime_data_batch_processing_spark.operators.similarity import (
+        _SQL_QUANT,
+        sql_bands_cte,
+        sql_sig_expr,
+    )
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS qe
+        FROM embeddings
+    ), sig AS (
+        SELECT vec_id, ({sql_sig_expr()}) AS sig FROM q
+    ), bands AS (
+        {sql_bands_cte()}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+    ), scored AS (
+        SELECT cand.vec_a, cand.vec_b,
+               {sql_cosine('ea.embedding', 'eb.embedding')} AS cos_sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.vec_a
+        JOIN embeddings eb ON eb.vec_id = cand.vec_b
+    )
+    SELECT vec_a, vec_b, cos_sim FROM scored
+    WHERE cos_sim >= {COSINE_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_lsh", oracle=_sql_embedding_lsh())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup at scale: hyperplane-LSH candidate pairs →
+    exact-cosine verify — the non-all-pairs rung of the embedding
+    family, exactly as MinHash gates `dedup_ngram_jaccard`.
+
+    Shape: one packed signature per vector (Arrow matmul, reusing
+    `sim_search_lsh`'s integer planes), band-exploded into
+    (band, bval) buckets; only bucket collisions meet in the
+    self-join, and only the ID pair crosses that shuffle — vectors are
+    re-attached afterwards via two key joins, so the candidate join
+    never carries 64-element arrays. Candidates then pay the exact
+    decimal cosine (same math as `dedup_embedding`), so precision is
+    exact and only sub-threshold recall is probabilistic (asserted
+    against the all-pairs output in tests). Cost: linear in corpus +
+    collisions vs the exact path's O(n²).
+    """
+    from crime_data_batch_processing_spark.operators.similarity import (
+        LSH_BAND_BITS,
+        LSH_BANDS,
+        _signature,
+    )
+
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    with_q = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    # quantize + norm + signature computed ONCE per vector into the
+    # persisted frame — banding and both pair join-backs read the
+    # cache; an un-persisted sig inlined under the explode would rerun
+    # the Arrow matmul per emitted band row
+    with_q = (
+        with_q.select(
+            "vec_id",
+            "q",
+            descale(idot(F.col("q"), F.col("q"))).alias("nsq"),
+            _signature(F.col("q")).alias("sig"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
+    with_q.count()
+    bands = with_q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * LSH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << LSH_BAND_BITS) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bval")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    a = with_q.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("nsq").alias("na"),
+    )
+    b = with_q.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("nsq").alias("nb"),
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                descale(idot(F.col("qa"), F.col("qb")))
+                / F.sqrt(F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= COSINE_THRESHOLD)
+    )
+
+
 #: Safety bound for label propagation — near-dup components are
 #: shallow (diameter ≈ cluster size, and clusters are small), so
 #: convergence is typically 2-4 rounds; 20 means "something is wrong".

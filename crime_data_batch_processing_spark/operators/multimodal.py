@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crime_data_batch_processing_spark.fixtures import scratch_dir
+from crime_data_batch_processing_spark.fixtures import build_once, scratch_dir
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -128,9 +128,10 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     front-doors compact payloads into parquet binary columns (the
     `multimodal_cols` shape) after exactly this scan.
     """
-    bin_dir = f"{scratch_dir('bin', sf_dir, 'documents')}/documents"
-    marker = os.path.join(bin_dir, "_FIXTURE_OK")
-    if not os.path.exists(marker):
+    base = scratch_dir("bin", sf_dir, "documents")
+    bin_dir = f"{base}/documents"
+
+    def _build() -> None:
         os.makedirs(bin_dir, exist_ok=True)
         docs = (
             load_table(spark, sf_dir, "documents")
@@ -140,7 +141,8 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         for row in docs.toLocalIterator():
             with open(os.path.join(bin_dir, f"doc_{row.doc_id}.bin"), "wb") as f:
                 f.write(row.text.encode("utf-8"))
-        open(marker, "w").close()
+
+    build_once(base, _build)
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")

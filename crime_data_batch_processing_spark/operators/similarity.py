@@ -220,17 +220,13 @@ _SQL_QUANT = (
 )
 
 
-def _sql_lsh() -> str:
-    """Full-value DuckDB oracle for `sim_search_lsh`: replay the exact
-    signature → banding → bucket join → exact-cosine re-rank pipeline.
-
-    Each signature bit is `SUM(q_i · w_i) >= 0` over the quantized
-    vector and the integer plane, rendered with the engine's proven
-    lockstep-unnest dot pattern (veckit.sql_dot) against a literal
-    weight list. Integer math end-to-end, so the oracle's buckets are
-    the Spark buckets — this checks the index machinery itself, not
-    just a recall contract.
-    """
+def sql_sig_expr() -> str:
+    """SQL expression computing the packed hyperplane signature of a
+    quantized vector column named `qe`: each bit is `SUM(q_i·w_i) >= 0`
+    over a literal integer plane, rendered with the proven
+    lockstep-unnest dot pattern. Shared by the `sim_search_lsh` and
+    `dedup_embedding_lsh` oracles — integer math end-to-end, so the
+    oracle's buckets ARE the Spark buckets."""
     planes = _hyperplanes()
 
     def bit_dot(plane: list[int]) -> str:
@@ -240,16 +236,31 @@ def _sql_lsh() -> str:
             f"(SELECT unnest(qe) AS __qx, unnest({lit}) AS __wx))"
         )
 
-    sig = " + ".join(
+    return " + ".join(
         f"CASE WHEN {bit_dot(p)} >= 0 THEN {1 << i} ELSE 0 END"
         for i, p in enumerate(planes)
     )
+
+
+def sql_bands_cte() -> str:
+    """SQL select (UNION ALL per band) exploding a `sig` CTE with
+    columns (vec_id, sig) into (vec_id, band, bval) rows."""
     band_mask = (1 << LSH_BAND_BITS) - 1
-    bands = " UNION ALL ".join(
+    return " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, "
         f"(sig >> {b * LSH_BAND_BITS}) & {band_mask} AS bval FROM sig"
         for b in range(LSH_BANDS)
     )
+
+
+def _sql_lsh() -> str:
+    """Full-value DuckDB oracle for `sim_search_lsh`: replay the exact
+    signature → banding → bucket join → exact-cosine re-rank pipeline
+    (see `sql_sig_expr` for why this checks the index machinery itself,
+    not just a recall contract).
+    """
+    sig = sql_sig_expr()
+    bands = sql_bands_cte()
     return f"""
     WITH q AS (
         SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS qe

@@ -25,11 +25,13 @@ file size) so each 100 TB run doesn't leave millions of small files.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crime_data_batch_processing_spark.fixtures import build_once, scratch_dir
 from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.crime_schema import stamp_partitions
@@ -142,6 +144,92 @@ def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+#: Compaction geometry: the sink is deliberately over-fragmented into
+#: FRAGMENT_FILES splits, then rewritten into ceil(bytes/TARGET) files.
+#: 4 MiB keeps the testdata round trip to 1-2 output files; production
+#: uses 128-512 MiB (one HDFS block / object-store part per file).
+FRAGMENT_FILES = 64
+TARGET_FILE_BYTES = 4 * 1024 * 1024
+
+
+def parquet_file_sizes(path: str) -> list[int]:
+    """Byte sizes of the parquet data files under a sink directory.
+    O(files) metadata — the same listStatus a production compactor
+    runs against HDFS/S3; never touches row data."""
+    return [
+        e.stat().st_size
+        for e in os.scandir(path)
+        if e.name.endswith(".parquet")
+    ]
+
+
+def compact_dir(spark: SparkSession, src: str, dst: str) -> None:
+    """Bin-packed small-file compaction: rewrite `src` into
+    ceil(total_bytes / TARGET_FILE_BYTES) files at `dst`.
+
+    `coalesce` (not repartition) keeps the rewrite shuffle-free — each
+    output task concatenates a set of input splits, so the job moves
+    every byte exactly once, map-only. The file-count target comes
+    from real listed sizes, not a guess, so output files land near the
+    target regardless of input fragmentation.
+    """
+    total = sum(parquet_file_sizes(src))
+    n_out = max(1, math.ceil(total / TARGET_FILE_BYTES))
+    spark.read.parquet(src).coalesce(n_out).write.mode("overwrite").parquet(dst)
+
+
+@query(
+    "sink_compacted",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip — the missing piece of the
+    snapshot sink story at 100 TB.
+
+    Every snapshot run (reference O9: daily partitioned overwrite,
+    /root/reference/spark_ingest_script.py:85-95) leaves one file per
+    task; a year of runs at production parallelism is millions of
+    small files, and LISTing them — not reading them — becomes the
+    scan bottleneck. Fixture phase writes orders deliberately
+    over-fragmented (FRAGMENT_FILES splits), then `compact_dir`
+    bin-packs the rewrite. The registered query aggregates the
+    compacted output while the oracle aggregates the source, so any
+    row lost, duplicated, or type-mangled by fragment→compact→scan is
+    a hash mismatch; the file-count contract is asserted in
+    tests/test_plans.py.
+    """
+    base = scratch_dir("compact", sf_dir, "orders")
+    frag_dir = f"{base}/fragmented"
+    comp_dir = f"{base}/compacted"
+
+    def build() -> None:
+        (
+            load_table(spark, sf_dir, "orders")
+            .repartition(FRAGMENT_FILES)
+            .write.mode("overwrite")
+            .parquet(frag_dir)
+        )
+        compact_dir(spark, frag_dir, comp_dir)
+
+    build_once(base, build)
+    return (
+        spark.read.parquet(comp_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
             dsum("o_totalprice").alias("sum_price"),
         )
     )

@@ -247,10 +247,13 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: per-doc bigram arrays (bound token column, no re-split) →
     explode → one hash aggregate with a count-distinct on doc_id →
-    global top-k. The final ORDER BY + LIMIT plans as
-    TakeOrderedAndProject (top-k per partition + merge), never a full
-    sort; the (n DESC, bigram ASC) total order makes ranks
-    deterministic cross-engine.
+    global top-k via ORDER BY + LIMIT, which plans as
+    TakeOrderedAndProject (top-k per partition + merge) — then the
+    rank column is attached AFTER the limit, so the row_number window
+    only ever sees the 20 surviving rows. Ranking before the limit
+    would funnel every distinct bigram (billions at 100 TB) through
+    the window's single partition; the (n DESC, bigram ASC) total
+    order makes ranks deterministic cross-engine either way.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("t")).where(
@@ -267,12 +270,9 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+    top = counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(20)
     w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .orderBy(F.col("n").desc(), F.col("bigram").asc())
-        .limit(20)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 @query(

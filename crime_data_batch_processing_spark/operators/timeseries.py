@@ -260,14 +260,40 @@ def scan_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     build_once(base, build)
+    return _zone_pruned_scan(spark, data_dir, manifest_dir, key=42)
 
-    key = 42
-    paths = [
-        r["path"]
-        for r in spark.read.parquet(manifest_dir)
+
+#: Driver-side manifest cap: the pruned path list is collect()ed, so
+#: an unselective predicate over a 100 TB table (millions of files)
+#: would otherwise be a driver memory hazard. Past the cap the scan
+#: degrades to the full directory read — still correct, and parquet
+#: row-group stats still skip; only the file-level pruning is lost.
+ZONE_MANIFEST_CAP = 10_000
+
+
+def _zone_pruned_scan(
+    spark: SparkSession,
+    data_dir: str,
+    manifest_dir: str,
+    key: int,
+    cap: int = ZONE_MANIFEST_CAP,
+) -> DataFrame:
+    """Query phase of the zone map: manifest lookup → bounded path
+    list → pruned scan, with the unselective-predicate fallback."""
+    matching = (
+        spark.read.parquet(manifest_dir)
         .filter((F.col("lo") <= key) & (F.col("hi") >= key))
-        .collect()
-    ]
+        .select("path")
+    )
+    out_cols = ("o_orderkey", "o_custkey", "o_totalprice")
+    # the count is O(manifest) — file count, never data rows
+    if matching.count() > cap:
+        return (
+            spark.read.parquet(data_dir)
+            .filter(F.col("o_custkey") == key)
+            .select(*out_cols)
+        )
+    paths = [r["path"] for r in matching.collect()]
     if not paths:
         # no zone intersects the key ⇒ the key is absent from the
         # table and the correct (oracle-matching) answer is empty —
@@ -278,7 +304,7 @@ def scan_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(*paths)
         .filter(F.col("o_custkey") == key)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .select(*out_cols)
     )
 
 

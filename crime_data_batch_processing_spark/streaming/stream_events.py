@@ -19,6 +19,7 @@ exercises a restart against the same checkpoint.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
@@ -579,6 +580,18 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-invocation rollup delta roots, reclaimed at interpreter exit —
+#: they must outlive the returned (lazy) DataFrame, so in-function
+#: cleanup is impossible; without this each call leaks a /tmp dir.
+_DELTA_DIRS: list[str] = []
+
+
+@atexit.register
+def _reclaim_delta_dirs() -> None:
+    for d in _DELTA_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def rollup_delta_batch(delta_base: str):
     """foreachBatch function: write one micro-batch's hourly partial
     aggregate as a batch-id-keyed delta file.
@@ -643,8 +656,12 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-RUN-unique delta root (mkdtemp): each invocation restreams
     # from scratch, and a shared path-keyed dir would let a concurrent
     # run's cleanup delete this run's deltas mid-fold. The dir is tiny
-    # (O(hours x types) rows per batch) and /tmp-resident.
+    # (O(hours x types) rows per batch) and /tmp-resident. It cannot
+    # be removed here — the returned DataFrame lazily re-reads it —
+    # so each dir is registered for atexit reclamation instead of
+    # leaking one per invocation.
     delta_base = tempfile.mkdtemp(prefix="cdbp_rollup_delta_")
+    _DELTA_DIRS.append(delta_base)
     events = streaming_events(spark, _stream_src(sf_dir))
     ckpt = _scratch_ckpt()
     q = (

@@ -54,6 +54,60 @@ def test_build_once_breaks_stale_lock(tmp_path, monkeypatch):
     assert os.path.exists(f"{base}/_BUILD_OK")
 
 
+def test_break_if_still_stale_spares_refreshed_lock(tmp_path):
+    lock = str(tmp_path / "_BUILD_LOCK")
+    open(lock, "w").close()
+    observed = os.stat(lock)
+    # heartbeat arrives between the waiter's stat and its unlink
+    os.utime(lock, ns=(observed.st_atime_ns, observed.st_mtime_ns + 1))
+    fixtures._break_if_still_stale(lock, observed)
+    assert os.path.exists(lock), "refreshed lock must not be broken"
+    # unchanged (ino, mtime) → genuinely dead → broken
+    fixtures._break_if_still_stale(lock, os.stat(lock))
+    assert not os.path.exists(lock)
+
+
+def test_builder_heartbeats_lock_during_build(tmp_path, monkeypatch):
+    monkeypatch.setattr(fixtures, "HEARTBEAT_S", 0.05)
+    base = str(tmp_path / "fx")
+    lock = f"{base}/_BUILD_LOCK"
+    seen = []
+
+    def slow_build():
+        first = os.stat(lock).st_mtime_ns
+        import time
+
+        time.sleep(0.3)
+        seen.append(os.stat(lock).st_mtime_ns > first)
+
+    fixtures.build_once(base, slow_build)
+    assert seen == [True], "winner must refresh the lock mtime while building"
+
+
+def test_waiter_does_not_break_heartbeated_live_lock(tmp_path, monkeypatch):
+    """The ADVICE race: a build longer than STALE_LOCK_S must NOT get
+    its lock broken (and a second builder elected) while the winner is
+    alive and heartbeating."""
+    import threading
+    import time
+
+    monkeypatch.setattr(fixtures, "HEARTBEAT_S", 0.05)
+    monkeypatch.setattr(fixtures, "STALE_LOCK_S", 0.3)
+    base = str(tmp_path / "fx")
+    calls = []
+
+    def long_build():
+        calls.append("winner")
+        time.sleep(1.0)  # >> STALE_LOCK_S
+
+    winner = threading.Thread(target=fixtures.build_once, args=(base, long_build))
+    winner.start()
+    time.sleep(0.15)  # let the winner take the lock
+    fixtures.build_once(base, lambda: calls.append("usurper"))
+    winner.join()
+    assert calls == ["winner"], calls
+
+
 def test_scratch_dir_keys_on_generation(tmp_path):
     sf = tmp_path / "sfX"
     sf.mkdir()

@@ -118,6 +118,30 @@ class TestSimilarity:
         recall = len(truth & approx) / len(truth)
         assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
 
+    def test_embedding_lsh_recall_and_exact_precision(self, spark, sf_dir):
+        """The scale rung of semantic dedup: every LSH pair must also
+        be an exact all-pairs near-dup (precision 1 by construction —
+        candidates are verified with the same exact cosine), and
+        recall vs the all-pairs ground truth must clear the geometric
+        floor (measured 0.88 at sf0.001 / 0.71 at sf0.01: pairs at the
+        0.4 threshold have per-bit sign agreement ≈ 0.63, so
+        1-(1-0.63³)⁶ ≈ 0.82 expected recall at the boundary)."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            dedup_embedding,
+            dedup_embedding_lsh,
+        )
+
+        exact = {
+            (r.vec_a, r.vec_b) for r in dedup_embedding(spark, sf_dir).collect()
+        }
+        lsh = {
+            (r.vec_a, r.vec_b)
+            for r in dedup_embedding_lsh(spark, sf_dir).collect()
+        }
+        assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
+        recall = len(lsh & exact) / max(1, len(exact))
+        assert recall >= 0.5, f"embedding-LSH recall {recall:.2f} below floor"
+
     def test_sq_recall_vs_brute_force(self, spark, sf_dir):
         """SQ8 code-dot prefilter + exact re-rank must recover most of
         the true top-k: the int8 affine code preserves ranking well on

@@ -339,6 +339,22 @@ def test_window_funnel_single_shuffle(spark, sf_dir):
     )
 
 
+def test_ngrams_ranks_after_top_k(spark, sf_dir):
+    """The rank window must consume the top-20 output, never the full
+    distinct-bigram set: in the physical tree the Window node sits
+    ABOVE TakeOrderedAndProject (i.e. executes after the limit), so
+    its single-partition Exchange only ever carries 20 rows."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["text_ngrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" in plan, plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+        "rank window precedes the limit — every distinct bigram would "
+        f"cross one partition at scale:\n{plan}"
+    )
+
+
 def test_zone_map_scan_reads_file_subset(spark, sf_dir):
     df = registry.QUERIES["scan_zone_map"](spark, sf_dir)
     files = {r[0] for r in df.select(
@@ -346,3 +362,49 @@ def test_zone_map_scan_reads_file_subset(spark, sf_dir):
     ).distinct().collect()}
     # the manifest pruned the read down to the zone(s) holding the key
     assert 1 <= len(files) <= 2, files
+
+
+def test_compaction_meets_file_count_contract(spark, sf_dir):
+    """The compacted sink must hold exactly ceil(bytes/target) files —
+    strictly fewer than the fragmented input — with no rows lost."""
+    import math
+
+    from crime_data_batch_processing_spark.fixtures import scratch_dir
+    from crime_data_batch_processing_spark.operators.sinks import (
+        FRAGMENT_FILES,
+        TARGET_FILE_BYTES,
+        parquet_file_sizes,
+    )
+
+    registry.QUERIES["sink_compacted"](spark, sf_dir)  # build fixture
+    base = scratch_dir("compact", sf_dir, "orders")
+    frag = parquet_file_sizes(f"{base}/fragmented")
+    comp = parquet_file_sizes(f"{base}/compacted")
+    assert len(frag) == FRAGMENT_FILES
+    expected = max(1, math.ceil(sum(frag) / TARGET_FILE_BYTES))
+    assert len(comp) == expected, (len(comp), expected)
+    assert len(comp) < len(frag)
+    n_frag = spark.read.parquet(f"{base}/fragmented").count()
+    n_comp = spark.read.parquet(f"{base}/compacted").count()
+    assert n_frag == n_comp
+
+
+def test_zone_map_unselective_predicate_falls_back(spark, sf_dir):
+    """When more manifest entries match than the driver-side cap, the
+    scan must degrade to the full directory read (correct, file-level
+    pruning lost) instead of collecting an unbounded path list — same
+    rows either way."""
+    from crime_data_batch_processing_spark.fixtures import scratch_dir
+    from crime_data_batch_processing_spark.operators.timeseries import (
+        _zone_pruned_scan,
+    )
+
+    registry.QUERIES["scan_zone_map"](spark, sf_dir)  # ensure fixture built
+    base = scratch_dir("zonemap", sf_dir, "orders")
+    pruned = _zone_pruned_scan(spark, f"{base}/data", f"{base}/manifest", key=42)
+    capped = _zone_pruned_scan(
+        spark, f"{base}/data", f"{base}/manifest", key=42, cap=0
+    )
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, pruned.collect())
+    )
