@@ -56,7 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
     # (2) new in round 4 — no driver row exists at all
-    "dedup_embedding_lsh", "sink_compacted",
+    "dedup_embedding_lsh", "sink_compacted", "join_bloom",
+    "scan_schema_evolution",
     # (1) code or oracle changed in round 4: text_ngrams rank-after-
     # limit rewrite; the two sketch keys' widened error bounds;
     # scan_zone_map manifest cap

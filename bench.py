@@ -27,6 +27,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: re-recording BASELINE.md so the 2x gate compares medians, not a
 #: single sample subject to job-scheduling noise)
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+#: comma-separated subset of query keys to bench (default: all) — for
+#: clean isolated re-runs of individual outliers per the BASELINE.md
+#: protocol (timings contend hard with concurrent Spark work)
+KEYS = [k for k in os.environ.get("SPARK_GRAFT_BENCH_KEYS", "").split(",") if k]
 
 
 def sf_from_dir(path: str) -> float:
@@ -47,7 +51,7 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
-    for key in sorted(registry.QUERIES):
+    for key in (KEYS or sorted(registry.QUERIES)):
         fn = registry.QUERIES[key]
         samples: list[float] = []
         for _ in range(REPS):

@@ -403,3 +403,78 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("click_id").agg(
         F.count(F.when(in_range, 1)).alias("n_purchases_15m")
     )
+
+
+#: Runtime bloom-filter injection thresholds, lowered to testdata
+#: scale: the application side must look big enough to be worth
+#: filtering (production default 10 GB) and broadcast must be off so
+#: the join actually has a shuffle for the bloom to save. Production
+#: keeps the defaults — the mechanism engages exactly when the scan is
+#: big enough for it to matter.
+_BLOOM_TEST_CONF = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_gated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim fact join, the shape runtime bloom filtering
+    exists for: revenue of lineitems belonging to URGENT orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_bloom",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join reduction (Spark 3.3+ row-level
+    runtime filtering): the optimizer builds a `bloom_filter_agg`
+    over the FILTERED dimension's join keys and injects
+    `might_contain(xxhash64(l_orderkey))` into the fact scan, so
+    rows that cannot join are dropped AT THE SCAN — before the
+    shuffle — instead of crossing the exchange to die in the join.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling ~the matching fraction: a selective dim
+    predicate (here 1/5 of orders) cuts shuffle bytes proportionally,
+    for the cost of one tiny bloom broadcast. Unlike `join_broadcast`
+    (dim fits in memory) this works when BOTH sides are big; unlike
+    bucketing it needs no layout preparation. The conf thresholds are
+    lowered to testdata scale and restored after an in-function
+    materialization (AQE reads them at execution time — the
+    `join_skew_aqe` pattern); the `might_contain` plan assertion
+    lives in tests/test_plans.py, and the oracle verifies the bloom
+    never drops a true match (bloom filters have no false negatives).
+    """
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_TEST_CONF}
+    for k, v in _BLOOM_TEST_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        return bloom_gated_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

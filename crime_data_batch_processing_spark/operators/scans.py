@@ -251,3 +251,68 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_partitions=JDBC_PARTITIONS,
         properties=props,
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                ELSE 'LEGACY' END AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: one logical table whose snapshots were
+    written under DIFFERENT schemas, read back as a single frame.
+
+    The reference overwrites one fixed 22-column schema forever
+    (/root/reference/create&Load.sql:8-11); any long-lived 100 TB
+    table instead accretes columns. Fixture phase writes generation 1
+    (orders, 2-column schema) and generation 2 (same table after an
+    `ADD COLUMN o_orderpriority`); the read uses `mergeSchema=true`,
+    which unions the parquet footers' schemas — older files surface
+    the new column as NULL, no rewrite of historical data. That is
+    exactly the Delta/Iceberg evolution contract rebuilt on parquet
+    primitives. mergeSchema costs a footer read per file (not a data
+    read), which is why production table formats cache the merged
+    schema in their metadata layer and Spark leaves the option off by
+    default.
+
+    The aggregate fills the legacy NULLs with a sentinel, so the
+    oracle can replay the generation split arithmetically; a file
+    scanned under the wrong schema (column misbound or dropped) breaks
+    the hash.
+    """
+    base = scratch_dir("schemaevo", sf_dir, "orders")
+    v1_dir = f"{base}/snap/gen=1"
+    v2_dir = f"{base}/snap/gen=2"
+
+    def build() -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        (
+            orders.where(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(v1_dir)
+        )
+        (
+            orders.where(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(v2_dir)
+        )
+
+    build_once(base, build)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", f"{base}/snap")
+        .parquet(v1_dir, v2_dir)
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("LEGACY")).alias("priority")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -278,6 +278,30 @@ def test_aqe_splits_skewed_join_without_salting(spark, sf_dir):
     assert "skewed" in final, final  # the AQEShuffleRead carries splits
 
 
+def test_bloom_filter_injected_into_fact_scan(spark, sf_dir):
+    """Runtime row-level filtering must engage: the executed plan
+    carries a `bloom_filter_agg` built from the filtered orders side
+    and a `might_contain` predicate on the lineitem side, so
+    non-joining fact rows die at the scan, not after the shuffle."""
+    from crime_data_batch_processing_spark.operators.scale_patterns import (
+        _BLOOM_TEST_CONF,
+        bloom_gated_join,
+    )
+
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_TEST_CONF}
+    for k, v in _BLOOM_TEST_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        df = bloom_gated_join(spark, sf_dir)
+        df.collect()  # injection is decided for the executed plan
+        final = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "bloom_filter_agg" in final, final
+    assert "might_contain" in final, final
+
+
 def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     """The benchmark 5-gram set is eval-suite-sized (MBs) against a
     corpus-sized probe side — it must broadcast; a shuffled join on
