@@ -512,3 +512,108 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * F.col("syy") - F.col("sy") * F.col("sy")
     )
     return m.select("l_returnflag", "n", (num / den).alias("corr_qty_disc"))
+
+
+#: Count-min sketch geometry: 4 independent rows × 256 buckets. Like
+#: the HLL keys, the sketch is a DETERMINISTIC function of the data —
+#: fixed integer hash families, no RNG — so the estimates themselves
+#: are full-value oracle-checkable, not just bounded.
+CMS_D = 4
+CMS_W = 256
+CMS_A = (131, 137, 139, 149)
+CMS_B = (17, 19, 23, 29)
+CMS_MOD = 1_000_000_007
+
+
+def _token_code(tok) -> F.Column:
+    """Char-level polynomial code of a token — engine-independent
+    integer arithmetic (the `text_fingerprint` fold, one level down)."""
+    return F.aggregate(
+        F.transform(F.split(tok, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(7).cast("long"),
+        lambda acc, x: (acc * 131 + x) % CMS_MOD,
+    )
+
+
+_SQL_TOKEN_CODE = (
+    "list_reduce(list_prepend(7::BIGINT, "
+    "list_transform(string_split(token, ''), c -> ascii(c)::BIGINT)), "
+    f"(acc, x) -> (acc * 131 + x) % {CMS_MOD})"
+)
+
+
+@query(
+    "agg_count_min",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), exact AS (
+        SELECT token, COUNT(*)::BIGINT AS exact_n FROM tok GROUP BY token
+    ), coded AS (
+        SELECT token, exact_n, {_SQL_TOKEN_CODE} AS code FROM exact
+    ), bands AS (
+        SELECT token, exact_n, d.d AS d,
+               (([{', '.join(map(str, CMS_A))}][d.d + 1] * code
+                 + [{', '.join(map(str, CMS_B))}][d.d + 1])
+                % {CMS_MOD}) % {CMS_W} AS bucket
+        FROM coded, range({CMS_D}) d(d)
+    ), cms AS (
+        SELECT d, bucket, CAST(SUM(exact_n) AS BIGINT) AS n
+        FROM bands GROUP BY d, bucket
+    ), est AS (
+        SELECT b.token, b.exact_n, MIN(c.n) AS est_n
+        FROM bands b JOIN cms c USING (d, bucket)
+        GROUP BY b.token, b.exact_n
+    )
+    SELECT token, exact_n, est_n FROM est
+    ORDER BY exact_n DESC, token ASC LIMIT 20
+    """,
+)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over the corpus token stream: top-20
+    vocabulary items with exact counts AND the CMS estimates.
+
+    The frequency twin of `agg_sketch_rollup`'s HLL: a count-min
+    sketch is a fixed (D × W) integer grid, mergeable across
+    partitions/days by cellwise addition, answering "how often did
+    item x occur" in O(D) probes without storing the vocabulary — the
+    structure behind every streaming heavy-hitter/trending pipeline.
+    At 100 TB the corpus pass keeps only the grid per partition;
+    here the grid is built FROM the exact per-token counts (CMS cells
+    are additive, so summing exact counts per bucket is identical to
+    counting the raw stream) which collapses the plan to ONE
+    corpus-sized shuffle (the token groupBy) plus vocabulary-sized
+    band/probe joins. Hash families are fixed integer affines over a
+    char-level polynomial code, so the DuckDB oracle rebuilds the
+    identical grid and the ESTIMATES — overestimates from bucket
+    collisions included — match value-for-value.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    coded = exact.select(
+        "token", "exact_n", _token_code(F.col("token")).alias("code")
+    )
+    bands = coded.select(
+        "token",
+        "exact_n",
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.lit(CMS_A[d]) * F.col("code") + F.lit(CMS_B[d]))
+                     % CMS_MOD) % CMS_W
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("d", "bucket"),
+    )
+    cms = bands.groupBy("d", "bucket").agg(F.sum("exact_n").alias("n"))
+    est = (
+        bands.join(cms, ["d", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("n").alias("est_n"))
+    )
+    return est.orderBy(F.col("exact_n").desc(), F.col("token").asc()).limit(20)

@@ -933,3 +933,92 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.coalesce("hit", F.lit(False)).alias("contaminated")
         )
     )
+
+
+#: Span dedup geometry: non-overlapping 8-token chunks (the last may
+#: be shorter). ORD_BASE makes (doc_id, pos) totally ordered in one
+#: int64 — valid while docs stay under a million spans each.
+SPAN_K = 8
+ORD_BASE = 1_000_000
+
+
+@query(
+    "text_dedup_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS (
+        SELECT doc_id, u.i AS pos,
+               array_to_string(t[u.i * {SPAN_K} + 1 : u.i * {SPAN_K} + {SPAN_K}], ' ')
+                   AS span,
+               LEAST({SPAN_K}, len(t) - u.i * {SPAN_K})::BIGINT AS span_toks
+        FROM t, unnest(range(CAST(ceil(len(t) / {SPAN_K}.0) AS BIGINT))) AS u(i)
+    ), firsts AS (
+        SELECT span, MIN(doc_id * {ORD_BASE} + pos) AS mo
+        FROM spans GROUP BY span
+    )
+    SELECT s.doc_id,
+           COUNT(*)::BIGINT AS n_spans,
+           CAST(SUM(CASE WHEN s.doc_id * {ORD_BASE} + s.pos > f.mo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN s.doc_id * {ORD_BASE} + s.pos = f.mo
+                         THEN s.span_toks ELSE 0 END) AS BIGINT) AS n_kept_tokens
+    FROM spans s JOIN firsts f USING (span)
+    GROUP BY s.doc_id
+    """,
+)
+def text_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact span dedup: corpus-wide first-occurrence-wins
+    over fixed 8-token chunks.
+
+    Document-level dedup (exact/MinHash/SimHash) misses the dominant
+    real-world duplication mode: boilerplate SPANS repeated across
+    otherwise-distinct pages (headers, license blocks, templated
+    paragraphs). The production remedy (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") removes repeated
+    substrings; this is its scalable chunked form — the granularity
+    is fixed token windows instead of a suffix array, which turns the
+    problem into plain relational algebra: chunk → one corpus-wide
+    hash aggregate keyed on span text (min (doc_id, pos) = the one
+    surviving occurrence) → join back → per-doc survival stats. Two
+    shuffles, both O(corpus spans); no all-pairs anything. The first
+    occurrence is defined by corpus order, so output is deterministic
+    and the oracle replays it exactly.
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    t = docs.select("doc_id", tokens("text").alias("t"))
+    n_spans = F.ceil(F.size("t") / F.lit(SPAN_K)).cast("long")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_spans - 1),
+        lambda i: F.struct(
+            F.concat_ws(
+                " ", F.slice("t", (i * SPAN_K + 1).cast("int"), SPAN_K)
+            ).alias("span"),
+            F.least(F.lit(SPAN_K).cast("long"), F.size("t") - i * SPAN_K)
+            .alias("span_toks"),
+        ),
+    )
+    ex = (
+        t.select("doc_id", F.posexplode(spans_arr).alias("pos", "s"))
+        .select(
+            "doc_id",
+            "pos",
+            F.col("s.span").alias("span"),
+            F.col("s.span_toks").alias("span_toks"),
+        )
+    )
+    ord_ = F.col("doc_id") * ORD_BASE + F.col("pos")
+    firsts = ex.groupBy("span").agg(F.min(ord_).alias("mo"))
+    return (
+        ex.join(firsts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(ord_ > F.col("mo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.sum(F.when(ord_ == F.col("mo"), F.col("span_toks")).otherwise(0))
+            .cast("long")
+            .alias("n_kept_tokens"),
+        )
+    )
