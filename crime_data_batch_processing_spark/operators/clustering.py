@@ -1,0 +1,200 @@
+"""Distributed k-means over `embeddings` — the learned-centroid path
+that `sim_search_ivf`'s strided seeds stand in for (its docstring
+names k-means as the production centroid source; this operator IS that
+source, so the IVF family is closed end-to-end).
+
+Semantic clustering of a training corpus drives cluster-balanced
+sampling, semantic dedup blocking, and IVF index builds. The reference
+has nothing learned anywhere (SURVEY.md §2.2).
+
+Scale shape per Lloyd iteration (the classic MapReduce k-means):
+* ASSIGN: broadcast the k centroids against the corpus — map-only,
+  one pass, no shuffle of vectors;
+* UPDATE: per-dimension sums via posexplode → ONE hash aggregate
+  keyed (cid, dim) — shuffle carries k·dim rows per task (map-side
+  combined), never vectors.
+Iterations are a fixed, documented count (KMEANS_ITERS) — at 100 TB
+you run Lloyd a bounded number of sweeps, not to convergence.
+
+Cross-engine exactness (the interesting part — float k-means is
+run-order chaos): all geometry is integer. Vectors are the standard
+×10⁶ int64 quantization (functions/veckit); assignment scores are
+exact integer dots over exact integer norms with one fixed IEEE
+cast/÷/sqrt sequence and a (score, cid) total-order tie-break;
+centroid updates are exact integer per-dim sums floor-divided by the
+member count (floor via pmod, which Spark and DuckDB agree on —
+truncating `div` would disagree on negative sums). Every iteration is
+therefore a pure function of the data, and the DuckDB oracle replays
+BOTH iterations value-for-value.
+
+Cosine scale-invariance makes the floor-div mean valid: ranking by
+cosine against floor(Σq/n) equals ranking against the true mean up to
+the ±1-quantum floor error — and both engines floor identically, so
+determinism survives even where the rounding lands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from crime_data_batch_processing_spark.cachekit import track
+from crime_data_batch_processing_spark.functions.veckit import idot, quantize
+from crime_data_batch_processing_spark.operators.llm_dedup import _spread
+from crime_data_batch_processing_spark.operators.similarity import (
+    _SQL_QUANT,
+    EMBED_DIM,
+)
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 2
+
+_SQL_INSQ = (
+    "(SELECT CAST(SUM(__x * __x) AS BIGINT) FROM (SELECT unnest({c}) AS __x))"
+)
+_SQL_IDOT = (
+    "(SELECT CAST(SUM(__x * __y) AS DOUBLE) "
+    "FROM (SELECT unnest({a}) AS __x, unnest({b}) AS __y))"
+)
+
+
+def _sql_iteration(i: int, cents: str) -> str:
+    """CTE fragments for one Lloyd iteration: score against `cents`
+    (cid, c, cn) → argmax assignment a{i} → per-dim floor-div mean
+    centroids cents{i} (with integer norms)."""
+    score = (
+        f"{_SQL_IDOT.format(a='v.q', b='ct.c')}"
+        " / sqrt(CAST(v.nsq AS DOUBLE) * CAST(ct.cn AS DOUBLE))"
+    )
+    return f"""
+    score{i} AS (
+        SELECT v.vec_id, ct.cid, {score} AS score
+        FROM corpus v CROSS JOIN {cents} ct
+    ), a{i} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, cid DESC) AS rn
+            FROM score{i}
+        ) WHERE rn = 1
+    ), ex{i} AS (
+        SELECT a.cid, d.d AS dim, v.q[d.d + 1] AS x
+        FROM a{i} a JOIN corpus v USING (vec_id), range({EMBED_DIM}) d(d)
+    ), per{i} AS (
+        SELECT cid, dim, CAST(SUM(x) AS BIGINT) AS s, COUNT(*)::BIGINT AS cnt
+        FROM ex{i} GROUP BY cid, dim
+    ), cd{i} AS (
+        SELECT cid, dim, (s - ((s % cnt) + cnt) % cnt) // cnt AS cd FROM per{i}
+    ), cents{i}0 AS (
+        SELECT cid, list(cd ORDER BY dim) AS c FROM cd{i} GROUP BY cid
+    ), cents{i} AS (
+        SELECT cid, c, {_SQL_INSQ.format(c='c')} AS cn FROM cents{i}0
+    )"""
+
+
+def _sql_kmeans() -> str:
+    return f"""
+    WITH q0 AS (
+        SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS q
+        FROM embeddings
+    ), corpus AS (
+        SELECT vec_id, q, {_SQL_INSQ.format(c='q')} AS nsq FROM q0
+    ), p AS (
+        SELECT GREATEST(1, COUNT(*) // {K_CLUSTERS}) AS stride FROM corpus
+    ), cents0 AS (
+        SELECT CAST(c.vec_id // p.stride AS INT) AS cid, c.q AS c, c.nsq AS cn
+        FROM corpus c, p
+        WHERE c.vec_id % p.stride = 0 AND c.vec_id // p.stride < {K_CLUSTERS}
+    ), {_sql_iteration(1, 'cents0')}, {_sql_iteration(2, 'cents1')}
+    SELECT a.vec_id, a.cid,
+           CAST(per.cnt AS BIGINT) AS cluster_size
+    FROM a2 a
+    JOIN (SELECT cid, cnt FROM per2 WHERE dim = 0) per USING (cid)
+    """
+
+
+@query("cluster_kmeans", oracle=_sql_kmeans())
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fixed Lloyd sweeps of k-means over the embedding corpus:
+    strided seeds → assign → exact-integer centroid update → assign —
+    returning each vector's final cluster and its cluster's size.
+
+    See the module docstring for the scale shape (broadcast assign /
+    one (cid, dim)-keyed aggregate per update) and the integer-exact
+    determinism contract that lets DuckDB replay both iterations.
+    Empty clusters simply drop out of the centroid table (standard
+    Lloyd behavior); seeds are vec_id-strided like `sim_search_ivf`,
+    production swaps in k-means++ without touching the iteration
+    algebra.
+    """
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    corpus = (
+        corpus.select("vec_id", "q", idot(F.col("q"), F.col("q")).alias("nsq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
+    n = corpus.count()  # also materializes the quantized corpus once
+    stride = max(1, n // K_CLUSTERS)
+    cents = corpus.where(
+        (F.col("vec_id") % stride == 0)
+        & (F.col("vec_id") / stride < K_CLUSTERS)
+    ).select(
+        (F.col("vec_id") / stride).cast("int").alias("cid"),
+        F.col("q").alias("c"),
+        F.col("nsq").alias("cn"),
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        score = idot(F.col("q"), F.col("c")).cast("double") / F.sqrt(
+            F.col("nsq").cast("double") * F.col("cn").cast("double")
+        )
+        return (
+            corpus.crossJoin(F.broadcast(cents_df))
+            .select("vec_id", score.alias("score"), "cid")
+            .groupBy("vec_id")
+            .agg(F.max(F.struct("score", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        ex = assigned.join(corpus, "vec_id").select(
+            "cid", F.posexplode("q").alias("dim", "x")
+        )
+        per = ex.groupBy("cid", "dim").agg(
+            F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt")
+        )
+        # exact floor division via pmod — `div` truncates toward zero
+        # and would disagree with the oracle on negative dim-sums
+        cd = per.select(
+            "cid", "dim", "cnt", F.expr("(s - pmod(s, cnt)) div cnt").alias("cd")
+        )
+        cents_new = (
+            cd.groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "cd"))).alias("a"),
+                F.first("cnt").alias("cluster_size"),
+            )
+            .select(
+                "cid",
+                F.transform("a", lambda s: s["cd"]).alias("c"),
+                "cluster_size",
+            )
+        )
+        return cents_new.select(
+            "cid", "c", idot(F.col("c"), F.col("c")).alias("cn"), "cluster_size"
+        )
+
+    for _ in range(KMEANS_ITERS - 1):
+        cents = update(assign(cents)).select("cid", "c", "cn")
+    final_assign = assign(cents)
+    sizes = (
+        final_assign.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return final_assign.join(sizes, "cid").select(
+        "vec_id", "cid", "cluster_size"
+    )

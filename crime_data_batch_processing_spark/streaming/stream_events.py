@@ -684,3 +684,144 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum_merge("sum_value").alias("sum_value"),
         )
     )
+
+
+def cms_delta_batch(delta_base: str):
+    """foreachBatch function: write one micro-batch's PARTIAL count-min
+    grid (d, bucket, n) as a batch-id-keyed delta.
+
+    The sketch twin of `rollup_delta_batch`: a count-min grid is
+    cellwise-additive, so per-batch partial grids merged by SUM at
+    read time equal the grid built over the whole stream in one pass —
+    and each partial is a fixed D×W cells regardless of batch size,
+    the smallest possible streaming state. Batch-id-keyed overwrite
+    keeps replay idempotent under foreachBatch's at-least-once
+    contract.
+    """
+    from crime_data_batch_processing_spark.operators.aggregates import (
+        CMS_A,
+        CMS_B,
+        CMS_D,
+        CMS_MOD,
+        CMS_W,
+        _token_code,
+    )
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        coded = batch.select(_token_code(F.col("event_type")).alias("code"))
+        bands = coded.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        ((F.lit(CMS_A[d]) * F.col("code") + F.lit(CMS_B[d]))
+                         % CMS_MOD) % CMS_W
+                        for d in range(CMS_D)
+                    ]
+                )
+            ).alias("d", "bucket")
+        )
+        (
+            bands.groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{delta_base}/batch={batch_id}")
+        )
+
+    return _write
+
+
+@query(
+    "stream_count_min",
+    oracle=f"""
+    WITH exact AS (
+        SELECT event_type, COUNT(*)::BIGINT AS exact_n
+        FROM events GROUP BY event_type
+    ), coded AS (
+        SELECT event_type, exact_n,
+               list_reduce(list_prepend(7::BIGINT,
+                   list_transform(string_split(event_type, ''),
+                                  c -> ascii(c)::BIGINT)),
+                   (acc, x) -> (acc * 131 + x) % 1000000007) AS code
+        FROM exact
+    ), bands AS (
+        SELECT event_type, exact_n, d.d AS d,
+               (([131, 137, 139, 149][d.d + 1] * code
+                 + [17, 19, 23, 29][d.d + 1]) % 1000000007) % 256 AS bucket
+        FROM coded, range(4) d(d)
+    ), cms AS (
+        SELECT d, bucket, CAST(SUM(exact_n) AS BIGINT) AS n
+        FROM bands GROUP BY d, bucket
+    )
+    SELECT b.event_type, b.exact_n, MIN(c.n) AS est_n
+    FROM bands b JOIN cms c USING (d, bucket)
+    GROUP BY b.event_type, b.exact_n
+    """,
+)
+def stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the count-min sketch: each micro-batch
+    appends its partial D×W grid; serving merges cells by SUM and
+    probes estimates — `agg_count_min`'s batch grid, maintained
+    incrementally (cellwise additivity makes partial-of-partials equal
+    the one-pass grid EXACTLY, so the oracle is the plain batch
+    construction over raw events).
+
+    This is the trending/heavy-hitter topology: the stream never
+    stores the key dimension, only fixed-size grids; the (tiny)
+    distinct-key probe side comes from the serving query. Constants
+    and hash families are shared with `agg_count_min`
+    (operators/aggregates.py), so the two sketches are
+    interchangeable — a batch-built grid can seed the stream and vice
+    versa.
+    """
+    delta_base = tempfile.mkdtemp(prefix="cdbp_cms_delta_")
+    _DELTA_DIRS.append(delta_base)
+    events = streaming_events(spark, _stream_src(sf_dir))
+    ckpt = _scratch_ckpt()
+    q = (
+        events.writeStream.foreachBatch(cms_delta_batch(delta_base))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    from crime_data_batch_processing_spark.operators.aggregates import (
+        CMS_A,
+        CMS_B,
+        CMS_D,
+        CMS_MOD,
+        CMS_W,
+        _token_code,
+    )
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    grid = (
+        spark.read.parquet(delta_base)
+        .groupBy("d", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    bands = exact.select(
+        "event_type",
+        "exact_n",
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.lit(CMS_A[d]) * _token_code(F.col("event_type"))
+                      + F.lit(CMS_B[d])) % CMS_MOD) % CMS_W
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("d", "bucket"),
+    )
+    return (
+        bands.join(grid, ["d", "bucket"])
+        .groupBy("event_type", "exact_n")
+        .agg(F.min("n").alias("est_n"))
+    )
