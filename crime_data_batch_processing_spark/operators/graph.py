@@ -124,3 +124,105 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.groupBy(F.col("x").alias("apex")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+#: PageRank: fixed power-iteration count and 0.85 damping, all in
+#: ×10^12 scaled int64 — floor-div contributions and integer damping
+#: ((17·x) div 20) make every iteration a pure integer function of the
+#: graph, so ranks are bit-identical across engines, partitionings,
+#: and runs (float PageRank is accumulation-order chaos).
+PR_SCALE = 10**12
+PR_ITERS = 3
+
+
+def _sql_pagerank() -> str:
+    base = 3 * PR_SCALE // 20  # (1-d)·SCALE with d = 17/20
+    its = []
+    prev = "rank0"
+    for i in range(1, PR_ITERS + 1):
+        its.append(f"""
+    it{i} AS (
+        SELECT e.v AS node,
+               {base} + (17 * CAST(SUM(p.r // dg.d) AS BIGINT)) // 20 AS r
+        FROM und e
+        JOIN {prev} p ON p.node = e.u
+        JOIN deg dg ON dg.node = e.u
+        GROUP BY e.v
+    )""")
+        prev = f"it{i}"
+    return f"""
+    WITH raw_pairs AS (
+        {_SQL_PAIR_BASE}
+    ), ep AS (
+        SELECT doc_a AS u, doc_b AS v FROM raw_pairs
+        WHERE jaccard >= {JACCARD_THRESHOLD} AND doc_a <> doc_b
+    ), und AS (
+        SELECT u, v FROM ep UNION SELECT v, u FROM ep
+    ), deg AS (
+        SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u
+    ), rank0 AS (
+        SELECT node, {PR_SCALE}::BIGINT AS r FROM deg
+    ), {', '.join(its)}
+    SELECT p.node AS doc_id, dg.d AS degree, p.r AS rank_scaled,
+           CAST(p.r AS DOUBLE) / {float(PR_SCALE)} AS rank
+    FROM {prev} p JOIN deg dg ON dg.node = p.node
+    """
+
+
+@query("graph_pagerank", oracle=_sql_pagerank())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph — which documents sit at the
+    center of duplication families (canonical-pick signal: collapse a
+    cluster onto its highest-centrality member rather than its lowest
+    doc_id).
+
+    Fixed PR_ITERS power sweeps, each ONE join + ONE hash aggregate
+    keyed on the destination node (the textbook MapReduce PageRank —
+    contributions fan out map-side, partial-sum before the shuffle);
+    `localCheckpoint` truncates lineage per sweep so the plan stays
+    O(1) deep. The und graph is symmetric, so every node has in-edges
+    and no dangling-mass redistribution is needed. All arithmetic is
+    scaled-int64 (see PR_SCALE note) — floor division on positive
+    values, where Spark's `div` and DuckDB's `//` agree — making the
+    full 3-sweep fixpoint value-replayable by the oracle.
+    """
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    und = (
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    # (node, d) is referenced every sweep; tiny (one row per graph
+    # node), so checkpoint once instead of re-aggregating per sweep
+    deg = deg.localCheckpoint(eager=True)
+    src = und.join(deg.withColumnRenamed("node", "u"), "u")
+    base = 3 * PR_SCALE // 20
+    ranks = deg.select("node", F.lit(PR_SCALE).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = src.join(
+            ranks.withColumnRenamed("node", "u"), "u"
+        ).select("v", F.expr("r div d").alias("c"))
+        ranks = (
+            contrib.groupBy(F.col("v").alias("node"))
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (F.lit(base) + F.expr("(17 * s) div 20")).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(deg, "node").select(
+        F.col("node").alias("doc_id"),
+        F.col("d").alias("degree"),
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / float(PR_SCALE)).alias("rank"),
+    )
