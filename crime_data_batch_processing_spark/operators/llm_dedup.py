@@ -1022,3 +1022,91 @@ def text_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept_tokens"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {sql_shingles('text')} AS sh
+        FROM documents
+        WHERE len({sql_shingles('text')}) > 0
+    ), ex AS (
+        SELECT doc_id, unnest(sh) AS g FROM sh
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           p.n_inter::DOUBLE / (len(sa.sh) + len(sb.sh) - p.n_inter)
+               AS jaccard,
+           p.n_inter::DOUBLE / LEAST(len(sa.sh), len(sb.sh)) AS containment
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.doc_a
+    JOIN sh sb ON sb.doc_id = p.doc_b
+    WHERE p.n_inter::DOUBLE / LEAST(len(sa.sh), len(sb.sh))
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|, |B|) — the
+    asymmetric measure Jaccard misses.
+
+    A short document quoted whole inside a long one scores near-zero
+    Jaccard (the union is dominated by the long doc) but containment
+    ≈ 1: this is the doc-in-doc duplication mode — syndicated
+    articles inside aggregator pages, READMEs vendored into repos —
+    that pure Jaccard dedup leaves in the corpus. Same shared-shingle
+    join shape as `dedup_ngram_jaccard` (and the same MinHash gating
+    applies at 100 TB — containment LSH reuses the banded candidates,
+    only the verify formula changes), so the extra measure costs one
+    more arithmetic column, not another pass.
+
+    Emits `jaccard` alongside `containment` so consumers can see
+    exactly the asymmetric pairs (high containment, low Jaccard).
+    """
+    with_sh = _doc_shingles(spark, sf_dir)
+    ex = with_sh.select("doc_id", F.explode("sh").alias("g"))
+    pairs = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = with_sh.select("doc_id", F.size("sh").alias("n_sh"))
+    scored = (
+        pairs.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard(F.col("n_inter"), F.col("n_a"), F.col("n_b")).alias(
+                "jaccard"
+            ),
+            (
+                F.col("n_inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )
+    return scored.where(F.col("containment") >= CONTAINMENT_THRESHOLD)
