@@ -316,3 +316,55 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "scan_text",
+    oracle="""
+    SELECT doc_id, len(text) AS n_chars,
+           string_split(text, ' ')[1] AS first_token
+    FROM documents
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented raw text scan — the rawest corpus front door
+    (every LLM pretraining pipeline starts from text/JSONL dumps, not
+    parquet).
+
+    Fixture: documents serialized as TAB-separated `doc_id\\ttext`
+    lines (document text is space-tokenized and tab-free by schema).
+    The scan is `spark.read.text` — splittable, schema-free, one
+    `value` column — followed by a Catalyst split/cast projection.
+    At 100 TB the text source scales like CSV (parallel by file +
+    line-oriented splits within files); the projection work (parse,
+    type, validate) is exactly what lands this data in parquet once —
+    this operator IS that ingest hop, and the oracle checks the
+    round trip loses nothing (length + first token per doc).
+    """
+    base = scratch_dir("text", sf_dir, "documents")
+    txt_dir = f"{base}/lines"
+
+    def _build() -> None:
+        (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text"))
+                .alias("value")
+            )
+            .write.mode("overwrite")
+            .text(txt_dir)
+        )
+
+    build_once(base, _build)
+    raw = spark.read.text(txt_dir)
+    parsed = raw.select(
+        F.split(F.col("value"), "\t", 2).alias("p")
+    ).select(
+        F.element_at("p", 1).cast("long").alias("doc_id"),
+        F.element_at("p", 2).alias("text"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.element_at(F.split("text", " "), 1).alias("first_token"),
+    )
