@@ -259,3 +259,41 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(sample_hash32(F.col("doc_id")) < F.col("thr"))
         .select("doc_id", "lang")
     )
+
+
+#: Exact-size deterministic sample: the BOTTOM_K smallest hash values.
+BOTTOM_K = 1000
+
+
+@query(
+    "sample_bottomk",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           {sql_sample_hash32('o_orderkey')} AS h
+    FROM orders
+    ORDER BY h ASC, o_orderkey ASC
+    LIMIT {BOTTOM_K}
+    """,
+)
+def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n deterministic sample: bottom-k by the multiplicative
+    hash — `sample_hash`'s rate knob replaced with a size knob.
+
+    A rate-based sample of a growing table grows with it; evaluation
+    sets, debugging slices, and progressive pipelines want "exactly
+    1000 rows, the SAME 1000 every run" no matter how the table grows
+    or repartitions. Bottom-k over a deterministic key hash gives
+    that: the plan is TakeOrderedAndProject (per-partition local
+    top-k + merge of k rows per partition, no global sort), and
+    because smaller tables' bottom-k is a subset of larger tables'
+    candidate set under the same hash, the selection is stable as
+    data arrives. Ties (hash collisions) break on the key, so the
+    sample is a total-order prefix — identical in both engines.
+    """
+    h = sample_hash32(F.col("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", h.alias("h"))
+        .orderBy(F.col("h").asc(), F.col("o_orderkey").asc())
+        .limit(BOTTOM_K)
+    )

@@ -204,6 +204,15 @@ def test_salted_join_joins_on_salt(spark, sf_dir):
     assert "BuildRight" in plan, plan
 
 
+def test_bottomk_sample_is_take_ordered(spark, sf_dir):
+    """Exactly-n sampling must plan as top-k (per-partition bottom-k +
+    k-row merge), never a global sort of the table."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["sample_bottomk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_stratified_sample_stays_in_codegen(spark, sf_dir):
     """Per-stratum thresholds compile to a CASE inside the same
     codegen'd filter as the hash — no UDF, no extra stage."""
