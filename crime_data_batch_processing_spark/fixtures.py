@@ -126,9 +126,17 @@ def build_once(base: str, build: Callable[[], None]) -> None:
             finally:
                 stop.set()
                 hb.join(timeout=HEARTBEAT_S + 1)
-                os.close(fd)
                 try:
-                    os.unlink(lockfile)
+                    # unlink ONLY our own lock: if this process froze
+                    # past STALE_LOCK_S, a waiter broke the lock and a
+                    # successor builder re-created it — an ino check
+                    # against the fd we still hold keeps us from
+                    # deleting the successor's LIVE lock (the winner-
+                    # side twin of _break_if_still_stale)
+                    if os.stat(lockfile).st_ino == os.fstat(fd).st_ino:
+                        os.unlink(lockfile)
                 except FileNotFoundError:
                     pass  # broken by a waiter while we were frozen
+                finally:
+                    os.close(fd)
             return

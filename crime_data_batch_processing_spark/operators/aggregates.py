@@ -535,11 +535,39 @@ def _token_code(tok) -> F.Column:
     )
 
 
-_SQL_TOKEN_CODE = (
-    "list_reduce(list_prepend(7::BIGINT, "
-    "list_transform(string_split(token, ''), c -> ascii(c)::BIGINT)), "
-    f"(acc, x) -> (acc * 131 + x) % {CMS_MOD})"
-)
+def cms_bucket_cols(code: F.Column) -> list[F.Column]:
+    """One bucket column per CMS row for a BOUND integer code column —
+    the single Spark-side definition of the hash family (used by the
+    batch grid, the streaming partials, and the serve-side probes, so
+    the three can never drift apart)."""
+    return [
+        ((F.lit(CMS_A[d]) * code + F.lit(CMS_B[d])) % CMS_MOD) % CMS_W
+        for d in range(CMS_D)
+    ]
+
+
+def sql_token_code(col: str) -> str:
+    """DuckDB rendering of :func:`_token_code` for a named column."""
+    return (
+        "list_reduce(list_prepend(7::BIGINT, "
+        f"list_transform(string_split({col}, ''), c -> ascii(c)::BIGINT)), "
+        f"(acc, x) -> (acc * 131 + x) % {CMS_MOD})"
+    )
+
+
+def sql_cms_bucket(code_expr: str, d_expr: str) -> str:
+    """DuckDB rendering of the bucket for CMS row `d_expr` — the one
+    SQL-side definition of the hash family, shared by the
+    `agg_count_min` and `stream_count_min` oracles."""
+    a = "[" + ", ".join(map(str, CMS_A)) + "]"
+    b = "[" + ", ".join(map(str, CMS_B)) + "]"
+    return (
+        f"(({a}[{d_expr} + 1] * {code_expr} + {b}[{d_expr} + 1])"
+        f" % {CMS_MOD}) % {CMS_W}"
+    )
+
+
+_SQL_TOKEN_CODE = sql_token_code("token")
 
 
 @query(
@@ -553,9 +581,7 @@ _SQL_TOKEN_CODE = (
         SELECT token, exact_n, {_SQL_TOKEN_CODE} AS code FROM exact
     ), bands AS (
         SELECT token, exact_n, d.d AS d,
-               (([{', '.join(map(str, CMS_A))}][d.d + 1] * code
-                 + [{', '.join(map(str, CMS_B))}][d.d + 1])
-                % {CMS_MOD}) % {CMS_W} AS bucket
+               {sql_cms_bucket('code', 'd.d')} AS bucket
         FROM coded, range({CMS_D}) d(d)
     ), cms AS (
         SELECT d, bucket, CAST(SUM(exact_n) AS BIGINT) AS n
@@ -600,15 +626,9 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = coded.select(
         "token",
         "exact_n",
-        F.posexplode(
-            F.array(
-                *[
-                    ((F.lit(CMS_A[d]) * F.col("code") + F.lit(CMS_B[d]))
-                     % CMS_MOD) % CMS_W
-                    for d in range(CMS_D)
-                ]
-            )
-        ).alias("d", "bucket"),
+        F.posexplode(F.array(*cms_bucket_cols(F.col("code")))).alias(
+            "d", "bucket"
+        ),
     )
     cms = bands.groupBy("d", "bucket").agg(F.sum("exact_n").alias("n"))
     est = (

@@ -105,7 +105,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_PAIR_BASE = f"""
+#: Shared CTE prelude (shingle sets → exploded shingles → pair
+#: intersection counts) for every oracle that scores all
+#: shingle-sharing pairs — one copy of the pair algebra, however many
+#: measures are derived from it.
+_SQL_PAIR_PRELUDE = f"""
     WITH sh AS (
         SELECT doc_id, {sql_shingles('text')} AS sh
         FROM documents
@@ -116,13 +120,47 @@ _SQL_PAIR_BASE = f"""
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
+    )"""
+
+_SQL_PAIR_BASE = f"""{_SQL_PAIR_PRELUDE}
     SELECT p.doc_a, p.doc_b,
            p.n_inter::DOUBLE / (len(sa.sh) + len(sb.sh) - p.n_inter) AS jaccard
     FROM pairs p
     JOIN sh sa ON sa.doc_id = p.doc_a
     JOIN sh sb ON sb.doc_id = p.doc_b
 """
+
+
+def _pair_counts(with_sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) for every shingle-sharing
+    pair — the one Spark-side pair-intersection pipeline, from which
+    Jaccard (`dedup_ngram_jaccard`) and containment
+    (`dedup_containment`) are each one derived column."""
+    ex = with_sh.select("doc_id", F.explode("sh").alias("g"))
+    pairs = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = with_sh.select("doc_id", F.size("sh").alias("n_sh"))
+    return pairs.join(
+        sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+            "n_sh", "n_a"
+        ),
+        "doc_a",
+    ).join(
+        sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+            "n_sh", "n_b"
+        ),
+        "doc_b",
+    )
 
 
 def _verified_pairs(cand: DataFrame, with_sh: DataFrame) -> DataFrame:
@@ -161,27 +199,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst-case quadratic on hot shingles, which is exactly why the
     MinHash rung exists.
     """
-    with_sh = _doc_shingles(spark, sf_dir)
-    ex = with_sh.select("doc_id", F.explode("sh").alias("g"))
-    pairs = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = with_sh.select("doc_id", F.size("sh").alias("n_sh"))
+    counted = _pair_counts(_doc_shingles(spark, sf_dir))
     return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .select(
+        counted.select(
             "doc_a",
             "doc_b",
-            jaccard(F.col("n_inter"), F.col("n_a"), F.col("n_b")).alias("jaccard"),
+            jaccard(F.col("n_inter"), F.col("n_a"), F.col("n_b")).alias(
+                "jaccard"
+            ),
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -1043,18 +1068,7 @@ CONTAINMENT_THRESHOLD = 0.8
 
 @query(
     "dedup_containment",
-    oracle=f"""
-    WITH sh AS (
-        SELECT doc_id, {sql_shingles('text')} AS sh
-        FROM documents
-        WHERE len({sql_shingles('text')}) > 0
-    ), ex AS (
-        SELECT doc_id, unnest(sh) AS g FROM sh
-    ), pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
+    oracle=f"""{_SQL_PAIR_PRELUDE}
     SELECT p.doc_a, p.doc_b,
            p.n_inter::DOUBLE / (len(sa.sh) + len(sb.sh) - p.n_inter)
                AS jaccard,
@@ -1083,44 +1097,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits `jaccard` alongside `containment` so consumers can see
     exactly the asymmetric pairs (high containment, low Jaccard).
     """
-    with_sh = _doc_shingles(spark, sf_dir)
-    ex = with_sh.select("doc_id", F.explode("sh").alias("g"))
-    pairs = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = with_sh.select("doc_id", F.size("sh").alias("n_sh"))
-    scored = (
-        pairs.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "n_sh", "n_a"
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "n_sh", "n_b"
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            jaccard(F.col("n_inter"), F.col("n_a"), F.col("n_b")).alias(
-                "jaccard"
-            ),
-            (
-                F.col("n_inter").cast("double")
-                / F.least("n_a", "n_b").cast("double")
-            ).alias("containment"),
-        )
+    scored = _pair_counts(_doc_shingles(spark, sf_dir)).select(
+        "doc_a",
+        "doc_b",
+        jaccard(F.col("n_inter"), F.col("n_a"), F.col("n_b")).alias("jaccard"),
+        (
+            F.col("n_inter").cast("double")
+            / F.least("n_a", "n_b").cast("double")
+        ).alias("containment"),
     )
     return scored.where(F.col("containment") >= CONTAINMENT_THRESHOLD)

@@ -172,15 +172,22 @@ def compact_dir(spark: SparkSession, src: str, dst: str) -> None:
     """Bin-packed small-file compaction: rewrite `src` into
     ceil(total_bytes / TARGET_FILE_BYTES) files at `dst`.
 
-    `coalesce` (not repartition) keeps the rewrite shuffle-free — each
-    output task concatenates a set of input splits, so the job moves
-    every byte exactly once, map-only. The file-count target comes
-    from real listed sizes, not a guess, so output files land near the
-    target regardless of input fragmentation.
+    The file-count target comes from real listed sizes, not a guess.
+    `coalesce` keeps the rewrite shuffle-free (each output task
+    concatenates input splits — every byte moves exactly once,
+    map-only), but it can only DECREASE the partition count: when the
+    scan packs the input into fewer splits than the target (large
+    inputs under the default 128 MB packing), the rewrite must
+    `repartition` instead — paying one shuffle to actually hit the
+    contract, rather than silently emitting files ~maxPartitionBytes
+    big.
     """
     total = sum(parquet_file_sizes(src))
     n_out = max(1, math.ceil(total / TARGET_FILE_BYTES))
-    spark.read.parquet(src).coalesce(n_out).write.mode("overwrite").parquet(dst)
+    df = spark.read.parquet(src)
+    n_scan = df.rdd.getNumPartitions()
+    sized = df.coalesce(n_out) if n_out <= n_scan else df.repartition(n_out)
+    sized.write.mode("overwrite").parquet(dst)
 
 
 @query(

@@ -286,14 +286,17 @@ def _zone_pruned_scan(
         .select("path")
     )
     out_cols = ("o_orderkey", "o_custkey", "o_totalprice")
-    # the count is O(manifest) — file count, never data rows
-    if matching.count() > cap:
+    # ONE manifest job answers both "over the cap?" and "which paths":
+    # collect cap+1 rows — the driver never holds more than cap+1
+    # paths, and a separate count() job is avoided
+    rows = matching.limit(cap + 1).collect()
+    if len(rows) > cap:
         return (
             spark.read.parquet(data_dir)
             .filter(F.col("o_custkey") == key)
             .select(*out_cols)
         )
-    paths = [r["path"] for r in matching.collect()]
+    paths = [r["path"] for r in rows]
     if not paths:
         # no zone intersects the key ⇒ the key is absent from the
         # table and the correct (oracle-matching) answer is empty —

@@ -699,26 +699,16 @@ def cms_delta_batch(delta_base: str):
     contract.
     """
     from crime_data_batch_processing_spark.operators.aggregates import (
-        CMS_A,
-        CMS_B,
-        CMS_D,
-        CMS_MOD,
-        CMS_W,
         _token_code,
+        cms_bucket_cols,
     )
 
     def _write(batch: DataFrame, batch_id: int) -> None:
         coded = batch.select(_token_code(F.col("event_type")).alias("code"))
         bands = coded.select(
-            F.posexplode(
-                F.array(
-                    *[
-                        ((F.lit(CMS_A[d]) * F.col("code") + F.lit(CMS_B[d]))
-                         % CMS_MOD) % CMS_W
-                        for d in range(CMS_D)
-                    ]
-                )
-            ).alias("d", "bucket")
+            F.posexplode(F.array(*cms_bucket_cols(F.col("code")))).alias(
+                "d", "bucket"
+            )
         )
         (
             bands.groupBy("d", "bucket")
@@ -730,24 +720,27 @@ def cms_delta_batch(delta_base: str):
     return _write
 
 
-@query(
-    "stream_count_min",
-    oracle=f"""
+def _sql_stream_count_min() -> str:
+    """Built from the SAME SQL-side hash-family builders as
+    `agg_count_min`'s oracle (operators/aggregates.py), so a CMS
+    geometry change can never silently strand one of the two."""
+    from crime_data_batch_processing_spark.operators.aggregates import (
+        CMS_D,
+        sql_cms_bucket,
+        sql_token_code,
+    )
+
+    return f"""
     WITH exact AS (
         SELECT event_type, COUNT(*)::BIGINT AS exact_n
         FROM events GROUP BY event_type
     ), coded AS (
-        SELECT event_type, exact_n,
-               list_reduce(list_prepend(7::BIGINT,
-                   list_transform(string_split(event_type, ''),
-                                  c -> ascii(c)::BIGINT)),
-                   (acc, x) -> (acc * 131 + x) % 1000000007) AS code
+        SELECT event_type, exact_n, {sql_token_code('event_type')} AS code
         FROM exact
     ), bands AS (
         SELECT event_type, exact_n, d.d AS d,
-               (([131, 137, 139, 149][d.d + 1] * code
-                 + [17, 19, 23, 29][d.d + 1]) % 1000000007) % 256 AS bucket
-        FROM coded, range(4) d(d)
+               {sql_cms_bucket('code', 'd.d')} AS bucket
+        FROM coded, range({CMS_D}) d(d)
     ), cms AS (
         SELECT d, bucket, CAST(SUM(exact_n) AS BIGINT) AS n
         FROM bands GROUP BY d, bucket
@@ -755,8 +748,10 @@ def cms_delta_batch(delta_base: str):
     SELECT b.event_type, b.exact_n, MIN(c.n) AS est_n
     FROM bands b JOIN cms c USING (d, bucket)
     GROUP BY b.event_type, b.exact_n
-    """,
-)
+    """
+
+
+@query("stream_count_min", oracle=_sql_stream_count_min())
 def stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming maintenance of the count-min sketch: each micro-batch
     appends its partial D×W grid; serving merges cells by SUM and
@@ -788,12 +783,8 @@ def stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     from crime_data_batch_processing_spark.operators.aggregates import (
-        CMS_A,
-        CMS_B,
-        CMS_D,
-        CMS_MOD,
-        CMS_W,
         _token_code,
+        cms_bucket_cols,
     )
     from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -807,18 +798,18 @@ def stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_n"))
     )
-    bands = exact.select(
+    # bind the char-fold code ONCE per distinct key, then band it —
+    # inlining _token_code under the explode would re-run the fold per
+    # emitted band row
+    coded = exact.select(
+        "event_type", "exact_n", _token_code(F.col("event_type")).alias("code")
+    )
+    bands = coded.select(
         "event_type",
         "exact_n",
-        F.posexplode(
-            F.array(
-                *[
-                    ((F.lit(CMS_A[d]) * _token_code(F.col("event_type"))
-                      + F.lit(CMS_B[d])) % CMS_MOD) % CMS_W
-                    for d in range(CMS_D)
-                ]
-            )
-        ).alias("d", "bucket"),
+        F.posexplode(F.array(*cms_bucket_cols(F.col("code")))).alias(
+            "d", "bucket"
+        ),
     )
     return (
         bands.join(grid, ["d", "bucket"])

@@ -102,10 +102,31 @@ def test_waiter_does_not_break_heartbeated_live_lock(tmp_path, monkeypatch):
 
     winner = threading.Thread(target=fixtures.build_once, args=(base, long_build))
     winner.start()
-    time.sleep(0.15)  # let the winner take the lock
+    # wait until the winner actually HOLDS the lock (a fixed sleep is
+    # scheduler-dependent and flakes on loaded machines)
+    deadline = time.monotonic() + 5
+    while not os.path.exists(f"{base}/_BUILD_LOCK"):
+        assert time.monotonic() < deadline, "winner never took the lock"
+        time.sleep(0.01)
     fixtures.build_once(base, lambda: calls.append("usurper"))
     winner.join()
     assert calls == ["winner"], calls
+
+
+def test_winner_spares_successor_lock(tmp_path):
+    """Resumed-zombie scenario: while the winner builds, its lock is
+    broken and a successor re-creates one. The winner's cleanup must
+    leave the successor's LIVE lock alone (ino-guarded unlink)."""
+    base = str(tmp_path / "fx")
+    lock = f"{base}/_BUILD_LOCK"
+
+    def build_and_get_usurped():
+        os.unlink(lock)          # waiter judged us stale and broke it
+        open(lock, "w").close()  # successor builder elected
+
+    fixtures.build_once(base, build_and_get_usurped)
+    assert os.path.exists(lock), "successor's lock must survive winner cleanup"
+    os.unlink(lock)
 
 
 def test_scratch_dir_keys_on_generation(tmp_path):
