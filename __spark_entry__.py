@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "scan_schema_evolution", "agg_count_min", "text_dedup_spans",
     "cluster_kmeans", "stream_count_min", "graph_pagerank",
     "dedup_containment", "scan_text", "sample_bottomk",
+    "pipeline_collapse", "window_gap_fill",
     # (1) code or oracle changed in round 4: text_ngrams rank-after-
     # limit rewrite; the two sketch keys' widened error bounds;
     # scan_zone_map manifest cap

@@ -260,3 +260,56 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(sample_hash32(F.col("doc_id")) < F.col("thr"))
         .select("doc_id", "lang")
     )
+
+
+def _sql_collapse() -> str:
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        _SQL_CLUSTERS,
+    )
+
+    return f"""
+    WITH clusters AS ({_SQL_CLUSTERS})
+    SELECT c.cluster_id AS doc_id,
+           COUNT(*)::BIGINT AS n_merged,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(CASE WHEN c.is_canonical THEN d.n_chars END) AS BIGINT)
+               AS kept_chars
+    FROM clusters c JOIN documents d USING (doc_id)
+    GROUP BY c.cluster_id
+    """
+
+
+@query("pipeline_collapse", oracle=_sql_collapse())
+def pipeline_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing end of the dedup family: collapse every
+    near-dup cluster onto its canonical document and report what was
+    merged away — one row per SURVIVING doc with its cluster size,
+    the total characters the cluster held, and the characters kept.
+
+    Composes the verified kernels end-to-end: exact-Jaccard pairs →
+    min-label connected components → canonical projection → one
+    aggregate join against the corpus. Everything stays one lazy plan
+    downstream of the (iterative, checkpointed) clustering; the only
+    corpus-sized shuffles are the pair join inside clustering and the
+    final cluster_id aggregate. `n_merged = 1` rows are the
+    untouched corpus majority — at 100 TB the output IS the cleaned
+    dataset manifest (keep `doc_id`, drop the rest of each cluster),
+    which is why it's registered as a pipeline, not a diagnostic.
+    """
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        dedup_clusters,
+    )
+
+    labels = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        labels.join(docs, "doc_id")
+        .groupBy(F.col("cluster_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_merged"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max(F.when(F.col("is_canonical"), F.col("n_chars"))).alias(
+                "kept_chars"
+            ),
+        )
+    )

@@ -31,6 +31,7 @@ from crime_data_batch_processing_spark.fixtures import build_once, scratch_dir
 from crime_data_batch_processing_spark.functions.exact import (
     dsum,
     dsum_merge,
+    sql_davg,
     sql_dsum,
 )
 from crime_data_batch_processing_spark.registry import query
@@ -430,4 +431,98 @@ def window_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dau.join(wau, "window_day")
         .select("window_day", "dau", "wau")
+    )
+
+
+HOUR_US = 3_600_000_000
+
+
+@query(
+    "window_gap_fill",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+               COUNT(*)::BIGINT AS n_events,
+               {sql_davg('value')} AS avg_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, MIN(hour_us) AS lo, MAX(hour_us) AS hi
+        FROM hourly GROUP BY 1
+    ), grid AS (
+        SELECT b.event_type, b.lo + {HOUR_US} * u.i AS hour_us
+        FROM bounds b,
+             unnest(range((b.hi - b.lo) // {HOUR_US} + 1)) AS u(i)
+    ), joined AS (
+        SELECT g.event_type, g.hour_us,
+               COALESCE(h.n_events, 0)::BIGINT AS n_events,
+               h.avg_value
+        FROM grid g LEFT JOIN hourly h USING (event_type, hour_us)
+    )
+    SELECT event_type, hour_us, n_events,
+           LAST_VALUE(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS avg_value_ffill
+    FROM joined
+    """,
+)
+def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each event type's hourly
+    series to EVERY hour between its first and last observation,
+    zero-filling counts and forward-filling the hourly average — the
+    hypertable `time_bucket_gapfill` / `locf` operation, rebuilt from
+    sequence-explode + a window.
+
+    Shape: hourly aggregate (one corpus shuffle) → per-type
+    min/max bounds (tiny) → `sequence` + explode generates the dense
+    hour grid WITHOUT a driver loop or a calendar table — O(hours)
+    rows per type, computed where the data lives → left join actual
+    hours → `last(ignorenulls)` running window carries the previous
+    observed average across the gap. Dashboards and training-feature
+    pipelines both need this: a missing hour must read as "0 events,
+    value unchanged", not silently vanish from the frame. The first
+    grid hour per type is its first OBSERVED hour, so the fill never
+    fabricates a leading value.
+    """
+    from pyspark.sql import Window
+
+    from crime_data_batch_processing_spark.functions.exact import davg
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg("value").alias("avg_value"),
+        )
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(HOUR_US))
+        ).alias("hour_us"),
+    )
+    joined = grid.join(hourly, ["event_type", "hour_us"], "left").select(
+        "event_type",
+        "hour_us",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour_us",
+        "n_events",
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ffill"),
     )
