@@ -60,12 +60,13 @@ _VERIFY_FIRST = [
     "scan_schema_evolution", "agg_count_min", "text_dedup_spans",
     "cluster_kmeans", "stream_count_min", "graph_pagerank",
     "dedup_containment", "scan_text", "sample_bottomk",
-    "pipeline_collapse", "window_gap_fill",
+    "pipeline_collapse", "window_gap_fill", "window_ewma",
     # (1) code or oracle changed in round 4: text_ngrams rank-after-
     # limit rewrite; the two sketch keys' widened error bounds;
-    # scan_zone_map manifest cap
+    # scan_zone_map manifest cap; dedup_ngram_jaccard refactored onto
+    # the shared _pair_counts pipeline
     "text_ngrams", "agg_approx_distinct", "agg_sketch_rollup",
-    "scan_zone_map",
+    "scan_zone_map", "dedup_ngram_jaccard",
     # (3) last driver-green in ROUND 1 — two testdata generations ago
     # (the driver regenerated /root/testdata before r3 AND again
     # before r4); scan_binary additionally moved onto build_once

@@ -138,3 +138,72 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+#: EWMA smoothing factor 1/4: both 0.25 and 0.75 are exact binary
+#: fractions, so each fold step is two correctly-rounded IEEE ops in a
+#: FIXED order — the same double sequence in Spark and DuckDB.
+EWMA_ALPHA = 0.25
+
+
+@query(
+    "window_ewma",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               list(value ORDER BY epoch_us(ts), event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(
+               list_prepend(CAST(NULL AS DOUBLE), vals),
+               (acc, x) -> CASE WHEN acc IS NULL THEN x
+                                ELSE {EWMA_ALPHA} * x
+                                     + {1 - EWMA_ALPHA} * acc END)
+               AS ewma
+    FROM seq
+    """,
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of `value` —
+    the recursive smoother (s_t = α·x_t + (1-α)·s_{t-1}) that SQL
+    window frames CANNOT express (each output depends on the previous
+    OUTPUT, not a fixed input frame) and engines usually punt to
+    per-row UDFs.
+
+    Shape: one shuffle collects each user's (ts, event_id, value)
+    rows; `array_sort` fixes the event order; a codegen'd
+    `F.aggregate` left-fold runs the recursion JVM-side — the
+    `window_funnel` pattern applied to numeric state. Per-user state
+    is one array per task (bounded per-entity event counts); the
+    streaming twin is `stream_stateful`'s running accumulator.
+    Determinism: the fold visits values in the (ts, event_id) total
+    order and α/(1-α) are exact binary fractions, so both engines
+    execute the identical sequence of correctly-rounded doubles —
+    bit-equal EWMA without any decimal machinery.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("value").alias("v"),
+                )
+            )
+        ).alias("seq")
+    )
+    ewma = F.aggregate(
+        "seq",
+        F.lit(None).cast("double"),
+        lambda acc, e: F.when(acc.isNull(), e["v"]).otherwise(
+            EWMA_ALPHA * e["v"] + (1 - EWMA_ALPHA) * acc
+        ),
+    )
+    return per_user.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        ewma.alias("ewma"),
+    )
