@@ -56,6 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
     # (2) new in round 4 — no driver row exists at all
+    "profile_stats", "agg_cube", "sample_split", "window_anomaly",
+    "multimodal_dedup",
     "dedup_embedding_lsh", "sink_compacted", "join_bloom",
     "scan_schema_evolution", "agg_count_min", "text_dedup_spans",
     "cluster_kmeans", "stream_count_min", "graph_pagerank",

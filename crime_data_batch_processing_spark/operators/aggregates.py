@@ -637,3 +637,44 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("n").alias("est_n"))
     )
     return est.orderBy(F.col("exact_n").desc(), F.col("token").asc()).limit(20)
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 2^d grouping-set combinations.
+
+    Completes the multi-level aggregation family (`agg_rollup` =
+    hierarchy prefixes, `agg_grouping_sets` = explicit sets, CUBE =
+    the full lattice). Spark plans all of these as ONE Expand node
+    (each input row replicated once per grouping set) feeding a single
+    hash aggregate — one scan, one shuffle, regardless of how many
+    sets the lattice has; map-side partial aggregation still applies
+    because Expand happens before the partial agg. At 100 TB the cost
+    driver is the Expand factor (4 here): cube only low-cardinality
+    dims, and prefer sketch rollups (`agg_sketch_rollup`) when the
+    lattice gets wide.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crime_data_batch_processing_spark.functions.exact import dsum
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -296,4 +297,57 @@ def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice", h.alias("h"))
         .orderBy(F.col("h").asc(), F.col("o_orderkey").asc())
         .limit(BOTTOM_K)
+    )
+
+
+#: Split boundaries in units of SAMPLE_M: [0,80%) train, [80,90%) val,
+#: [90,100%) test — disjoint and exhaustive by construction.
+SPLIT_TRAIN_HI = SAMPLE_M * 8 // 10
+SPLIT_VAL_HI = SAMPLE_M * 9 // 10
+
+
+@query(
+    "sample_split",
+    oracle=f"""
+    SELECT CASE WHEN h < {SPLIT_TRAIN_HI} THEN 'train'
+                WHEN h < {SPLIT_VAL_HI} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_price
+    FROM (SELECT o_totalprice,
+                 {sql_sample_hash32('o_orderkey')} AS h
+          FROM orders)
+    GROUP BY 1
+    """,
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by key hash.
+
+    The split every training pipeline needs, with the property
+    `df.randomSplit` cannot give: membership is a pure function of
+    the PRIMARY KEY, so it survives reruns, repartitioning, engine
+    changes, and incremental data arrival (a row never migrates
+    between splits when the table grows — no eval-set contamination).
+    Same multiplicative hash as `sample_hash`, so co-keyed tables
+    (orders + lineitem by orderkey) land on the SAME side of the
+    split and can be joined within a split without leakage.
+
+    One scan, one map-side-combined aggregation over 3 groups; the
+    per-split decimal-exact totals are the checksum a pipeline stores
+    to prove two runs produced identical splits.
+    """
+    h = sample_hash32(F.col("o_orderkey"))
+    split = (
+        F.when(h < SPLIT_TRAIN_HI, "train")
+        .when(h < SPLIT_VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
     )

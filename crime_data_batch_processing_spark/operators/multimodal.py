@@ -263,3 +263,48 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, thumb_len long, thumb_sum long",
         _thumb,
     )
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS digest,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+    FROM documents
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over OPAQUE binary payloads — the byte-
+    identical rung of the dedup ladder, applied to the media column.
+
+    Image/audio/video corpora are deduped first by raw content digest
+    (the same asset re-crawled under different URIs): hash the binary
+    payload JVM-side (`F.md5` on the envelope's `data` — works on any
+    bytes, no decode needed), shuffle once on the 128-bit digest, and
+    elect the minimum doc_id as each group's canonical copy. Digest
+    partitioning is uniform by construction (cryptographic hash), so
+    the shuffle has no skew at any scale; the window min is one
+    exchange, same cost as the groupBy+join-back alternative but
+    keeps every row's verdict in the output (keep/drop decision
+    stream, what a curation pipeline actually persists).
+
+    The text sibling is `dedup_exact` (orders, whole-row); here the
+    digest is computed from the envelope bytes themselves, so the
+    operator is modality-agnostic: the same plan dedups 100 TB of
+    JPEGs. DuckDB's md5() hashes the VARCHAR's UTF-8 bytes — exactly
+    the envelope's `encode(text, 'UTF-8')` payload, so digests match
+    bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    env = media_envelope(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("digest")
+    return (
+        env.select(
+            "doc_id", F.md5(F.col("media.data")).alias("digest")
+        )
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("canonical_id"))
+    )

@@ -156,3 +156,78 @@ def window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cume", F.cume_dist().over(w))
         .withColumn("decile", F.ntile(10).over(wt))
     )
+
+
+#: Trailing-frame width for the anomaly detector (current row + 19
+#: preceding) and the z-score threshold (3 sigma).
+ANOMALY_FRAME = 19
+ANOMALY_SIGMA = 3
+
+
+@query(
+    "window_anomaly",
+    oracle=f"""
+    WITH f AS (
+        SELECT event_id, user_id,
+               CAST(value AS DECIMAL(10,2)) AS x,
+               CAST(COUNT(*) OVER w AS DECIMAL(6,0)) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w
+                    AS DECIMAL(14,2)) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(10,2))
+                        * CAST(value AS DECIMAL(10,2))) OVER w
+                    AS DECIMAL(20,4)) AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {ANOMALY_FRAME} PRECEDING
+                               AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, CAST(n AS BIGINT) AS n_frame,
+           CAST(n * x - s AS DECIMAL(14,2))
+               * CAST(n * x - s AS DECIMAL(14,2))
+               > {ANOMALY_SIGMA * ANOMALY_SIGMA} * (n * s2 - s * s)
+               AS is_anomaly
+    FROM f
+    """,
+)
+def window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window 3-sigma anomaly flag per entity — EXACT, with
+    no floating point anywhere.
+
+    The streaming-adjacent monitoring shape (is this event >3 sigma
+    from its entity's recent behavior?) normally computed with
+    `stddev` — which is order-dependent in IEEE doubles and therefore
+    neither run-to-run nor engine-to-engine reproducible. Squaring
+    the test instead removes the sqrt AND the division:
+
+        |x - mean| > k*sigma   <=>   (n*x - S)^2 > k^2 * (n*S2 - S^2)
+
+    with S = sum(x), S2 = sum(x^2) over the frame — all decimal
+    integers at fixed scale, so the flag is bit-deterministic. The
+    explicit DECIMAL casts keep every intermediate inside precision
+    38 under BOTH engines' multiply rules (values are bounded: x <
+    10^8, frame n <= ANOMALY_FRAME + 1 = 20).
+
+    One shuffle on user_id + one sort serves all three frame
+    aggregates; at 100 TB this is the standard partitioned-window
+    cost, and the frame is O(1) memory per row.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_FRAME, Window.currentRow)
+    )
+    x = F.col("value").cast("decimal(10,2)")
+    n = F.count(F.lit(1)).over(w).cast("decimal(6,0)")
+    s = F.sum(x).over(w).cast("decimal(14,2)")
+    s2 = F.sum(x * x).over(w).cast("decimal(20,4)")
+    d = (n * x - s).cast("decimal(14,2)")
+    k2 = F.lit(ANOMALY_SIGMA * ANOMALY_SIGMA).cast("decimal(2,0)")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            n.cast("long").alias("n_frame"),
+            (d * d > k2 * (n * s2 - s * s)).alias("is_anomaly"),
+        )
+    )

@@ -441,3 +441,56 @@ def test_zone_map_unselective_predicate_falls_back(spark, sf_dir):
     assert sorted(map(tuple, capped.collect())) == sorted(
         map(tuple, pruned.collect())
     )
+
+
+def test_profile_stats_single_scan(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import count_nodes
+
+    df = registry.QUERIES["profile_stats"](spark, sf_dir)
+    # The whole point vs the oracle's per-column UNION ALL: every
+    # statistic for every column from ONE pass over the table.
+    assert count_nodes(df, "Scan parquet") == 1, (
+        "profile_stats must profile all columns in a single scan"
+    )
+
+
+def test_agg_cube_single_expand_and_scan(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import count_nodes
+
+    df = registry.QUERIES["agg_cube"](spark, sf_dir)
+    assert count_nodes(df, "Expand") == 1, (
+        "CUBE must plan as one Expand, not a scan per grouping set"
+    )
+    assert count_nodes(df, "Scan parquet") == 1
+
+
+def test_sample_split_stays_in_codegen(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    df = registry.QUERIES["sample_split"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "split hashing must be JVM-side Catalyst arithmetic"
+    )
+    # partial aggregation before the 3-group shuffle
+    assert "partial" in plan.lower()
+
+
+def test_window_anomaly_single_shuffle(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import count_nodes
+
+    df = registry.QUERIES["window_anomaly"](spark, sf_dir)
+    # All three frame aggregates share one (user_id) exchange + sort.
+    assert count_nodes(df, "Exchange") == 1, (
+        "the three frame aggregates must share a single window exchange"
+    )
+    assert count_nodes(df, "Window") == 1
+
+
+def test_multimodal_dedup_single_shuffle(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import count_nodes
+
+    df = registry.QUERIES["multimodal_dedup"](spark, sf_dir)
+    assert count_nodes(df, "Exchange") == 1, (
+        "digest dedup is one shuffle on the content hash"
+    )
