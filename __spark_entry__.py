@@ -57,7 +57,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_FIRST = [
     # (2) new in round 4 — no driver row exists at all
     "profile_stats", "agg_cube", "sample_split", "window_anomaly",
-    "multimodal_dedup",
+    "multimodal_dedup", "scan_partition_prune", "scan_pysource",
+    "text_domain_mix", "agg_hll_intersection", "pipeline_dataset_card",
     "dedup_embedding_lsh", "sink_compacted", "join_bloom",
     "scan_schema_evolution", "agg_count_min", "text_dedup_spans",
     "cluster_kmeans", "stream_count_min", "graph_pagerank",

@@ -678,3 +678,78 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_price"),
         )
     )
+
+
+#: Intersection-estimate tolerance: inclusion-exclusion compounds the
+#: error of THREE ~1.6%-RSE HLL estimates, and the result is measured
+#: against the union size (the natural scale of the absolute error),
+#: not the (possibly tiny) intersection. 0.15x the union is far past
+#: the compounded 3-sigma tail — immune to testdata regeneration, per
+#: the SKETCH_BOUND rationale above.
+INTERSECT_BOUND = 0.15
+
+
+@query(
+    "agg_hll_intersection",
+    oracle="""
+    SELECT COUNT(DISTINCT CASE WHEN y = 1996 THEN o_custkey END) AS n_a,
+           COUNT(DISTINCT CASE WHEN y = 1997 THEN o_custkey END) AS n_b,
+           COUNT(DISTINCT CASE WHEN y IN (1996, 1997)
+                               THEN o_custkey END) AS n_union,
+           TRUE AS est_ok
+    FROM (SELECT EXTRACT(year FROM o_orderdate) AS y, o_custkey
+          FROM orders)
+    """,
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: distinct-count INTERSECTION from stored
+    HLL sketches via inclusion-exclusion, without rescanning raw data.
+
+    HLL sketches union natively (`hll_union_agg`) but do not
+    intersect; the standard workaround every sketch-backed metrics
+    store uses is |A∩B| = |A| + |B| - |A∪B| on three O(KB) sketch
+    estimates. That turns "customers active in BOTH 1996 and 1997"
+    — normally a 100 TB re-scan + distinct shuffle per question —
+    into arithmetic over per-partition sketches built once at ingest.
+    The estimate's compounded error is checked in-query against the
+    exact answer (`est_ok`, bounded vs the union size); the oracle
+    recomputes the exact counts independently. One scan computes both
+    the sketches and the exact counts here; a production store would
+    read only the sketch table.
+    """
+    yearly = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("y"), "o_custkey")
+        .where(F.col("y").isin(1996, 1997))
+    )
+    sk = yearly.groupBy("y").agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        F.sum(F.when(F.col("y") == 1996, F.hll_sketch_estimate("sk"))).alias(
+            "est_a"
+        ),
+        F.sum(F.when(F.col("y") == 1997, F.hll_sketch_estimate("sk"))).alias(
+            "est_b"
+        ),
+    )
+    exact = yearly.agg(
+        F.countDistinct(F.when(F.col("y") == 1996, F.col("o_custkey"))).alias(
+            "n_a"
+        ),
+        F.countDistinct(F.when(F.col("y") == 1997, F.col("o_custkey"))).alias(
+            "n_b"
+        ),
+        F.countDistinct("o_custkey").alias("n_union"),
+    )
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "n_a",
+        "n_b",
+        "n_union",
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+                - (F.col("n_a") + F.col("n_b") - F.col("n_union"))
+            )
+            <= F.lit(INTERSECT_BOUND) * F.col("n_union")
+        ).alias("est_ok"),
+    )

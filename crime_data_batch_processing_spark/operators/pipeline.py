@@ -313,3 +313,78 @@ def pipeline_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH flags AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS ntok,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+                   AS is_dup
+        FROM documents
+    ),
+    per AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_dups,
+               CAST(SUM(ntok) AS BIGINT) AS total_tokens
+        FROM flags GROUP BY lang
+    )
+    SELECT lang, n_docs, n_exact_dups, total_tokens,
+           CAST(n_docs AS DOUBLE)
+               / CAST(SUM(n_docs) OVER () AS DOUBLE) AS doc_share
+    FROM per
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: the per-language summary a curated corpus
+    ships with — document counts, exact-duplicate counts, token
+    totals, and corpus share — composed as ONE lazy plan.
+
+    Composition of the engine's own primitives: `multimodal_dedup`'s
+    digest-window dup flag, `text_token_count`'s whitespace
+    tokenization, and a two-level aggregation. Plan shape: one scan →
+    one digest shuffle (window min) → one lang aggregation
+    (map-side combined) → a broadcast of the single grand-total row
+    back onto the per-language rows. Every number is exact integer
+    arithmetic except `doc_share`, which is ONE division of two
+    exact integers — bit-identical across engines. At 100 TB this is
+    the report you run once per corpus release; its cost is the
+    digest shuffle, shared with the dedup pass that precedes it in
+    `pipeline_curate`.
+    """
+    from pyspark.sql import Window
+
+    from crime_data_batch_processing_spark.functions.textkit import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        "lang",
+        F.size(tokens("text")).alias("ntok"),
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(
+                Window.partitionBy(F.md5(F.encode("text", "UTF-8")))
+            )
+        ).alias("is_dup"),
+    )
+    per = flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+    )
+    total = per.agg(F.sum("n_docs").alias("grand_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_exact_dups",
+        "total_tokens",
+        (
+            F.col("n_docs").cast("double")
+            / F.col("grand_total").cast("double")
+        ).alias("doc_share"),
+    )

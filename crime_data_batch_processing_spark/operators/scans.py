@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crime_data_batch_processing_spark.fixtures import build_once, scratch_dir
+from crime_data_batch_processing_spark.functions.exact import dsum
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.jdbc import read_jdbc_partitioned
 from crime_data_batch_processing_spark.sources.tables import load_table
@@ -367,4 +368,130 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars"),
         F.element_at(F.split("text", " "), 1).alias("first_token"),
+    )
+
+
+#: Partition (order year) the pruned read targets.
+PRUNE_YEAR = 1995
+
+
+@query(
+    "scan_partition_prune",
+    oracle=f"""
+    SELECT EXTRACT(month FROM o_orderdate) AS o_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = {PRUNE_YEAR}
+    GROUP BY 1
+    """,
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-partition pruning: a predicate on the partition
+    column is answered from PATHS, not data.
+
+    The single most important scan optimization at 100 TB: with the
+    table laid out as `o_year=YYYY/` directories (written once here
+    via build_once; `sink_partitioned` is the write side), a filter
+    on the partition column is resolved during FILE LISTING — Spark
+    never opens, downloads, or decodes a single byte of the other
+    years. `.explain` shows it as PartitionFilters on the scan with
+    only the matching directory's files (asserted in
+    tests/test_plans.py); contrast `scan_zone_map`, which prunes by
+    min/max stats *within* an unpartitioned layout. The oracle
+    computes the same month aggregate from the unpartitioned source —
+    any row the pruned read loses or misattributes is a hash
+    mismatch.
+    """
+    base = scratch_dir("prune", sf_dir, "orders")
+    data_dir = f"{base}/orders_by_year"
+
+    def _build() -> None:
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate").cast("long"))
+            .repartition("o_year")
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(data_dir)
+        )
+
+    build_once(base, _build)
+    return (
+        spark.read.parquet(data_dir)
+        .filter(F.col("o_year") == PRUNE_YEAR)
+        .groupBy(F.month("o_orderdate").cast("long").alias("o_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+#: Fixture row-group size: sf0.01's 500 docs -> 4 row groups, so the
+#: reader's planning/pruning genuinely spans multiple partitions.
+PYSOURCE_ROW_GROUP = 128
+#: Pushed predicate: lang = 'en' AND n_chars >= this.
+PYSOURCE_MIN_CHARS = 200
+
+
+@query(
+    "scan_pysource",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang = 'en' AND n_chars >= {PYSOURCE_MIN_CHARS}
+    GROUP BY source
+    """,
+)
+def scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Python Data Source API
+    (sources/pydatasource.py): row-group-per-task planning + filter
+    pushdown with row-group-statistics pruning, in pure Python.
+
+    The fixture rewrites the documents table with small row groups so
+    the custom `partitions()` genuinely plans a multi-task scan; the
+    `lang = 'en' AND n_chars >= 200` predicate is consumed by
+    `pushFilters`, prunes row groups by their min/max stats, and is
+    re-applied exactly inside `read()` — Spark's plan carries no
+    residual filter for it. The oracle runs the same predicate over
+    the original table, so a connector that drops, duplicates, or
+    mis-prunes a row group is a hash mismatch. Aggregation on top is
+    ordinary Catalyst — a custom source composes with everything else.
+    """
+    import pyarrow.parquet as pq
+
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        DOC_COLUMNS,
+        RowGroupParquetSource,
+    )
+
+    base = scratch_dir("pysource", sf_dir, "documents")
+    path = f"{base}/documents_rg.parquet"
+
+    def _build() -> None:
+        table = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=DOC_COLUMNS
+        )
+        pq.write_table(table, path, row_group_size=PYSOURCE_ROW_GROUP)
+
+    build_once(base, _build)
+    # Python-source filter pushdown is opt-in (runtime SQL conf).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(RowGroupParquetSource)
+    docs = (
+        spark.read.format("rowgroup_parquet").option("path", path).load()
+    )
+    return (
+        docs.filter(
+            (F.col("lang") == "en")
+            & (F.col("n_chars") >= PYSOURCE_MIN_CHARS)
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
     )

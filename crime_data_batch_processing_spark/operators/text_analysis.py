@@ -457,3 +457,50 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_gram_frac"
         ),
     )
+
+
+@query(
+    "text_domain_mix",
+    oracle="""
+    WITH lc AS (
+        SELECT source, lang, COUNT(*) AS c
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_langs,
+           CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+               / CAST(SUM(c) * SUM(c) AS DOUBLE) AS lang_gini
+    FROM lc GROUP BY source
+    """,
+)
+def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: per ingestion source, how mixed is
+    its language distribution (Gini impurity, 1 - sum(p_i^2))?
+
+    The mixture dashboard a pretraining data team watches per domain/
+    crawl: a source whose impurity collapses toward 0 went monolingual
+    (crawler drift), one near 1 - 1/k is uniformly mixed. Gini is
+    chosen over Shannon entropy deliberately: it needs only counts,
+    products, and ONE final double division of two exact integers —
+    bit-identical everywhere — while entropy's log() is libm-
+    implementation-defined and differs in the last ulp across
+    engines. Two map-side-combined aggregations ((source, lang) then
+    source — the second over at most sources x languages rows), no
+    window, no data skew exposure: the standard scalable shape for
+    distribution-shape metrics at 100 TB.
+    """
+    lc = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    sumsq = F.sum(F.col("c") * F.col("c"))
+    return lc.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        (
+            (n * n - sumsq).cast("double") / (n * n).cast("double")
+        ).alias("lang_gini"),
+    )

@@ -494,3 +494,56 @@ def test_multimodal_dedup_single_shuffle(spark, sf_dir):
     assert count_nodes(df, "Exchange") == 1, (
         "digest dedup is one shuffle on the content hash"
     )
+
+
+def test_partition_prune_reads_only_target_year(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    df = registry.QUERIES["scan_partition_prune"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "1995" in plan, (
+        "the year predicate must prune directories at listing time"
+    )
+    # the partition column never appears as a data filter
+    assert "PushedFilters: [IsNotNull(o_year)" not in plan
+
+
+def test_pysource_plans_no_residual_filter(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    df = registry.QUERIES["scan_pysource"](spark, sf_dir)
+    plan = physical_plan(df)
+    # The lang/n_chars comparisons are consumed by pushFilters and
+    # re-applied exactly inside the source's read(), so they must not
+    # reappear as residual Filter conditions. (The isnotnull guards
+    # are deliberately handed back to Spark and may remain.)
+    assert "= en" not in plan and ">= 200" not in plan, (
+        f"pushed comparisons must not leave residual filters:\n{plan}"
+    )
+
+
+def test_domain_mix_two_level_aggregation(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import count_nodes, physical_plan
+
+    df = registry.QUERIES["text_domain_mix"](spark, sf_dir)
+    assert count_nodes(df, "Scan parquet") == 1
+    assert "partial" in physical_plan(df).lower(), (
+        "both aggregation levels must map-side combine"
+    )
+
+
+def test_hll_intersection_broadcasts_sketch_row(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import uses_broadcast_join
+
+    df = registry.QUERIES["agg_hll_intersection"](spark, sf_dir)
+    assert uses_broadcast_join(df), (
+        "the single merged-sketch row must broadcast onto the exact counts"
+    )
+
+
+def test_dataset_card_single_scan_and_broadcast_total(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import count_nodes, uses_broadcast_join
+
+    df = registry.QUERIES["pipeline_dataset_card"](spark, sf_dir)
+    assert uses_broadcast_join(df), "grand total must broadcast, not shuffle"
+    assert count_nodes(df, "Scan parquet") <= 2  # flags + total reuse one scan each

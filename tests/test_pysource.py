@@ -1,0 +1,60 @@
+"""Unit tests for the Python Data Source connector's planning layer
+(sources/pydatasource.py): row-group statistics pruning and exact
+re-application of pushed filters, independent of Spark."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull
+
+from crime_data_batch_processing_spark.sources.pydatasource import (
+    RowGroupParquetReader,
+)
+
+
+def _fixture(tmp_path) -> str:
+    path = str(tmp_path / "docs.parquet")
+    # 4 row groups with disjoint n_chars ranges: [0,99], [100,199], ...
+    table = pa.table(
+        {
+            "doc_id": list(range(400)),
+            "lang": ["en" if i % 2 == 0 else "fr" for i in range(400)],
+            "source": [f"s{i % 3}" for i in range(400)],
+            "n_chars": list(range(400)),
+        }
+    )
+    pq.write_table(table, path, row_group_size=100)
+    return path
+
+
+def test_stats_pruning_drops_excluded_row_groups(tmp_path):
+    path = _fixture(tmp_path)
+    r = RowGroupParquetReader(path)
+    residual = list(r.pushFilters([GreaterThanOrEqual(("n_chars",), 250)]))
+    assert residual == [], "single-column comparison must be consumed"
+    parts = r.partitions()
+    # groups [0,99] and [100,199] are excluded by max-stat; [200,299]
+    # survives (max 299 >= 250) and [300,399] survives
+    assert sorted(p.index for p in parts) == [2, 3]
+
+
+def test_pushed_filters_reapplied_exactly(tmp_path):
+    path = _fixture(tmp_path)
+    r = RowGroupParquetReader(path)
+    list(r.pushFilters([GreaterThanOrEqual(("n_chars",), 250), EqualTo(("lang",), "en")]))
+    rows = []
+    for p in r.partitions():
+        for batch in r.read(p):
+            rows.extend(batch.to_pylist())
+    assert all(x["n_chars"] >= 250 and x["lang"] == "en" for x in rows)
+    assert len(rows) == 75  # 150 ids in [250,399], half even
+
+    
+def test_unsupported_filters_returned_to_spark(tmp_path):
+    path = _fixture(tmp_path)
+    r = RowGroupParquetReader(path)
+    unsupported = IsNotNull(("lang",))
+    residual = list(r.pushFilters([unsupported, EqualTo(("lang",), "fr")]))
+    assert residual == [unsupported]
+    assert len(r.partitions()) == 4  # string stats keep all groups
