@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "profile_stats", "agg_cube", "sample_split", "window_anomaly",
     "multimodal_dedup", "scan_partition_prune", "scan_pysource",
     "text_domain_mix", "agg_hll_intersection", "pipeline_dataset_card",
+    "udf_arrow", "join_scd2", "stream_anomaly",
     "dedup_embedding_lsh", "sink_compacted", "join_bloom",
     "scan_schema_evolution", "agg_count_min", "text_dedup_spans",
     "cluster_kmeans", "stream_count_min", "graph_pagerank",

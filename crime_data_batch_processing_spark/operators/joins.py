@@ -235,3 +235,86 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("us").alias("purchase_us"),
         "asof_click_id",
     )
+
+
+#: SCD2 version boundary: customer attributes "change" at this date —
+#: deterministic synthetic versioning (v1 before, v2 after).
+SCD2_SPLIT = "1998-01-01"
+
+
+@query(
+    "join_scd2",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey, 1 AS version,
+               DATE '1995-01-01' AS valid_from,
+               DATE '{SCD2_SPLIT}' AS valid_to,
+               c_acctbal AS acctbal_at
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 2,
+               DATE '{SCD2_SPLIT}', DATE '2002-01-01',
+               c_acctbal + 100.0
+        FROM customer
+    )
+    SELECT o.o_orderkey, o.o_custkey, d.version,
+           d.acctbal_at, o.o_totalprice
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND o.o_orderdate < d.valid_to
+    """,
+)
+def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD Type 2) dimension join: each fact row joins
+    the dimension VERSION that was valid at the fact's own date — the
+    as-was join every warehouse and feature store needs (joining
+    today's attributes onto historical facts silently leaks the
+    future into training data).
+
+    The dimension's version history is synthesized deterministically
+    (two versions per customer split at SCD2_SPLIT, balance +100
+    after), so the oracle reconstructs it exactly. Plan shape: the
+    interval predicate does NOT become a nested-loop/theta join —
+    the join keys on c_custkey (equi, shuffle-or-broadcast on the
+    key) and the validity window is a residual filter evaluated per
+    matched pair; with the SCD2 invariant (non-overlapping versions
+    per key) each fact row survives exactly once. Versions-per-key is
+    small and bounded, so the fan-out before filtering is ≤ the
+    version count — the standard warehouse SCD2 shape at any scale.
+    `join_asof` is the sibling for UNVERSIONED event-time lookups;
+    `join_range_bucketed` the general interval machinery.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    split = F.lit(SCD2_SPLIT).cast("date")
+    dim = cust.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("version"),
+                    F.lit("1995-01-01").cast("date").alias("valid_from"),
+                    split.alias("valid_to"),
+                    F.col("c_acctbal").alias("acctbal_at"),
+                ),
+                F.struct(
+                    F.lit(2).alias("version"),
+                    split.alias("valid_from"),
+                    F.lit("2002-01-01").cast("date").alias("valid_to"),
+                    (F.col("c_acctbal") + 100.0).alias("acctbal_at"),
+                ),
+            )
+        ).alias("v"),
+    ).select("c_custkey", "v.*")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(dim, orders["o_custkey"] == dim["c_custkey"])
+        .where(
+            (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("o_orderdate") < F.col("valid_to"))
+        )
+        .select(
+            "o_orderkey", "o_custkey", "version", "acctbal_at", "o_totalprice"
+        )
+    )

@@ -119,3 +119,44 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars long, first_doc long"
         ),
     )
+
+
+@query(
+    "udf_arrow",
+    oracle="""
+    SELECT doc_id,
+           lang || ':' || CAST(doc_id % 7 AS VARCHAR) AS shard_key,
+           CAST(floor(n_chars / 100) AS BIGINT) AS size_bucket
+    FROM documents
+    """,
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (`useArrow=True`, Spark 3.5+) — the
+    third rung of the UDF surface.
+
+    Same row-wise authoring model as the legacy `F.udf` (scalar in,
+    scalar out — no pandas vocabulary needed), but batched over Arrow
+    instead of pickled row-by-row, so it plans as ArrowEvalPython and
+    clears this engine's no-BatchEvalPython gate (tests/test_plans.py).
+    The niche between the modes: logic too row-oriented to vectorize
+    comfortably as a `pandas_udf`, yet hot enough that pickle-per-row
+    would dominate. Defined NESTED so cloudpickle ships it by value
+    (workers don't have this package importable).
+    """
+    import pyspark.sql.functions as SF
+
+    @SF.udf(returnType=T.StringType(), useArrow=True)
+    def _shard_key(lang: str, doc_id: int) -> str:
+        # arbitrary per-row Python — replayed exactly by the oracle
+        return f"{lang}:{doc_id % 7}"
+
+    @SF.udf(returnType=T.LongType(), useArrow=True)
+    def _size_bucket(n_chars: int) -> int:
+        return n_chars // 100
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _shard_key("lang", "doc_id").alias("shard_key"),
+        _size_bucket("n_chars").alias("size_bucket"),
+    )

@@ -129,3 +129,138 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_to_memory(
         spark, _stream_src(sf_dir), query_name="cdbp_stream_stateful"
     )
+
+
+#: Streamed twin of operators/windows.window_anomaly: same trailing
+#: frame, same integer algebra, same oracle.
+ANOMALY_OUTPUT = "event_id long, user_id long, n_frame long, is_anomaly boolean"
+ANOMALY_STATE = "us array<long>, eid array<long>, vq array<long>"
+#: value is quantized at scale 2 (cents) — the inequality
+#: (n·x−S)² > k²(n·S2−S²) is homogeneous of degree 2 in the value
+#: unit, so the integer-cents verdict is IDENTICAL to the batch
+#: operator's DECIMAL(10,2) verdict.
+_CENTS = 100
+
+
+def stateful_anomaly(events: DataFrame) -> DataFrame:
+    """Per-event trailing 3-sigma flag with explicit keyed state.
+
+    State per user: the last ANOMALY_FRAME (ts, event_id, value-cents)
+    triples — O(1) per key, evicted FIFO. Each micro-batch's rows are
+    sorted by (ts, event_id) before folding, so with in-order arrival
+    per key (guaranteed here by the single AvailableNow batch; in
+    production by event-time ordered sources or a reorder buffer) the
+    emitted flags equal the batch window operator's bit-for-bit —
+    Python integers are exact, so there is no accumulation drift
+    across micro-batch boundaries.
+    """
+    from crime_data_batch_processing_spark.operators.windows import (
+        ANOMALY_FRAME,
+        ANOMALY_SIGMA,
+    )
+
+    k2 = ANOMALY_SIGMA * ANOMALY_SIGMA
+
+    def _flag(key, pdfs, state):
+        us, eid, vq = state.get if state.exists else ([], [], [])
+        buf = list(zip(us, eid, vq))
+        out_eid, out_n, out_flag = [], [], []
+        rows = pd.concat(list(pdfs)) if pdfs else None
+        if rows is not None and len(rows):
+            for r_us, r_eid, r_vq in sorted(
+                zip(rows["us"], rows["eid"], rows["vqc"])
+            ):
+                x = int(r_vq)
+                frame = [v for _, _, v in buf[-ANOMALY_FRAME:]] + [x]
+                n, s = len(frame), sum(frame)
+                s2 = sum(v * v for v in frame)
+                d = n * x - s
+                out_eid.append(int(r_eid))
+                out_n.append(n)
+                out_flag.append(d * d > k2 * (n * s2 - s * s))
+                buf.append((int(r_us), int(r_eid), x))
+        buf = buf[-ANOMALY_FRAME:]
+        state.update(
+            ([b[0] for b in buf], [b[1] for b in buf], [b[2] for b in buf])
+        )
+        yield pd.DataFrame(
+            {
+                "event_id": out_eid,
+                "user_id": [key[0]] * len(out_eid),
+                "n_frame": out_n,
+                "is_anomaly": out_flag,
+            }
+        )
+
+    quantized = events.select(
+        F.col("user_id"),
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
+        (F.col("value").cast("double").cast("decimal(10,2)") * _CENTS)
+        .cast("long")
+        .alias("vqc"),
+    )
+    return quantized.groupBy("user_id").applyInPandasWithState(
+        _flag,
+        outputStructType=ANOMALY_OUTPUT,
+        stateStructType=ANOMALY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_anomaly",
+    # Same contract as the batch window operator (windows.py): the
+    # streamed fold must reproduce the batch frame algebra exactly.
+    oracle="""
+    WITH f AS (
+        SELECT event_id, user_id,
+               CAST(value AS DECIMAL(10,2)) AS x,
+               CAST(COUNT(*) OVER w AS DECIMAL(6,0)) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(10,2))) OVER w
+                    AS DECIMAL(14,2)) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(10,2))
+                        * CAST(value AS DECIMAL(10,2))) OVER w
+                    AS DECIMAL(20,4)) AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, CAST(n AS BIGINT) AS n_frame,
+           CAST(n * x - s AS DECIMAL(14,2))
+               * CAST(n * x - s AS DECIMAL(14,2))
+               > 9 * (n * s2 - s * s) AS is_anomaly
+    FROM f
+    """,
+)
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-event anomaly flags from keyed state, checked
+    bit-for-bit against the batch window operator's oracle.
+
+    The monitoring topology `window_anomaly` only batch-simulates:
+    state is the per-entity trailing frame, each event is flagged AS
+    IT ARRIVES, and because both sides reduce to the same integer
+    inequality, streamed and batch verdicts are interchangeable — the
+    property that lets one codebase serve the lambda architecture's
+    both halves.
+    """
+    from crime_data_batch_processing_spark.streaming.stream_events import (
+        _stream_src,
+    )
+
+    for q in spark.streams.active:
+        if q.name == "cdbp_stream_anomaly":
+            q.stop()
+    out = stateful_anomaly(
+        streaming_events(spark, _stream_src(sf_dir), max_files_per_trigger=None)
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdbp_stream_anomaly")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("cdbp_stream_anomaly")

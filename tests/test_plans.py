@@ -547,3 +547,22 @@ def test_dataset_card_single_scan_and_broadcast_total(spark, sf_dir):
     df = registry.QUERIES["pipeline_dataset_card"](spark, sf_dir)
     assert uses_broadcast_join(df), "grand total must broadcast, not shuffle"
     assert count_nodes(df, "Scan parquet") <= 2  # flags + total reuse one scan each
+
+
+def test_udf_arrow_plans_arrow_eval(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["udf_arrow"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan, (
+        "useArrow=True UDFs must take the Arrow batch path"
+    )
+
+
+def test_scd2_join_is_equi_not_nested_loop(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["join_scd2"](spark, sf_dir))
+    # the interval predicate must ride an equi-join on the key as a
+    # residual condition — never BroadcastNestedLoopJoin over versions
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan

@@ -259,3 +259,42 @@ def test_cdc_merge_folds_batches_into_latest_per_key(spark, stream_dirs, tmp_pat
             for r in spark.read.parquet(target).collect()}
     assert rows == {1: (2, "purchase", 9.0), 2: (1, "view", 2.0)}, rows
     assert spark.read.parquet(target).count() == 2  # one row per key
+
+
+def test_anomaly_state_carries_across_microbatches(spark, stream_dirs):
+    """stream_anomaly: the trailing frame must survive micro-batch
+    boundaries — a 19-event history in batch 0 makes a spike in batch
+    1 a full-frame (n=20) anomaly; losing state would score it as a
+    trivial n=1 frame and miss it."""
+    from crime_data_batch_processing_spark.streaming.stateful import (
+        stateful_anomaly,
+    )
+    from crime_data_batch_processing_spark.streaming.stream_events import (
+        streaming_events,
+    )
+
+    src, _ = stream_dirs
+    _write_batch(
+        spark,
+        [(i, BASE_NS + i * 10**9, 1, "view", 10.0, "{}") for i in range(19)],
+        src,
+        "b0",
+    )
+    _write_batch(
+        spark, [(99, BASE_NS + 99 * 10**9, 1, "view", 1000.0, "{}")], src, "b1"
+    )
+    out = stateful_anomaly(streaming_events(spark, src))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_anomaly")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.event_id: r for r in spark.table("t_stream_anomaly").collect()}
+    assert len(rows) == 20
+    spike = rows[99]
+    assert spike.n_frame == 20, "state was not carried across batches"
+    assert spike.is_anomaly, "full-frame spike must flag"
+    assert not any(r.is_anomaly for i, r in rows.items() if i != 99)
