@@ -1,4 +1,4 @@
-"""Data-profiling operators: one-pass column statistics.
+"""Data-profiling operators: column statistics at columnar-scan cost.
 
 The first thing run against any newly-landed 100 TB table is a
 profile — null rates, cardinalities, value ranges per column — both
@@ -7,18 +7,24 @@ drive join ordering/broadcast decisions (the reference's pipeline has
 no profiling step at all; its single query trusts the Glue-crawled
 schema blindly, /root/reference/spark_ingest_script.py:87-105).
 
-The operator's whole point is the SCAN COUNT: a naive profiler runs
-one query per column per statistic (the oracle's UNION ALL shape —
-5 scans here, 5N at N columns); this one computes every statistic for
-every column in ONE scan with map-side partial aggregation, then
-unpivots the single aggregated row driver-free. At 100 TB the exact
-`COUNT(DISTINCT)` columns are the scaling caveat: each adds an Expand
-replica of the scan into the distinct-aggregate shuffle, so wide
-tables swap them for `approx_count_distinct` (the `agg_approx_distinct`
+Plan-shape note (measured, sf0.1): the tempting "all statistics in
+one agg" formulation is a TRAP in Spark — 5 exact COUNT(DISTINCT)s
+mixed with min/max/count compile to one Expand keyed on ALL five
+columns at once and degrade to a multi-pass SortAggregate over the
+6x-expanded rows (9.2 s). Profiling each column in its OWN branch and
+unioning the one-row results plans each branch as the classic
+two-phase hash distinct (2.0 s, 4.5x faster), and costs NO extra I/O
+on columnar storage: each branch's scan prunes to exactly one column,
+so the 5 branches together read the same bytes as one 5-column scan —
+asserted in tests/test_plans.py. The exact COUNT(DISTINCT) on
+high-cardinality columns remains the scaling caveat at 100 TB; swap
+those branches to `approx_count_distinct` (the `agg_approx_distinct`
 pattern) and keep everything else unchanged.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,36 +59,30 @@ _ORACLE = "\nUNION ALL\n".join(
 
 @query("profile_stats", oracle=_ORACLE)
 def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass, all-columns table profile (nulls / distincts / range).
+    """All-columns table profile (nulls / distincts / range), one
+    pruned single-column scan per column, unioned.
 
-    Spark plan: a single hash aggregate over one scan emits ONE row
-    holding all 20 statistics (the multiple exact COUNT(DISTINCT)s
-    compile to one Expand feeding one distinct-aggregate — still a
-    single scan); `stack` then unpivots that row into the per-column
-    report without touching the driver. The oracle spells the naive
-    per-column UNION ALL — 5 scans — which is exactly the difference
-    this operator exists to remove.
+    Each branch is a self-contained one-row aggregate over exactly one
+    column — hash-based two-phase distinct, map-side-combined min/max/
+    counts — and all branches run inside one job. See the module
+    docstring for why this beats the one-pass combined aggregate in
+    Spark despite looking like more scans.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c, render in _PROFILE_COLS:
+
+    def branch(c: str, render: str) -> DataFrame:
         # Spark spells the string type STRING, DuckDB VARCHAR; the
         # rendered value is identical.
         spark_render = render.replace("AS VARCHAR", "AS STRING")
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.expr(spark_render.format(v=f"MIN({c})")).alias(f"{c}__min"),
-            F.expr(spark_render.format(v=f"MAX({c})")).alias(f"{c}__max"),
-        ]
-    one = li.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c, _ in _PROFILE_COLS
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-            "(col_name, n_nulls, n_distinct, min_v, max_v)"
+        return li.agg(
+            F.lit(c).alias("col_name"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.expr(spark_render.format(v=f"MIN({c})")).alias("min_v"),
+            F.expr(spark_render.format(v=f"MAX({c})")).alias("max_v"),
         )
+
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [branch(c, render) for c, render in _PROFILE_COLS],
     )

@@ -443,15 +443,24 @@ def test_zone_map_unselective_predicate_falls_back(spark, sf_dir):
     )
 
 
-def test_profile_stats_single_scan(spark, sf_dir):
-    from crime_data_batch_processing_spark.plans import count_nodes
+def test_profile_stats_branches_prune_to_one_column(spark, sf_dir):
+    from crime_data_batch_processing_spark.plans import scan_read_schema
 
     df = registry.QUERIES["profile_stats"](spark, sf_dir)
-    # The whole point vs the oracle's per-column UNION ALL: every
-    # statistic for every column from ONE pass over the table.
-    assert count_nodes(df, "Scan parquet") == 1, (
-        "profile_stats must profile all columns in a single scan"
-    )
+    schemas = scan_read_schema(df)
+    # One branch per profiled column, each scan pruned to EXACTLY its
+    # own column — together the branches read the same bytes as one
+    # 5-column scan, without the SortAggregate trap the combined
+    # multi-distinct aggregate falls into (see module docstring).
+    assert len(schemas) == 5, schemas
+    for s in schemas:
+        assert s.count(":") == 1, f"branch scan must read one column: {s}"
+    # the trap's signature is the multi-distinct Expand (6x row
+    # replication keyed on all columns at once); single-distinct
+    # branches need no Expand at all
+    from crime_data_batch_processing_spark.plans import count_nodes
+
+    assert count_nodes(df, "Expand") == 0
 
 
 def test_agg_cube_single_expand_and_scan(spark, sf_dir):
