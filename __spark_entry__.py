@@ -56,6 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
     # (2) new in round 4 — no driver row exists at all
+    "agg_moments", "agg_regression", "agg_bitmap_distinct",
+    "window_rolling_median", "window_attribution",
+    "join_interval_overlap", "sink_zorder", "scan_json_malformed",
+    "stream_watermark_late",
     "profile_stats", "agg_cube", "sample_split", "window_anomaly",
     "multimodal_dedup", "scan_partition_prune", "scan_pysource",
     "text_domain_mix", "agg_hll_intersection", "pipeline_dataset_card",

@@ -753,3 +753,198 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(INTERSECT_BOUND) * F.col("n_union")
         ).alias("est_ok"),
     )
+
+
+@query(
+    "agg_moments",
+    # Central moments from EXACT integer power sums. Both engines get
+    # bit-identical S1..S4 (l_quantity is integral, every sum < 2^53),
+    # then evaluate the IDENTICAL fully-parenthesized IEEE tree —
+    # per-op correct rounding makes the doubles equal everywhere.
+    # sqrt(m2)*m2 replaces pow(m2, 1.5): pow is libm (engine-specific),
+    # sqrt is IEEE-correctly-rounded.
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('l_quantity')} AS s1,
+               {sql_dsum('l_quantity * l_quantity')} AS s2,
+               {sql_dsum('l_quantity * l_quantity * l_quantity')} AS s3,
+               {sql_dsum('l_quantity * l_quantity * l_quantity * l_quantity')}
+                   AS s4
+        FROM lineitem GROUP BY l_returnflag
+    ), c AS (
+        SELECT l_returnflag, n,
+               ((n * s2) - (s1 * s1)) / (n * n) AS m2,
+               (((n * n) * s3) - ((3 * n) * (s1 * s2)) + (2 * (s1 * (s1 * s1))))
+                   / ((n * n) * n) AS m3,
+               ((((n * n) * n) * s4) - (((4 * n) * n) * (s1 * s3))
+                   + ((6 * n) * ((s1 * s1) * s2))
+                   - (3 * ((s1 * s1) * (s1 * s1))))
+                   / (((n * n) * n) * n) AS m4
+        FROM m
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n, m2,
+           sqrt(m2) AS std_pop,
+           m3 / (sqrt(m2) * m2) AS skewness,
+           (m4 / (m2 * m2)) - 3 AS kurtosis_excess
+    FROM c
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group variance / skewness / kurtosis from exact power sums.
+
+    Streaming moment aggregates (`stddev`, and any Welford-style
+    update) are accumulation-order-dependent in the low bits — at
+    scale the SAME query gives different last-ulp answers when
+    partition boundaries move. This operator instead computes the four
+    raw power sums S1..S4 in one map-combining DECIMAL aggregate
+    (exact, hence order-independent: l_quantity is integral so every
+    Sk is an integer < 2^53) and derives the central moments as a
+    fixed expression tree of correctly-rounded IEEE ops — bit-equal
+    across engines, partitionings, and reruns.
+
+    One scan, one shuffle of (group -> 5 decimals): the standard
+    "moments as mergeable state" pattern that also serves incremental
+    maintenance (sums add across snapshots; the finalizer is free).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("s1"),
+        dsum(q * q).alias("s2"),
+        dsum(q * q * q).alias("s3"),
+        dsum(q * q * (q * q)).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m2 = ((n * s2) - (s1 * s1)) / (n * n)
+    m3 = (
+        ((n * n) * s3) - ((F.lit(3.0) * n) * (s1 * s2))
+        + (F.lit(2.0) * (s1 * (s1 * s1)))
+    ) / ((n * n) * n)
+    m4 = (
+        (((n * n) * n) * s4)
+        - (((F.lit(4.0) * n) * n) * (s1 * s3))
+        + ((F.lit(6.0) * n) * ((s1 * s1) * s2))
+        - (F.lit(3.0) * ((s1 * s1) * (s1 * s1)))
+    ) / (((n * n) * n) * n)
+    c = m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        m2.alias("m2"),
+        m3.alias("m3"),
+        m4.alias("m4"),
+    )
+    return c.select(
+        "l_returnflag",
+        "n",
+        "m2",
+        F.sqrt("m2").alias("std_pop"),
+        (F.col("m3") / (F.sqrt("m2") * F.col("m2"))).alias("skewness"),
+        ((F.col("m4") / (F.col("m2") * F.col("m2"))) - F.lit(3.0)).alias(
+            "kurtosis_excess"
+        ),
+    )
+
+
+@query(
+    "agg_regression",
+    # Same moment discipline as agg_corr/agg_moments: exact decimal
+    # sums in, one shared IEEE expression tree out. x = p_size
+    # (integer), y = p_retailprice (scale-2 decimal quanta) keep every
+    # sum's quanta count under 2^53 so the decimal->double casts are
+    # value-identical in both engines.
+    oracle=f"""
+    WITH m AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {sql_dsum('p_size')} AS sx,
+               {sql_dsum('p_retailprice')} AS sy,
+               {sql_dsum('p_size * p_retailprice')} AS sxy,
+               {sql_dsum('p_size * p_size')} AS sxx
+        FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n,
+           ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)) AS slope,
+           (sy - (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * sx) / n
+               AS intercept
+    FROM m
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (slope/intercept) as an aggregate.
+
+    The closed-form OLS solution is a finalizer over the same five
+    mergeable moments the correlation operator uses — which is exactly
+    how `REGR_SLOPE`-style aggregates are implemented inside engines,
+    except those stream IEEE updates (order-dependent); here the
+    moments are exact decimals, so the fit is a pure function of the
+    data. One map-combining aggregate, shuffle = one row per group.
+
+    Fitting price against size per brand is the model-per-segment
+    shape (elasticity per market, trend per device type): thousands of
+    independent regressions in one pass with no per-group iteration.
+    """
+    pt = load_table(spark, sf_dir, "part")
+    x, y = F.col("p_size"), F.col("p_retailprice")
+    m = pt.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx")
+    )
+    slope = ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))
+    return m.select(
+        "p_brand",
+        n.cast("bigint").alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    # The oracle recomputes the distinct counts independently (plain
+    # COUNT(DISTINCT)) — matching it proves the bitmap path is EXACT,
+    # not an estimate.
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via fixed-width integer bitmaps.
+
+    The roaring-bitmap/`groupBitmap` pattern (ClickHouse, Druid) on
+    pure Catalyst primitives: each user id maps to (word, bit) with
+    63-bit words (bit <= 62 keeps every mask positive — no two's-
+    complement sign pitfalls in either engine), `bit_or` merges masks
+    map-side, and `bit_count` finalizes. State per (group, word) is
+    ONE long covering 63 ids, so the shuffle carries ~|id domain|/63
+    longs per group instead of one row per (group, id) — the exact-
+    distinct middle ground between COUNT(DISTINCT)'s expand-shuffle
+    and HLL's approximation, ideal for dense integer id spaces.
+    Bitmap words are also mergeable state: persist them per snapshot
+    and OR across snapshots without rescanning (same sketch-as-data
+    contract as agg_sketch_rollup, but exact).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / 63).cast("int").alias("word"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(user_id % 63 as int))"
+            ).alias("mask"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("mask").alias("wordbits"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("wordbits")).alias("n_users")
+    )

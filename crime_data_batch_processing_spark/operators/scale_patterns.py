@@ -478,3 +478,100 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+#: Interval-overlap join geometry: promo windows are 7 days, ship
+#: windows 3 days, bucket width = the LONGER interval, so each
+#: interval spans at most 2 buckets and the exploded copies stay O(1).
+_PROMO_US = 7 * 86_400_000_000
+_SHIP_US = 3 * 86_400_000_000
+_OVERLAP_W = _PROMO_US
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           COUNT(l.l_orderkey) AS n_overlap_ship
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON epoch_us(o.o_orderdate) < epoch_us(l.l_shipdate) + {_SHIP_US}
+     AND epoch_us(l.l_shipdate) < epoch_us(o.o_orderdate) + {_PROMO_US}
+    WHERE o.o_totalprice > 495000
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (two interval sets, no equi key): ship
+    windows intersecting each high-value order's 7-day promo window.
+
+    `join_range_bucketed` handles point-in-interval; this is the
+    harder interval×interval case (session overlap, campaign overlap,
+    genomic range intersection). Naively it is a nested loop. The
+    bucketed rewrite: with bucket width = the longer interval, every
+    interval covers <= 2 buckets; explode BOTH sides to their covered
+    buckets and equi-join on the bucket. An overlapping pair would
+    meet in up to 4 buckets, so pairs are claimed exactly once by the
+    bucket rule `bucket == floor(max(starts) / W)` — the bucket
+    holding the overlap's start — a filter, not a post-join
+    DISTINCT (which would be a second corpus-sized shuffle).
+
+    LEFT join + conditional count keeps zero-overlap promos visible.
+    Per-bucket fan-in is bounded by the event rate per window width,
+    so the shuffle-hash-join plan survives 100 TB where the nested
+    loop (and DuckDB's IEJoin on one node) cannot distribute.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 495000)
+        .select(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("a_s"),
+            (
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                + _PROMO_US
+            ).alias("a_e"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ship_key"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("b_s"),
+        (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")) + _SHIP_US
+        ).alias("b_e"),
+    )
+    a = o.select(
+        "o_orderkey", "a_s", "a_e",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (F.col("a_s") / _OVERLAP_W).cast("long"),
+                    ((F.col("a_e") - 1) / _OVERLAP_W).cast("long"),
+                )
+            )
+        ).alias("bucket"),
+    )
+    b = li.select(
+        "ship_key", "b_s", "b_e",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (F.col("b_s") / _OVERLAP_W).cast("long"),
+                    ((F.col("b_e") - 1) / _OVERLAP_W).cast("long"),
+                )
+            )
+        ).alias("bucket"),
+    )
+    hit = (
+        (F.col("a_s") < F.col("b_e"))
+        & (F.col("b_s") < F.col("a_e"))
+        & (
+            F.col("bucket")
+            == (F.greatest("a_s", "b_s") / _OVERLAP_W).cast("long")
+        )
+    )
+    return (
+        a.join(b, "bucket", "left")
+        .groupBy("o_orderkey")
+        .agg(F.count(F.when(hit, 1)).alias("n_overlap_ship"))
+    )

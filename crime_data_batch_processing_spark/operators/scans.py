@@ -495,3 +495,76 @@ def scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+#: Deterministic malformed-line plant: one truncated-JSON line per
+#: nation row whose key satisfies this predicate. The ORACLE
+#: reconstructs the expected output from the same rule, so the two
+#: sides agree without sharing the fixture file.
+_MALFORMED_MOD, _MALFORMED_REM = 5, 3
+
+
+@query(
+    "scan_json_malformed",
+    oracle=f"""
+    SELECT n_nationkey, n_name, n_regionkey, FALSE AS corrupt FROM nation
+    UNION ALL
+    SELECT NULL, NULL, NULL, TRUE
+    FROM nation WHERE n_nationkey % {_MALFORMED_MOD} = {_MALFORMED_REM}
+    """,
+)
+def scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE corrupt-record ingestion: real dumps contain garbage
+    lines, and at 100 TB a single bad record must neither kill the job
+    (FAILFAST) nor vanish silently (DROPMALFORMED).
+
+    PERMISSIVE mode — the production default for raw-corpus ingest —
+    parses what it can and routes each unparseable line's raw text
+    into the declared `columnNameOfCorruptRecord` field, so bad input
+    stays VISIBLE and quantifiable (dead-letter it, alert on its rate)
+    while good rows flow. The fixture plants deterministically
+    truncated JSON lines among valid ones; the query surfaces each
+    line's parse outcome. Map-only: the quarantine flag costs no
+    shuffle and no second pass over the data.
+    """
+    jdir = f"{scratch_dir('json_malformed', sf_dir, 'nation')}/lines"
+
+    def _build() -> None:
+        n = load_table(spark, sf_dir, "nation")
+        good = n.select(
+            F.to_json(
+                F.struct("n_nationkey", "n_name", "n_regionkey")
+            ).alias("value")
+        )
+        bad = n.where(
+            F.col("n_nationkey") % _MALFORMED_MOD == _MALFORMED_REM
+        ).select(
+            F.concat(
+                F.lit('{"n_nationkey": '),
+                F.col("n_nationkey").cast("string"),
+                F.lit(', "n_name": "truncat'),
+            ).alias("value")
+        )
+        good.unionByName(bad).coalesce(1).write.mode("overwrite").text(jdir)
+
+    build_once(os.path.dirname(jdir), _build)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("corrupt_raw", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_raw")
+        .json(jdir)
+    )
+    return df.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.col("corrupt_raw").isNotNull().alias("corrupt"),
+    )

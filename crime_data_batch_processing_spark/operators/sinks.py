@@ -351,3 +351,105 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.o_totalprice").alias("new_price"),
         )
     )
+
+
+#: Z-order layout: 8 output files, 8 bits per dimension (256 buckets).
+ZORDER_FILES = 8
+
+
+def _morton8(bx, by) -> F.Column:
+    """Interleave two 8-bit bucket ids into a 16-bit Morton (Z) code —
+    pure Catalyst shifts/masks, codegen'd, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)).cast("long"),
+                          2 * i + 1)
+            + F.shiftleft(F.shiftright(by, i).bitwiseAND(F.lit(1)).cast("long"),
+                          2 * i)
+        )
+    return z
+
+
+@query(
+    "sink_zorder",
+    # The oracle runs the same 2-D box query over the SOURCE table —
+    # matching proves the z-ordered rewrite is lossless; the layout
+    # win (files prunable in BOTH dimensions) is asserted on parquet
+    # footer stats in tests/test_plans.py.
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_custkey >= (SELECT (MIN(o_custkey) * 3 + MAX(o_custkey)) // 4
+                        FROM orders)
+      AND o_custkey < (SELECT (MIN(o_custkey) + MAX(o_custkey)) // 2
+                       FROM orders)
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite: multi-dimensional data skipping from
+    parquet primitives (the Delta OPTIMIZE ZORDER BY idea).
+
+    Sorting a table by ONE column makes file/row-group min-max stats
+    selective in that column and useless in every other;
+    `scan_zone_map` shows the one-column version. Interleaving the
+    bits of two bucketized columns into a Morton code and range-
+    partitioning + sorting on IT gives every file a small rectangle in
+    (custkey, orderdate) space — point/box queries in EITHER or BOTH
+    dimensions prune most files from stats alone. The z computation is
+    16 codegen'd shift/mask terms; the rewrite is one
+    `repartitionByRange` shuffle, exactly what the one-dimensional
+    compaction rewrite already pays.
+
+    Bucket scaling uses the table's min/max (one single-row aggregate
+    collected driver-side — an orchestration scalar, same role as the
+    hypertable boundary watermark). The registered query answers a 2-D
+    box over the rewritten layout; the oracle answers it over the
+    source table, so the round trip must be lossless.
+    """
+    base = scratch_dir("zorder", sf_dir, "orders")
+    zdir = f"{base}/zorder"
+    o = load_table(spark, sf_dir, "orders")
+    d_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    c_lo, c_hi, d_lo, d_hi = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min(d_us), F.max(d_us)
+    ).first()
+
+    def build() -> None:
+        bx = (
+            (F.col("o_custkey") - c_lo) * 256 / (c_hi - c_lo + 1)
+        ).cast("int")
+        by = ((d_us - d_lo) * 256 / (d_hi - d_lo + 1)).cast("int")
+        (
+            o.withColumn("z", _morton8(bx, by))
+            .repartitionByRange(ZORDER_FILES, "z")
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite")
+            .parquet(zdir)
+        )
+
+    build_once(base, build)
+    box = (
+        (F.col("o_custkey") >= (c_lo * 3 + c_hi) // 4)
+        & (F.col("o_custkey") < (c_lo + c_hi) // 2)
+        & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast(
+            "timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast(
+            "timestamp_ntz"))
+    )
+    return (
+        spark.read.parquet(zdir)
+        .where(box)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )

@@ -24,7 +24,7 @@ are what that architecture is missing at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crime_data_batch_processing_spark.fixtures import build_once, scratch_dir
@@ -525,4 +525,77 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_us",
         "n_events",
         F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ffill"),
+    )
+
+
+@query(
+    "window_attribution",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_id END IGNORE NULLS) OVER w
+                   AS touch_event,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN epoch_us(ts) END IGNORE NULLS) OVER w
+                   AS touch_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value, touch_event, touch_type,
+           ts_us - touch_us AS latency_us
+    FROM t WHERE event_type = 'purchase'
+    """,
+)
+def window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credited to the
+    user's most recent preceding view/click.
+
+    The naive formulation is a per-purchase correlated "latest touch
+    before me" subquery — a time-range self-join that explodes at
+    scale. The window formulation does it in ONE shuffle: partition by
+    user, order by (ts, event_id), and `last(..., ignorenulls=True)`
+    over the strictly-preceding frame carries the latest touch forward
+    to every row. All three attributes come off the same window spec,
+    so Catalyst reuses one exchange + sort. Purchases with no prior
+    touch keep NULL attribution (organic conversions) — they must
+    stay visible, not be dropped by an inner join.
+
+    The strictly-preceding ROWS frame (not -1 microsecond on a RANGE
+    frame) makes "before" well-defined even when a touch and a
+    purchase share a timestamp: the event_id tie-breaker decides, and
+    the output is a pure function of the data.
+    """
+    touch = F.col("event_type").isin("view", "click")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return (
+        ev.withColumn(
+            "touch_event",
+            F.last(F.when(touch, F.col("event_id")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "touch_type",
+            F.last(F.when(touch, F.col("event_type")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "touch_us",
+            F.last(F.when(touch, F.col("ts_us")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "value", "touch_event", "touch_type",
+            (F.col("ts_us") - F.col("touch_us")).alias("latency_us"),
+        )
     )

@@ -231,3 +231,73 @@ def window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d * d > k2 * (n * s2 - s * s)).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "window_rolling_median",
+    # The oracle replays the IDENTICAL tree with DuckDB list
+    # primitives (list window agg -> list_sort -> 1-based indexing)
+    # rather than quantile_cont, whose lower+(upper-lower)*q
+    # interpolation is a DIFFERENT IEEE expression from (a+b)/2 and
+    # can differ in the last ulp.
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) AS vals
+        FROM events
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN len(vals) % 2 = 1
+                THEN list_sort(vals)[(len(vals) + 1) // 2]
+                ELSE (list_sort(vals)[len(vals) // 2]
+                      + list_sort(vals)[len(vals) // 2 + 1]) / 2.0
+           END AS med5
+    FROM s
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row median per entity — robust smoothing no SQL
+    window frame aggregate expresses directly.
+
+    Rolling MEAN is a frame SUM; rolling MEDIAN needs the frame's
+    value multiset, which engines don't keep. With a bounded frame the
+    multiset is tiny, so: `collect_list` over the 5-row frame (O(1)
+    state per row — never collect over an unbounded frame), then a
+    codegen'd `array_sort` + branch picks the middle element (odd) or
+    the mean of the two middles (even, covering each entity's warm-up
+    rows). One shuffle + sort on (user_id, ts) serves the whole thing;
+    the median finalizer is map-side arithmetic.
+
+    Ordering carries the event_id tie-breaker so frame CONTENTS are
+    deterministic, making the output a pure function of the data.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), F.col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+    )
+    n = F.size("vals")
+    sv = F.array_sort("vals")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value", "ts")
+        .withColumn("vals", F.collect_list("value").over(w))
+        .drop("ts")
+        .withColumn(
+            "med5",
+            F.when(
+                n % 2 == 1,
+                F.element_at(sv, ((n + 1) / F.lit(2)).cast("int")),
+            ).otherwise(
+                (
+                    F.element_at(sv, (n / F.lit(2)).cast("int"))
+                    + F.element_at(sv, (n / F.lit(2)).cast("int") + 1)
+                )
+                / F.lit(2.0)
+            ),
+        )
+        .drop("vals")
+    )

@@ -816,3 +816,118 @@ def stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "exact_n")
         .agg(F.min("n").alias("est_n"))
     )
+
+
+#: Deterministic re-delivery plant for the watermark-accounting key:
+#: the second delivery carries the newest tail (everything from the
+#: cut onward) PLUS stale re-deliveries of 1-in-10 older events.
+_LATE_CUT = "2024-01-30 00:00:00"
+_LATE_MOD, _LATE_REM = 10, 7
+_HOUR_US = 3_600_000_000
+
+
+def _write_slice(df: DataFrame, dst_dir: str, name: str) -> None:
+    """Materialize one DataFrame as exactly one parquet file named
+    `name` inside dst_dir (file stream sources track individual
+    files; a controlled name keeps the fixture layout readable)."""
+    import glob
+
+    tmp = f"{dst_dir}/_{name}_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    os.makedirs(dst_dir, exist_ok=True)
+    shutil.copyfile(part, f"{dst_dir}/{name}.parquet")
+    shutil.rmtree(tmp)
+
+
+@query(
+    "stream_watermark_late",
+    # The oracle REPLAYS the two-delivery watermark protocol in SQL:
+    # wm after delivery 1 = max(ts in b1) - 1h; delivery-2 rows whose
+    # hour-window end <= that wm are dropped; the final sink holds
+    # every window whose end <= the final wm, counted over accepted
+    # rows only. No boundary ambiguity: wm values inherit microsecond
+    # jitter from max(ts) and can never equal an hour-aligned window
+    # end.
+    oracle=f"""
+    WITH b1 AS (
+        SELECT ts, event_type, value FROM events
+        WHERE NOT (ts >= TIMESTAMP '{_LATE_CUT}'
+                   OR event_id % {_LATE_MOD} = {_LATE_REM})
+    ), b2 AS (
+        SELECT ts, event_type, value FROM events
+        WHERE ts >= TIMESTAMP '{_LATE_CUT}'
+           OR event_id % {_LATE_MOD} = {_LATE_REM}
+    ), wm AS (
+        SELECT (SELECT MAX(epoch_us(ts)) - {_HOUR_US} FROM b1) AS w1,
+               GREATEST(
+                   (SELECT MAX(epoch_us(ts)) - {_HOUR_US} FROM b1),
+                   (SELECT MAX(epoch_us(ts)) - {_HOUR_US} FROM b2)) AS w2
+    ), accepted AS (
+        SELECT * FROM b1
+        UNION ALL
+        SELECT * FROM b2
+        WHERE epoch_us(date_trunc('hour', ts)) + {_HOUR_US}
+              > (SELECT w1 FROM wm)
+    ), agg AS (
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+                   AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM accepted GROUP BY 1, 2
+    )
+    SELECT * FROM agg
+    WHERE window_start_us + {_HOUR_US} <= (SELECT w2 FROM wm)
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting across two deliveries — the
+    at-least-once reality check every streaming topology needs.
+
+    Delivery 1 is the on-time bulk; delivery 2 mixes the newest tail
+    with stale re-deliveries of older events (1 in 10). The hourly
+    aggregate runs twice against ONE durable checkpoint (a genuine
+    stop/restart, not two independent queries): the restart recovers
+    the watermark from the checkpoint, drops every re-delivered row
+    whose window is already finalized — so closed windows can neither
+    double-count nor resurface in the append-only sink — while stale
+    rows landing in still-open windows are legitimately merged. This
+    is the complete late-data contract: drop what is settled, absorb
+    what is not, and advance the watermark only on event time actually
+    observed.
+
+    The fixture (source slices, checkpoint, parquet sink) builds once
+    per testdata generation; the registered query reads the sink —
+    the same serve-from-materialized shape as the rollup operators.
+    """
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    from crime_data_batch_processing_spark.fixtures import (
+        build_once,
+        scratch_dir,
+    )
+
+    base = scratch_dir("wmlate", sf_dir, "events")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+
+    def build() -> None:
+        ev = load_table(spark, sf_dir, "events")
+        second = (
+            F.col("ts") >= F.lit(_LATE_CUT).cast("timestamp")
+        ) | (F.col("event_id") % _LATE_MOD == _LATE_REM)
+        ntz = lambda df: df.withColumn(  # noqa: E731
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+        _write_slice(ntz(ev.filter(~second)), src, "a_ontime")
+        run_stream_to_parquet(spark, src, out, ckpt)
+        _write_slice(ntz(ev.filter(second)), src, "b_late")
+        run_stream_to_parquet(spark, src, out, ckpt)
+
+    build_once(base, build)
+    return spark.read.parquet(out).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
