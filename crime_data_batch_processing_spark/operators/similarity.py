@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from crime_data_batch_processing_spark.functions.veckit import (
+    SCALE_SQ,
     descale,
     idot,
     quantize,
@@ -653,3 +654,269 @@ def sim_search_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("cos_sim")
     )
     return _topk(scored)
+
+
+#: PQ geometry: 8 subspaces × 8 dims, 16 centroids per subspace —
+#: codes compress each 64-dim vector to 8 nibbles. Seeds are the
+#: PQ_K corpus vectors right after the query block; one Lloyd sweep
+#: refines them per subspace (integer-exact, like cluster_kmeans).
+PQ_M = 8
+PQ_SUBDIM = EMBED_DIM // PQ_M
+PQ_K = 16
+PQ_CANDIDATES = 64
+
+_SQL_ISUM_B = "(SELECT CAST(SUM({t}) AS BIGINT) FROM (SELECT {u}))"
+_SQL_SUB_DOT = (
+    "(SELECT CAST(SUM(__x * __y) AS BIGINT) "
+    "FROM (SELECT unnest({a}) AS __x, unnest({b}) AS __y))"
+)
+_SQL_SUB_L2 = (
+    "(SELECT CAST(SUM((__x - __y) * (__x - __y)) AS BIGINT) "
+    "FROM (SELECT unnest({a}) AS __x, unnest({b}) AS __y))"
+)
+_SQL_SUB_NSQ = (
+    "(SELECT CAST(SUM(__x * __x) AS BIGINT) FROM (SELECT unnest({c}) AS __x))"
+)
+
+
+def _sql_pq() -> str:
+    """Full-value DuckDB oracle for `sim_search_pq`: replay seed
+    codebook → one Lloyd sweep (argmin assign, floor-div means) →
+    encode → ADC scoring → shortlist → exact re-rank. Every stage is
+    exact integer or fixed-IEEE arithmetic on identical inputs."""
+    descale = "CAST({n} AS DOUBLE) / 1000000000000.0"
+    adc_cos = (
+        f"({descale.format(n='a.adot')}) / "
+        f"sqrt(({descale.format(n='qn.nsq')}) * "
+        f"({descale.format(n='rn.rnsq')}))"
+    )
+    return f"""
+    WITH q0 AS (
+        SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS q, embedding
+        FROM embeddings
+    ), corpus AS (
+        SELECT vec_id, q, embedding, {_SQL_SUB_NSQ.format(c='q')} AS nsq
+        FROM q0
+    ), sub AS (
+        SELECT vec_id, m.m AS m,
+               q[m.m * {PQ_SUBDIM} + 1 : m.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+        FROM corpus, range({PQ_M}) m(m)
+    ), seeds AS (
+        SELECT m, CAST(vec_id - {N_QUERIES} AS INT) AS cid, sv AS c
+        FROM sub
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+    ), d0 AS (
+        SELECT s.vec_id, s.m, sd.cid,
+               {_SQL_SUB_L2.format(a='s.sv', b='sd.c')} AS d
+        FROM sub s JOIN seeds sd USING (m)
+    ), a0 AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d ASC, cid ASC) AS rn
+            FROM d0
+        ) WHERE rn = 1
+    ), ex AS (
+        SELECT a.m, a.cid, d.d AS dim, s.sv[d.d + 1] AS x
+        FROM a0 a JOIN sub s USING (vec_id, m), range({PQ_SUBDIM}) d(d)
+    ), per AS (
+        SELECT m, cid, dim, CAST(SUM(x) AS BIGINT) AS s,
+               COUNT(*)::BIGINT AS cnt
+        FROM ex GROUP BY m, cid, dim
+    ), cd AS (
+        SELECT m, cid, dim,
+               (s - ((s % cnt) + cnt) % cnt) // cnt AS cd
+        FROM per
+    ), cents0 AS (
+        SELECT m, cid, list(cd ORDER BY dim) AS c FROM cd GROUP BY m, cid
+    ), cents AS (
+        SELECT m, cid, c, {_SQL_SUB_NSQ.format(c='c')} AS cn FROM cents0
+    ), e0 AS (
+        SELECT s.vec_id, s.m, ct.cid,
+               {_SQL_SUB_L2.format(a='s.sv', b='ct.c')} AS d
+        FROM sub s JOIN cents ct USING (m)
+    ), codes AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d ASC, cid ASC) AS rn
+            FROM e0
+        ) WHERE rn = 1
+    ), rn0 AS (
+        SELECT c.vec_id, CAST(SUM(ct.cn) AS BIGINT) AS rnsq
+        FROM codes c JOIN cents ct USING (m, cid) GROUP BY c.vec_id
+    ), qd AS (
+        SELECT s.vec_id AS qid, ct.m, ct.cid,
+               {_SQL_SUB_DOT.format(a='s.sv', b='ct.c')} AS qdot
+        FROM sub s JOIN cents ct USING (m)
+        WHERE s.vec_id < {N_QUERIES}
+    ), adc0 AS (
+        SELECT qd.qid, c.vec_id, CAST(SUM(qd.qdot) AS BIGINT) AS adot
+        FROM codes c JOIN qd ON c.m = qd.m AND c.cid = qd.cid
+        WHERE c.vec_id != qd.qid
+        GROUP BY qd.qid, c.vec_id
+    ), cand AS (
+        SELECT a.qid, a.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.qid
+                   ORDER BY {adc_cos} DESC, a.vec_id ASC
+               ) AS crank
+        FROM adc0 a
+        JOIN corpus qn ON qn.vec_id = a.qid
+        JOIN rn0 rn ON rn.vec_id = a.vec_id
+    ), rr AS (
+        SELECT cd.qid, cd.vec_id,
+               {sql_cosine('qv.embedding', 'cv.embedding')} AS cos_sim
+        FROM cand cd
+        JOIN corpus qv ON qv.vec_id = cd.qid
+        JOIN corpus cv ON cv.vec_id = cd.vec_id
+        WHERE cd.crank <= {PQ_CANDIDATES}
+    ), ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        FROM rr
+    )
+    SELECT qid, rank, vec_id, cos_sim FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_search_pq", oracle=_sql_pq())
+def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (FAISS PQ/ADC): 8 sub-codebooks of 16
+    centroids compress each vector to 8 nibbles; queries score the
+    whole corpus through a tiny per-query lookup table.
+
+    The compression rung beyond SQ8: SQ compresses each DIMENSION
+    independently (8 bits each); PQ compresses each SUBSPACE jointly
+    (4 bits per 8 dims here — 8x smaller than SQ8), which is what
+    makes billion-vector indexes fit in RAM. Scoring is asymmetric
+    distance computation: per query, precompute dot(query_subvector,
+    centroid) for all M×K centroids (a 128-entry table, broadcast),
+    then every corpus vector's approximate dot is M lookups + adds
+    over its codes — the corpus is never decoded.
+
+    Scale shape: codebook training touches the corpus once per Lloyd
+    sweep (broadcast seeds, one (m,cid,dim)-keyed update aggregate —
+    same sweep algebra as cluster_kmeans); encoding is map-only
+    against broadcast centroids; ADC is one join of codes against the
+    broadcast lookup table + a (qid,vec_id) sum. Everything is exact
+    integer geometry (int64 subvector dots, floor-div means via pmod),
+    so codebooks, codes, and ADC scores are pure functions of the
+    data and the oracle replays the entire index build value-for-value.
+    Exact cosine re-ranks the shortlist, so precision is exact; recall
+    is asserted against brute force in tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    corpus = (
+        corpus.select("vec_id", "q", idot(F.col("q"), F.col("q")).alias("nsq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
+    subs_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice("q", m * PQ_SUBDIM + 1, PQ_SUBDIM),
+    )
+    sub = (
+        corpus.select("vec_id", F.posexplode(subs_arr).alias("m", "sv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
+    seeds = sub.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+    ).select(
+        "m",
+        (F.col("vec_id") - N_QUERIES).cast("int").alias("cid"),
+        F.col("sv").alias("c"),
+    )
+    l2 = F.aggregate(
+        F.zip_with("sv", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        return (
+            sub.join(F.broadcast(cents_df), "m")
+            .select("vec_id", "m", F.struct(l2.alias("d"), "cid").alias("dc"))
+            .groupBy("vec_id", "m")
+            .agg(F.min("dc").alias("mn"))
+            .select("vec_id", "m", F.col("mn.cid").alias("cid"))
+        )
+
+    # one Lloyd sweep: assign to seeds, floor-div-mean update
+    ex = (
+        assign(seeds)
+        .join(sub, ["vec_id", "m"])
+        .select("m", "cid", F.posexplode("sv").alias("dim", "x"))
+    )
+    per = ex.groupBy("m", "cid", "dim").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    cd = per.select(
+        "m", "cid", "dim", F.expr("(s - pmod(s, cnt)) div cnt").alias("cd")
+    )
+    cents = (
+        cd.groupBy("m", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cd"))).alias("a"))
+        .select("m", "cid", F.transform("a", lambda s: s["cd"]).alias("c"))
+        .select("m", "cid", "c", idot(F.col("c"), F.col("c")).alias("cn"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
+    codes = assign(cents)
+    rnsq = (
+        codes.join(F.broadcast(cents.select("m", "cid", "cn")), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("cn").alias("rnsq"))
+    )
+    qdots = (
+        sub.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "m", "sv")
+        .join(F.broadcast(cents), "m")
+        .select(
+            "qid", "m", "cid",
+            idot(F.col("sv"), F.col("c")).alias("qdot"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qdots), ["m", "cid"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qdot").alias("adot"))
+    )
+    qn = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("nsq").alias("qnsq")
+    )
+    adc_cos = (F.col("adot").cast("double") / F.lit(SCALE_SQ)) / F.sqrt(
+        (F.col("qnsq").cast("double") / F.lit(SCALE_SQ))
+        * (F.col("rnsq").cast("double") / F.lit(SCALE_SQ))
+    )
+    cand_w = Window.partitionBy("qid").orderBy(
+        F.col("acos").desc(), F.col("vec_id").asc()
+    )
+    cands = (
+        adc.join(F.broadcast(qn), "qid")
+        .join(rnsq, "vec_id")
+        .select("qid", "vec_id", adc_cos.alias("acos"))
+        .withColumn("crank", F.row_number().over(cand_w))
+        .where(F.col("crank") <= PQ_CANDIDATES)
+        .select("qid", "vec_id")
+    )
+    qe = corpus.select(
+        F.col("vec_id").alias("qid"),
+        F.col("q").alias("qe"),
+        (F.col("nsq").cast("double") / F.lit(SCALE_SQ)).alias("qn"),
+    )
+    ce = corpus.select(
+        "vec_id",
+        F.col("q").alias("embedding"),
+        (F.col("nsq").cast("double") / F.lit(SCALE_SQ)).alias("nsq"),
+    )
+    rr = (
+        cands.join(F.broadcast(qe), "qid")
+        .join(ce, "vec_id")
+        .select("qid", "vec_id", _PAIR_COS())
+    )
+    return _topk(rr)

@@ -228,6 +228,33 @@ class TestSimilarity:
             "re-ranked cosines must be bit-identical to brute force"
         )
 
+    def test_pq_recall_vs_brute_force(self, spark, sf_dir):
+        """PQ/ADC with 8 nibble codes must recover most of the true
+        top-k through its 64-candidate shortlist (measured 0.72 at
+        sf0.001 / 0.78 at sf0.01 on this weak-neighbor corpus —
+        deterministic, so the floor is tight), and the re-ranked
+        cosines of every hit must be bit-identical to brute force
+        (PQ approximates WHICH vectors make the shortlist, never the
+        final score)."""
+        from crime_data_batch_processing_spark.operators.similarity import (
+            sim_search_pq,
+        )
+
+        truth = {
+            (r.qid, r.vec_id): r.cos_sim
+            for r in sim_search(spark, sf_dir).collect()
+        }
+        approx = {
+            (r.qid, r.vec_id): r.cos_sim
+            for r in sim_search_pq(spark, sf_dir).collect()
+        }
+        hits = truth.keys() & approx.keys()
+        recall = len(hits) / len(truth)
+        assert recall >= 0.65, f"PQ recall {recall:.2f} below floor"
+        assert all(truth[k] == approx[k] for k in hits), (
+            "re-ranked cosines must be bit-identical to brute force"
+        )
+
     def test_topk_shape_and_order(self, spark, sf_dir):
         rows = sim_search(spark, sf_dir).collect()
         by_q: dict[int, list] = {}

@@ -575,3 +575,59 @@ def test_scd2_join_is_equi_not_nested_loop(spark, sf_dir):
     # residual condition — never BroadcastNestedLoopJoin over versions
     assert "NestedLoop" not in plan, plan
     assert "Join" in plan
+
+
+def test_zorder_files_are_rectangles_in_both_dims(spark, sf_dir):
+    """Every z-ordered file must cover a small rectangle of
+    (custkey, orderdate) space — the property that makes min-max
+    stats prunable in BOTH dimensions. With 8 range-partitioned
+    files (3 Morton bits) each file's span is bounded by ~1/2 of the
+    global span per dimension; 0.75 leaves slack for range-partition
+    boundary estimation."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from crime_data_batch_processing_spark.fixtures import scratch_dir
+
+    registry.QUERIES["sink_zorder"](spark, sf_dir)  # build fixture
+    zdir = f"{scratch_dir('zorder', sf_dir, 'orders')}/zorder"
+    files = sorted(glob.glob(f"{zdir}/part-*.parquet"))
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cmins, cmaxs, dmins, dmaxs = [], [], [], []
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name == "o_custkey":
+                    cmins.append(col.statistics.min)
+                    cmaxs.append(col.statistics.max)
+                elif name == "o_orderdate":
+                    dmins.append(col.statistics.min)
+                    dmaxs.append(col.statistics.max)
+        spans.append(
+            (
+                min(cmins), max(cmaxs),
+                min(dmins), max(dmaxs),
+            )
+        )
+    g_cmin = min(s[0] for s in spans)
+    g_cmax = max(s[1] for s in spans)
+    g_dmin = min(s[2] for s in spans)
+    g_dmax = max(s[3] for s in spans)
+    c_span = g_cmax - g_cmin
+    d_span = (g_dmax - g_dmin).total_seconds()
+    both = 0
+    for cmin, cmax, dmin, dmax in spans:
+        c_ok = (cmax - cmin) <= 0.75 * c_span
+        d_ok = (dmax - dmin).total_seconds() <= 0.75 * d_span
+        # a file straddling an equal-count partition boundary that
+        # crosses a Morton bit flip legitimately widens in ONE
+        # dimension — but never both, and straddlers are rare
+        assert c_ok or d_ok, (cmin, cmax, dmin, dmax)
+        both += c_ok and d_ok
+    assert both >= 0.75 * len(spans), (both, len(spans))
