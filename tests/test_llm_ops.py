@@ -523,3 +523,30 @@ class TestStarContraction:
         }
         got = self._cc_star(spark, pairs)
         assert got == prop == {7: 7, 1: 1, 2: 1}
+
+
+class TestIncrementalDedup:
+    def test_redelivered_docs_blame_their_original(self, spark, sf_dir):
+        """Every re-delivered copy (synthetic id = original + offset)
+        must come back exact_dup blaming exactly its original — the
+        corpus has no other byte-identical text (asserted in-test), so
+        any other blame means the digest join is wrong. All three
+        verdicts must occur: an increment where a rung never fires
+        proves nothing about it."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            REDELIVER_OFFSET,
+            dedup_incremental,
+        )
+
+        rows = dedup_incremental(spark, sf_dir).collect()
+        verdicts = {r.verdict for r in rows}
+        assert verdicts == {"exact_dup", "near_dup", "unique"}, verdicts
+        redelivered = [r for r in rows if r.doc_id >= REDELIVER_OFFSET]
+        assert redelivered, "fixture must contain re-delivered copies"
+        for r in redelivered:
+            assert r.verdict == "exact_dup", r
+            assert r.dup_of == r.doc_id - REDELIVER_OFFSET, r
+        # genuinely-new docs must never be blamed on themselves
+        for r in rows:
+            if r.verdict != "unique":
+                assert r.dup_of is not None and r.dup_of != r.doc_id, r
