@@ -1,0 +1,165 @@
+"""Data-quality expectation suite — the Deequ / dbt-test /
+Great-Expectations shape: declarative rules evaluated in bulk, one
+result row per rule.
+
+The reference has no data validation of any kind: a malformed source
+row flows straight into the snapshot (its only guard is a try/except
+around DDL, /root/reference/spark_ingest_script.py:76-82). At 100 TB
+unvalidated ingest is how a silent upstream change poisons every
+downstream table, so a rules pass over each new snapshot — BEFORE the
+latest-pointer flips (the O12 protocol) — is table stakes.
+
+Scale shape: all single-column rules for a table fold into ONE
+conditional-aggregate pass (a scan emitting one row however many rules
+there are), so the suite costs one scan per table + one join per
+referential rule. Rule results are tiny; the expensive thing — the
+scan — is never repeated per rule. Violation counts (not just
+booleans) make triage proportional: `ok` tells the gate, the count
+tells the operator whether it is one bad row or a broken upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.sources.tables import load_table
+
+
+def _rule_rows(agged: DataFrame, n_col: str, rules: list[str]) -> DataFrame:
+    """Unpivot one (n, rule_a, rule_b, ...) aggregate row into
+    (rule, n_checked, violations) rows — post-aggregate, so the stack
+    touches one row per table, not the data."""
+    stacked = ", ".join(f"'{r}', {r}" for r in rules)
+    return agged.select(
+        F.expr(
+            f"stack({len(rules)}, {stacked}) AS (rule, violations)"
+        ),
+        F.col(n_col).alias("n_checked"),
+    ).select("rule", "n_checked", "violations")
+
+
+@query(
+    "quality_expectations",
+    oracle="""
+    WITH o AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS orders_orderkey_unique,
+               COUNT(*) FILTER (WHERE o_custkey IS NULL)
+                   AS orders_custkey_not_null,
+               COUNT(*) FILTER (WHERE o_totalprice < 0
+                                   OR o_totalprice > 1000000)
+                   AS orders_totalprice_range,
+               COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+                   AS orders_status_domain
+        FROM orders
+    ), l AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                   AS lineitem_quantity_range,
+               COUNT(*) FILTER (WHERE l_discount > 0.08)
+                   AS lineitem_discount_cap
+        FROM lineitem
+    ), c AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE c_acctbal < 0)
+                   AS customer_acctbal_nonneg
+        FROM customer
+    ), ri AS (
+        SELECT (SELECT COUNT(*) FROM orders) AS n,
+               COUNT(*) AS orders_custkey_ri_customer
+        FROM orders o
+        LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey
+        WHERE cu.c_custkey IS NULL
+    ), long AS (
+        SELECT 'orders_orderkey_unique' AS rule, n AS n_checked,
+               orders_orderkey_unique AS violations FROM o
+        UNION ALL SELECT 'orders_custkey_not_null', n,
+               orders_custkey_not_null FROM o
+        UNION ALL SELECT 'orders_totalprice_range', n,
+               orders_totalprice_range FROM o
+        UNION ALL SELECT 'orders_status_domain', n,
+               orders_status_domain FROM o
+        UNION ALL SELECT 'lineitem_quantity_range', n,
+               lineitem_quantity_range FROM l
+        UNION ALL SELECT 'lineitem_discount_cap', n,
+               lineitem_discount_cap FROM l
+        UNION ALL SELECT 'customer_acctbal_nonneg', n,
+               customer_acctbal_nonneg FROM c
+        UNION ALL SELECT 'orders_custkey_ri_customer', n,
+               orders_custkey_ri_customer FROM ri
+    )
+    SELECT rule, n_checked, violations, violations = 0 AS ok FROM long
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk expectation suite: uniqueness, completeness, ranges, value
+    domains, and referential integrity — one result row per rule.
+
+    Single-column rules fold into one conditional-aggregate scan per
+    table (orders carries 4 rules in one pass); the referential rule
+    is one left-anti join (Catalyst picks broadcast when the dimension
+    fits). Two rules fail by design on this data (discount cap,
+    negative balances) so the suite demonstrably distinguishes pass
+    from fail rather than rubber-stamping.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    viol = lambda cond: F.count(F.when(cond, 1))  # noqa: E731
+
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "orders_orderkey_unique"
+        ),
+        viol(F.col("o_custkey").isNull()).alias("orders_custkey_not_null"),
+        viol(
+            (F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1_000_000)
+        ).alias("orders_totalprice_range"),
+        viol(~F.col("o_orderstatus").isin("F", "O", "P")).alias(
+            "orders_status_domain"
+        ),
+    )
+    l_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("lineitem_quantity_range"),
+        viol(F.col("l_discount") > 0.08).alias("lineitem_discount_cap"),
+    )
+    c_agg = cu.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("c_acctbal") < 0).alias("customer_acctbal_nonneg"),
+    )
+    ri_agg = (
+        o.join(cu, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orders_custkey_ri_customer"))
+        .crossJoin(o.agg(F.count(F.lit(1)).alias("n")))
+    )
+    long = (
+        _rule_rows(
+            o_agg,
+            "n",
+            [
+                "orders_orderkey_unique",
+                "orders_custkey_not_null",
+                "orders_totalprice_range",
+                "orders_status_domain",
+            ],
+        )
+        .unionByName(
+            _rule_rows(
+                l_agg, "n",
+                ["lineitem_quantity_range", "lineitem_discount_cap"],
+            )
+        )
+        .unionByName(_rule_rows(c_agg, "n", ["customer_acctbal_nonneg"]))
+        .unionByName(
+            _rule_rows(ri_agg, "n", ["orders_custkey_ri_customer"])
+        )
+    )
+    return long.select(
+        "rule", "n_checked", "violations", (F.col("violations") == 0).alias("ok")
+    )

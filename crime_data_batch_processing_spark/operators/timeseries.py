@@ -580,18 +580,18 @@ def window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value",
         F.unix_micros("ts").alias("ts_us"),
     )
+    # all three attributes in ONE projection so CollapseWindow folds
+    # them into a single Window node (chained withColumns interpose
+    # Projects that defeat the collapse → three sort passes)
     return (
-        ev.withColumn(
-            "touch_event",
-            F.last(F.when(touch, F.col("event_id")), ignorenulls=True).over(w),
-        )
-        .withColumn(
-            "touch_type",
-            F.last(F.when(touch, F.col("event_type")), ignorenulls=True).over(w),
-        )
-        .withColumn(
-            "touch_us",
-            F.last(F.when(touch, F.col("ts_us")), ignorenulls=True).over(w),
+        ev.select(
+            "event_id", "user_id", "event_type", "value", "ts_us",
+            F.last(F.when(touch, F.col("event_id")), ignorenulls=True)
+            .over(w).alias("touch_event"),
+            F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+            .over(w).alias("touch_type"),
+            F.last(F.when(touch, F.col("ts_us")), ignorenulls=True)
+            .over(w).alias("touch_us"),
         )
         .filter(F.col("event_type") == "purchase")
         .select(

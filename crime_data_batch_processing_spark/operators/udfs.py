@@ -160,3 +160,64 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shard_key("lang", "doc_id").alias("shard_key"),
         _size_bucket("n_chars").alias("size_bucket"),
     )
+
+
+@query(
+    "udtf_token_spans",
+    # Token spans are reconstructible in SQL for THIS tokenizer
+    # (single-space split): start offset = running sum of
+    # len(token)+1 over the preceding tokens. The UDTF earns its keep
+    # when the segmenter is a real library call; the SQL-expressible
+    # stand-in is what makes the machinery oracle-checkable.
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), e AS (
+        SELECT doc_id, toks, unnest(range(len(toks))) AS p FROM s
+    )
+    SELECT doc_id,
+           CAST(p AS INTEGER) AS pos,
+           toks[p + 1] AS token,
+           CAST(CASE WHEN p = 0 THEN 0
+                ELSE LEN(array_to_string(toks[1 : p], ' ')) + 1
+                END AS INTEGER) AS start_off
+    FROM e
+    """,
+)
+def udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) through a LATERAL join:
+    one input document row expands to one row per token WITH its
+    character offset — the span-preserving tokenizer shape that PII
+    redaction and chunk-alignment pipelines need, and the one UDF
+    rung (table-valued) the scalar/grouped/arrow keys don't cover.
+
+    The UDTF runs on the Arrow path (`useArrow=True`); the lateral
+    join is planned per-partition — each task expands its own rows,
+    no shuffle is introduced by the expansion itself. Same policy as
+    every UDF key: the example logic is deliberately SQL-expressible
+    so the ORACLE can check the machinery (argument passing, lateral
+    correlation, multi-row yield, schema enforcement); real users put
+    a spaCy/ICU segmenter in `eval` where SQL genuinely can't follow.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, start_off int", useArrow=True)
+    class TokenSpans:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF contract
+            if text is None:
+                return
+            off = 0
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok, off
+                off += len(tok) + 1
+
+    spark.udtf.register("token_spans", TokenSpans)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.start_off
+        FROM udtf_docs d, LATERAL token_spans(d.text) t
+        """
+    )

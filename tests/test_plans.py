@@ -631,3 +631,46 @@ def test_zorder_files_are_rectangles_in_both_dims(spark, sf_dir):
         assert c_ok or d_ok, (cmin, cmax, dmin, dmax)
         both += c_ok and d_ok
     assert both >= 0.75 * len(spans), (both, len(spans))
+
+
+def test_udtf_plans_arrow_eval(spark, sf_dir):
+    """The UDTF key must plan on the Arrow transfer path, not
+    pickled row-at-a-time Python."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["udtf_token_spans"](spark, sf_dir))
+    assert "ArrowEvalPythonUDTF" in plan, plan
+    assert "BatchEvalPythonUDTF" not in plan, plan
+
+
+def test_interval_overlap_is_hash_join(spark, sf_dir):
+    """The bucketed rewrite must plan as an equi (hash) join — a
+    nested-loop or cartesian plan means the bucket key stopped being
+    an equi condition and the operator degenerated to all-pairs."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["join_interval_overlap"](spark, sf_dir)
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_attribution_single_window_exchange(spark, sf_dir):
+    """All three last(ignorenulls) attributes must share ONE window
+    spec: one Window node over one Exchange, not three."""
+    from crime_data_batch_processing_spark.plans import count_nodes
+
+    df = registry.QUERIES["window_attribution"](spark, sf_dir)
+    assert count_nodes(df, "Window") == 1
+    assert count_nodes(df, "Exchange") == 1
+
+
+def test_bitmap_distinct_no_expand(spark, sf_dir):
+    """The bitmap path must NOT plan the COUNT(DISTINCT) Expand —
+    avoiding that per-distinct row expansion is the operator's point;
+    two hash aggregates (words, then groups) carry the whole query."""
+    from crime_data_batch_processing_spark.plans import count_nodes
+
+    df = registry.QUERIES["agg_bitmap_distinct"](spark, sf_dir)
+    assert count_nodes(df, "Expand") == 0
+    assert count_nodes(df, "HashAggregate") >= 2
