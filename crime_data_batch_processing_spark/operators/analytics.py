@@ -262,3 +262,184 @@ def analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", "total_qty",
         )
     )
+
+
+#: Q21 adaptation: the testdata has no receipt/commit dates, so "late"
+#: is shipped more than LATE_DAYS after the order date.
+LATE_DAYS = 90
+
+
+@query(
+    "analytics_waiting_suppliers",
+    oracle=f"""
+    WITH base AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+                   AS is_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ), late AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM base WHERE is_late
+    )
+    SELECT s.s_name,
+           COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM base l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey != l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey != l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+)
+def analytics_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    finalized multi-supplier orders — the canonical EXISTS/NOT-EXISTS
+    composition.
+
+    Both quantifiers become joins, never per-row subquery re-execution:
+    "some other supplier on the order" is a left-semi join of late
+    lines against all lines (inequality on suppkey inside the join
+    condition), "no other LATE supplier" a left-anti join against the
+    late set. Each is an equi-join on l_orderkey with a residual
+    suppkey!=, so the plan is hash/sort-merge joins keyed on the
+    order — the shape that scales; a correlated rewrite would rescan
+    lineitem per row. Distinct (orderkey, suppkey) pre-aggregation
+    keeps the quantifier joins on order-level cardinality rather than
+    line-level.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    base = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+            ).alias("is_late"),
+        )
+    )
+    pairs = base.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        base.where("is_late").select("l_orderkey", "l_suppkey").distinct()
+    )
+    l1 = late.alias("l1")
+    has_other = l1.join(
+        pairs.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = has_other.alias("l1").join(
+        late.alias("l3"),
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "analytics_nation_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           YEAR(o.o_orderdate) AS o_year,
+           {sql_dsum(_REVENUE)} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+       OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+    GROUP BY cn.n_name, sn.n_name, YEAR(o.o_orderdate)
+    """,
+)
+def analytics_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    year — a snowflake where BOTH legs of the fact need a nation
+    lookup and the pair predicate is disjunctive across the legs.
+
+    Every dimension (nation x2, filtered customer, filtered supplier)
+    broadcasts; the disjunctive pair filter evaluates after both legs
+    resolve, but each leg is pre-filtered to the two nations of
+    interest, so the fact rows surviving to the pair check are already
+    the ~2/25 nation slice — predicate pushdown through a snowflake,
+    not a post-join filter over everything.
+    """
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("c_nk"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("s_nk"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_1")
+        & (F.col("supp_nation") == "NATION_2")
+    ) | (
+        (F.col("cust_nation") == "NATION_2")
+        & (F.col("supp_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(pair)
+        .groupBy("cust_nation", "supp_nation", "o_year")
+        .agg(dsum(F.expr(_REVENUE)).alias("revenue"))
+    )
