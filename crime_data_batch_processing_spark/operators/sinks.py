@@ -453,3 +453,76 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+@query(
+    "sink_pysource",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK through the Python Data Source API — the writer
+    half of the extension point `scan_pysource` reads through: per-task
+    Arrow-native parquet writes plus a driver-side two-phase commit
+    that publishes an atomic manifest.
+
+    The property exercised is exactly-once VISIBILITY: readers consult
+    the committed manifest, never the directory, so output from
+    failed / zombie / speculative tasks is invisible — the Iceberg /
+    Delta commit idea one level above the FileOutputCommitter rename
+    dance. The fixture plants an ORPHAN parquet file in the sink
+    directory after the write (a simulated zombie task's leftover);
+    the registered query aggregates the manifest-listed files and the
+    oracle aggregates the source table, so a reader that trusted the
+    directory listing would double-count and hash-mismatch.
+
+    Each task's batches flow as Arrow RecordBatches straight into one
+    parquet file (`DataSourceArrowWriter` — no row-by-row Python), and
+    the manifest publish is a single atomic rename.
+    """
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        ManifestParquetSink,
+        manifest_files,
+    )
+
+    base = scratch_dir("pysink", sf_dir, "orders")
+    path = f"{base}/orders_sink"
+
+    def build() -> None:
+        spark.dataSource.register(ManifestParquetSink)
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.format("manifest_parquet")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        # zombie leftover: a valid parquet file in the directory that
+        # no commit ever published — must stay invisible
+        (
+            load_table(spark, sf_dir, "orders")
+            .limit(500)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{base}/orphan_tmp")
+        )
+        import glob as _glob
+        import shutil as _shutil
+
+        orphan = _glob.glob(f"{base}/orphan_tmp/part-*.parquet")[0]
+        _shutil.copyfile(orphan, f"{path}/data-zombie-orphan.parquet")
+
+    build_once(base, build)
+    return (
+        spark.read.parquet(*manifest_files(path))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )

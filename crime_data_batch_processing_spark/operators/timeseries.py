@@ -599,3 +599,84 @@ def window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_us") - F.col("touch_us")).alias("latency_us"),
         )
     )
+
+
+#: Path analysis: consecutive-step gap bound and path length.
+PATH_GAP_US = 30 * 60 * 1_000_000
+PATH_TOP = 15
+
+
+@query(
+    "window_paths",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        FROM events
+    ), lagged AS (
+        SELECT user_id, event_type,
+               LAG(event_type, 2) OVER w AS t2,
+               LAG(event_type, 1) OVER w AS t1,
+               ts_us - LAG(ts_us, 1) OVER w AS gap1,
+               LAG(ts_us, 1) OVER w - LAG(ts_us, 2) OVER w AS gap2
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), paths AS (
+        SELECT user_id, t2 || '>' || t1 || '>' || event_type AS path
+        FROM lagged
+        WHERE t2 IS NOT NULL
+          AND gap1 < {PATH_GAP_US} AND gap2 < {PATH_GAP_US}
+    )
+    SELECT path, COUNT(*) AS n_walks,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_walks DESC, path ASC
+    LIMIT {PATH_TOP}
+    """,
+)
+def window_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis: the top 3-step event paths walked
+    within a session gap — the exploratory sibling of `window_funnel`
+    (which checks ONE known sequence; this surfaces which sequences
+    exist, the data behind flow/sankey views).
+
+    One (user, ts) window serves both lagged types and both step
+    gaps (shared spec → single exchange + sort); a path qualifies only
+    if each consecutive step falls within the session gap, so paths
+    never bridge separate visits. The corpus-wide tally is one
+    map-combining aggregate keyed by the path string (bounded: at most
+    |event types|^3 keys), and the tie-broken top-k folds into
+    TakeOrderedAndProject. Longer paths are the same plan with more
+    lag columns; the shuffle stays one exchange regardless.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us"), F.col("event_id"))
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    lagged = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+        (F.col("ts_us") - F.lag("ts_us", 1).over(w)).alias("gap1"),
+        (
+            F.lag("ts_us", 1).over(w) - F.lag("ts_us", 2).over(w)
+        ).alias("gap2"),
+    )
+    paths = lagged.where(
+        F.col("t2").isNotNull()
+        & (F.col("gap1") < PATH_GAP_US)
+        & (F.col("gap2") < PATH_GAP_US)
+    ).select(
+        "user_id",
+        F.concat_ws(">", "t2", "t1", "event_type").alias("path"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_walks"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_walks"), F.asc("path"))
+        .limit(PATH_TOP)
+    )

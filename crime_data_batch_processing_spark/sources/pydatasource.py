@@ -30,6 +30,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -38,6 +39,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 #: Columns the source serves (no column-pruning hook exists in the
@@ -174,3 +176,89 @@ def _pickle_self_by_value() -> None:
 
 
 _pickle_self_by_value()
+
+
+# ---------------------------------------------------------------------------
+# Writer side of the extension point: an Arrow-native sink with a real
+# two-phase commit protocol (per-task data files -> driver-side atomic
+# manifest). The property under test is EXACTLY-ONCE VISIBILITY: only
+# files named by the committed manifest exist as far as readers are
+# concerned, so leftovers from failed/zombie/speculative tasks are
+# invisible — the core idea Iceberg/Delta commits are built on, one
+# level up from the FileOutputCommitter rename dance.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FileCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class ManifestParquetWriter(DataSourceArrowWriter):
+    """Per-task Arrow->parquet writer; commit publishes the manifest."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        name = f"data-{uuid.uuid4().hex}.parquet"
+        os.makedirs(self.path, exist_ok=True)
+        if batches:
+            table = pa.Table.from_batches(batches)
+        else:  # empty task still commits an (empty) file deterministically
+            return FileCommit("", 0)
+        pq.write_table(table, os.path.join(self.path, name))
+        return FileCommit(name, table.num_rows)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        files = sorted(
+            m.filename for m in messages if m is not None and m.filename
+        )
+        tmp = os.path.join(self.path, "_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": files}, f)
+        # atomic publish: readers either see the old manifest or the
+        # new one, never a half-written file list
+        os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.filename:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except FileNotFoundError:
+                    pass
+
+
+class ManifestParquetSink(DataSource):
+    """`format("manifest_parquet")` — registered per-session."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet"
+
+    def writer(self, schema, overwrite: bool):
+        return ManifestParquetWriter(self.options["path"])
+
+
+def manifest_files(path: str) -> list[str]:
+    """The committed file list — the ONLY sanctioned way to read this
+    sink (directory listings see uncommitted garbage)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json")) as f:
+        return [os.path.join(path, n) for n in json.load(f)["files"]]
