@@ -948,3 +948,53 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("event_type").agg(
         F.sum(F.bit_count("wordbits")).alias("n_users")
     )
+
+
+@query(
+    "agg_argmax",
+    # max_by/min_by leave ties implementation-defined; BOTH sides run
+    # the struct-ordering form ((value, tiebreak) max) so the answer
+    # is a pure function of the data.
+    oracle="""
+    SELECT o_orderpriority,
+           MAX({'v': o_totalprice, 'k': o_orderkey}).k AS top_order,
+           MAX({'v': o_totalprice, 'k': o_orderkey}).v AS top_price,
+           MIN({'v': o_totalprice, 'k': -o_orderkey}).v AS bottom_price,
+           -MIN({'v': o_totalprice, 'k': -o_orderkey}).k AS bottom_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ARGMAX/ARGMIN aggregates: which order carries
+    each priority's highest (and lowest) price.
+
+    `F.max_by`/`min_by` answer this in one pass but leave ties
+    implementation-defined — at scale the winner then depends on
+    partition layout, which breaks reproducibility and the oracle.
+    The struct-ordering form (`max(struct(value, key))`) costs the
+    same single map-combining aggregate and makes ties resolve by the
+    key: highest price prefers the HIGHER orderkey, lowest price the
+    LOWER (via the negated-key min), so both extremes are total-order
+    deterministic. This is also the mergeable-state shape: a
+    (value, key) pair merges across partitions/snapshots by plain
+    comparison, unlike a window-rank formulation which needs a sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    top = F.max(
+        F.struct(
+            F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("k")
+        )
+    )
+    bot = F.min(
+        F.struct(
+            F.col("o_totalprice").alias("v"),
+            (-F.col("o_orderkey")).alias("k"),
+        )
+    )
+    return o.groupBy("o_orderpriority").agg(
+        top["k"].alias("top_order"),
+        top["v"].alias("top_price"),
+        bot["v"].alias("bottom_price"),
+        (-bot["k"]).alias("bottom_order"),
+    )

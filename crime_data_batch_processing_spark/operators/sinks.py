@@ -526,3 +526,74 @@ def sink_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+#: Restatement increment for the dynamic-partition-overwrite key: the
+#: 1997 partition is rewritten with corrected prices (+1000.00 — an
+#: exactly-representable double shift, so both engines agree on every
+#: corrected value bit-for-bit).
+OVERWRITE_YEAR = 1997
+PRICE_CORRECTION = 1000.0
+
+
+@query(
+    "sink_partition_overwrite",
+    oracle=f"""
+    SELECT YEAR(o_orderdate) AS o_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(
+               CASE WHEN YEAR(o_orderdate) = {OVERWRITE_YEAR}
+                    THEN o_totalprice + {PRICE_CORRECTION}
+                    ELSE o_totalprice END AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY YEAR(o_orderdate)
+    """,
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-restatement write
+    every partitioned snapshot store needs: replace ONLY the
+    partitions present in the increment, leave the rest untouched.
+
+    The reference's sink is all-or-nothing (`mode("overwrite")` wipes
+    the whole table each run, /root/reference/spark_ingest_script.py:87)
+    — at 100 TB that rewrites years of history to correct one day.
+    With `partitionOverwriteMode=dynamic`, an overwrite whose input
+    holds only the restated partition's rows atomically swaps exactly
+    that directory. The fixture writes the full year-partitioned
+    table, then restates the {OVERWRITE_YEAR} partition with corrected
+    prices through a dynamic overwrite; the query aggregates the
+    result per year and the oracle reconstructs the expected state
+    from the source — an overwrite that leaked into other partitions
+    (static mode would DELETE them) or failed to replace the target
+    shows up as a count or sum mismatch in some year.
+    """
+    base = scratch_dir("dynoverwrite", sf_dir, "orders")
+    tbl = f"{base}/orders_by_year"
+
+    def build() -> None:
+        o = load_table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate")
+        )
+        o.write.partitionBy("o_year").mode("overwrite").parquet(tbl)
+        restated = o.where(F.col("o_year") == OVERWRITE_YEAR).withColumn(
+            "o_totalprice", F.col("o_totalprice") + PRICE_CORRECTION
+        )
+        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            restated.write.partitionBy("o_year").mode("overwrite").parquet(tbl)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", old_mode
+            )
+
+    build_once(base, build)
+    return (
+        spark.read.parquet(tbl)
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )

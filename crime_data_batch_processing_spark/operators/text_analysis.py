@@ -504,3 +504,82 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * n - sumsq).cast("double") / (n * n).cast("double")
         ).alias("lang_gini"),
     )
+
+
+#: Fixed integer weights of the linear quality model — the
+#: deterministic stand-in for a trained fasttext-style filter. Signs
+#: encode the standard priors: stopword presence and vocabulary
+#: diversity indicate natural prose (+), very short documents and
+#: over-long junk tokens indicate boilerplate/garbage (-). Integer
+#: weights over integer features keep the score exact end-to-end.
+QM_BIAS = -60
+QM_W_TOKENS = 2       # per token (length prior)
+QM_W_STOP = 25        # per stopword occurrence
+QM_W_DISTINCT = 5     # per distinct token (diversity)
+QM_W_LONG = -40       # per token longer than 12 chars (junk signal)
+QM_THRESHOLD = 200
+
+
+@query(
+    "text_quality_model",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_toks,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('the', 'a'))) AS n_stop,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_filter(string_split(text, ' '),
+                               t -> len(t) > 12)) AS n_long
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({QM_BIAS}
+                + {QM_W_TOKENS} * n_toks
+                + {QM_W_STOP} * n_stop
+                + {QM_W_DISTINCT} * n_distinct
+                + {QM_W_LONG} * n_long AS BIGINT) AS quality_score,
+           ({QM_BIAS}
+                + {QM_W_TOKENS} * n_toks
+                + {QM_W_STOP} * n_stop
+                + {QM_W_DISTINCT} * n_distinct
+                + {QM_W_LONG} * n_long) >= {QM_THRESHOLD} AS keep
+    FROM f
+    """,
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a linear classifier over
+    engineered features scores every document in one map-only pass —
+    the fasttext-filter shape (CCNet, RefinedWeb, FineWeb) as opposed
+    to `text_quality`'s hand-set ratio thresholds.
+
+    The model here is a fixed INTEGER weight vector over integer
+    features (token count, stopword hits, distinct tokens, over-long
+    junk tokens), so scoring is exact arithmetic the oracle replays —
+    no sigmoid (the keep decision only needs the logit side of the
+    threshold, and exp() is libm, not correctly-rounded). A real
+    deployment drops trained float weights into the same expression —
+    per-row score cost is identical and there is still no shuffle:
+    quality scoring is embarrassingly parallel and composes with the
+    curation pipeline as a pushed filter.
+
+    Feature extraction binds the token array once (`tokens` helper)
+    and derives every feature from it — one tokenize per document,
+    not one per feature.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    logit = (
+        F.lit(QM_BIAS)
+        + F.lit(QM_W_TOKENS) * F.size("toks")
+        + F.lit(QM_W_STOP)
+        * F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
+        + F.lit(QM_W_DISTINCT) * F.size(F.array_distinct("toks"))
+        + F.lit(QM_W_LONG)
+        * F.size(F.filter("toks", lambda t: F.length(t) > 12))
+    )
+    return toks.select(
+        "doc_id",
+        logit.cast("bigint").alias("quality_score"),
+        (logit >= QM_THRESHOLD).alias("keep"),
+    )
