@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "analytics_waiting_suppliers", "analytics_nation_volume",
     "window_paths", "sink_pysource",
     "agg_argmax", "text_quality_model", "sink_partition_overwrite",
+    "sample_temperature", "agg_ab_test",
     "profile_stats", "agg_cube", "sample_split", "window_anomaly",
     "multimodal_dedup", "scan_partition_prune", "scan_pysource",
     "text_domain_mix", "agg_hll_intersection", "pipeline_dataset_card",

@@ -998,3 +998,79 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         bot["v"].alias("bottom_price"),
         (-bot["k"]).alias("bottom_order"),
     )
+
+
+@query(
+    "agg_ab_test",
+    # Same discipline as agg_corr/agg_moments: exact decimal moments
+    # in ONE pass (both arms via conditional sums — no self-join, no
+    # second scan), then a shared fully-parenthesized IEEE finalizer.
+    oracle=f"""
+    WITH m AS (
+        SELECT COUNT(*) FILTER (WHERE user_id % 2 = 0) AS na,
+               COUNT(*) FILTER (WHERE user_id % 2 = 1) AS nb,
+               {sql_dsum('CASE WHEN user_id % 2 = 0 THEN value END')} AS sa,
+               {sql_dsum('CASE WHEN user_id % 2 = 1 THEN value END')} AS sb,
+               {sql_dsum('CASE WHEN user_id % 2 = 0 '
+                         'THEN value * value END')} AS ssa,
+               {sql_dsum('CASE WHEN user_id % 2 = 1 '
+                         'THEN value * value END')} AS ssb
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           sa / na AS mean_a, sb / nb AS mean_b,
+           ((na * ssa) - (sa * sa)) / (na * (na - 1.0)) AS var_a,
+           ((nb * ssb) - (sb * sb)) / (nb * (nb - 1.0)) AS var_b,
+           ((sa / na) - (sb / nb))
+               / sqrt((((na * ssa) - (sa * sa)) / (na * (na - 1.0))) / na
+                      + (((nb * ssb) - (sb * sb)) / (nb * (nb - 1.0))) / nb)
+               AS welch_t
+    FROM m
+    """,
+)
+def agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per-arm mean/variance of purchase value
+    and the Welch t-statistic, in ONE scan.
+
+    The experimentation-platform shape: arms are a pure function of
+    the unit id (hash split — here user_id parity, the same
+    determinism contract as `sample_split`), and both arms' five
+    moments come from one conditional-aggregate pass — never a scan
+    or self-join per arm. Moments accumulate in exact DECIMAL
+    (order-independent), and mean/variance/t are one shared
+    correctly-rounded IEEE expression tree, so the readout is
+    bit-identical across engines and partitionings — a re-run of the
+    experiment query can never flip a decision by float noise.
+    Welch (unequal variances) rather than pooled Student: arm sizes
+    and variances are never actually equal in production.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    arm_a = F.col("user_id") % 2 == 0
+    v = F.col("value")
+    m = ev.agg(
+        F.count(F.when(arm_a, 1)).alias("n_a"),
+        F.count(F.when(~arm_a, 1)).alias("n_b"),
+        dsum(F.when(arm_a, v)).alias("sa"),
+        dsum(F.when(~arm_a, v)).alias("sb"),
+        dsum(F.when(arm_a, v * v)).alias("ssa"),
+        dsum(F.when(~arm_a, v * v)).alias("ssb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("sa"), F.col("sb")
+    ssa, ssb = F.col("ssa"), F.col("ssb")
+    var_a = ((na * ssa) - (sa * sa)) / (na * (na - F.lit(1.0)))
+    var_b = ((nb * ssb) - (sb * sb)) / (nb * (nb - F.lit(1.0)))
+    return m.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        (sa / na).alias("mean_a"),
+        (sb / nb).alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        (
+            ((sa / na) - (sb / nb))
+            / F.sqrt((var_a / na) + (var_b / nb))
+        ).alias("welch_t"),
+    )

@@ -351,3 +351,92 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+#: Temperature sampling: target share ∝ count^ALPHA with ALPHA = 1/2,
+#: so the share is sqrt(count) — a correctly-rounded IEEE op both
+#: engines agree on bit-for-bit (libm pow would not be). Budget is
+#: half the corpus.
+TEMP_BUDGET_DEN = 2
+
+
+@query(
+    "sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), s AS (
+        SELECT lang, cnt, sqrt(CAST(cnt AS DOUBLE)) AS sv FROM counts
+    ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) // {TEMP_BUDGET_DEN} AS b,
+               list_reduce(list(sv ORDER BY lang), (a, x) -> a + x) AS ssum
+        FROM s
+    ), rates AS (
+        SELECT lang,
+               CAST(floor({SAMPLE_M} * LEAST(1.0,
+                   (CAST(b AS DOUBLE) * (sv / ssum))
+                       / CAST(cnt AS DOUBLE))) AS BIGINT) AS thr
+        FROM s, tot
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {sql_sample_hash32('d.doc_id')} < r.thr
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha) sampling — the multilingual rebalance rule
+    LM pipelines use (mC4/XLM-R): keep-rate makes each stratum's share
+    proportional to count^alpha, softening head-language dominance
+    without flattening to uniform. `sample_mixture` hits EXPLICIT
+    target shares; this derives the shares from the data itself.
+
+    alpha = 1/2, deliberately: count^0.5 is `sqrt`, an IEEE
+    correctly-rounded op identical in Spark and DuckDB, where a
+    general `pow` is a libm call with no cross-engine guarantee. The
+    share denominator folds the per-stratum sqrts in sorted-lang
+    order via an explicit array fold — fixed association, so the sum
+    is the same double everywhere; every other step is integer or a
+    shared expression tree. The keep decision is the engine's
+    standard multiplicative-hash threshold: deterministic,
+    partition-independent, co-samplable.
+
+    Cost: one tiny stratum-count aggregate folded to ONE broadcast
+    rate row per stratum, then a map-only filtered scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    s = counts.select(
+        "lang", "cnt", F.sqrt(F.col("cnt").cast("double")).alias("sv")
+    )
+    tot = s.agg(
+        (F.sum("cnt").cast("long") / F.lit(TEMP_BUDGET_DEN))
+        .cast("long")
+        .alias("b"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "sv"))),
+                lambda x: x["sv"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("ssum"),
+    )
+    rates = (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.floor(
+                F.lit(float(SAMPLE_M))
+                * F.least(
+                    F.lit(1.0),
+                    (F.col("b").cast("double") * (F.col("sv") / F.col("ssum")))
+                    / F.col("cnt").cast("double"),
+                )
+            ).cast("long").alias("thr"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(sample_hash32(F.col("doc_id")) < F.col("thr"))
+        .select("doc_id", "lang")
+    )

@@ -67,11 +67,11 @@ def _rule_rows(agged: DataFrame, n_col: str, rules: list[str]) -> DataFrame:
                    AS customer_acctbal_nonneg
         FROM customer
     ), ri AS (
-        SELECT (SELECT COUNT(*) FROM orders) AS n,
-               COUNT(*) AS orders_custkey_ri_customer
+        SELECT COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE cu.c_custkey IS NULL)
+                   AS orders_custkey_ri_customer
         FROM orders o
         LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey
-        WHERE cu.c_custkey IS NULL
     ), long AS (
         SELECT 'orders_orderkey_unique' AS rule, n AS n_checked,
                orders_orderkey_unique AS violations FROM o
@@ -133,10 +133,20 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         viol(F.col("c_acctbal") < 0).alias("customer_acctbal_nonneg"),
     )
-    ri_agg = (
-        o.join(cu, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
-        .agg(F.count(F.lit(1)).alias("orders_custkey_ri_customer"))
-        .crossJoin(o.agg(F.count(F.lit(1)).alias("n")))
+    # left join (not anti) so one pass yields BOTH the checked-row
+    # count and the violation count — c_custkey is unique, so the
+    # join is 1:1 and COUNT(*) stays the orders count. (The anti-join
+    # + scalar crossJoin form plans a 1x1 BroadcastNestedLoopJoin and
+    # scans orders twice.)
+    ri_agg = o.join(
+        cu.select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("c_custkey").isNull()).alias(
+            "orders_custkey_ri_customer"
+        ),
     )
     long = (
         _rule_rows(
