@@ -99,10 +99,10 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single-column rules fold into one conditional-aggregate scan per
     table (orders carries 4 rules in one pass); the referential rule
-    is one left-anti join (Catalyst picks broadcast when the dimension
-    fits). Two rules fail by design on this data (discount cap,
-    negative balances) so the suite demonstrably distinguishes pass
-    from fail rather than rubber-stamping.
+    is one left join + conditional count (Catalyst picks broadcast
+    when the dimension fits). Two rules fail by design on this data
+    (discount cap, negative balances) so the suite demonstrably
+    distinguishes pass from fail rather than rubber-stamping.
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -172,4 +172,94 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.select(
         "rule", "n_checked", "violations", (F.col("violations") == 0).alias("ok")
+    )
+
+
+#: Drift detection geometry: price-distribution buckets and the two
+#: snapshot years compared. Shares in basis points with floor
+#: division — integer end-to-end (PSI's log-ratio is libm; total
+#: variation distance carries the same decision signal exactly).
+DRIFT_BUCKET = 50_000
+DRIFT_Y1, DRIFT_Y2 = 1996, 1997
+DRIFT_ALERT_BP = 500
+
+
+@query(
+    "profile_drift",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(FLOOR(o_totalprice / {DRIFT_BUCKET}) AS BIGINT) AS bucket,
+               COUNT(*) FILTER (WHERE YEAR(o_orderdate) = {DRIFT_Y1})
+                   AS n_base,
+               COUNT(*) FILTER (WHERE YEAR(o_orderdate) = {DRIFT_Y2})
+                   AS n_new
+        FROM orders
+        WHERE YEAR(o_orderdate) IN ({DRIFT_Y1}, {DRIFT_Y2})
+        GROUP BY 1
+    ), t AS (
+        SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+               CAST(SUM(n_new) AS BIGINT) AS tn
+        FROM b
+    ), s AS (
+        SELECT bucket, n_base, n_new,
+               10000 * n_base // tb AS bp_base,
+               10000 * n_new // tn AS bp_new
+        FROM b, t
+    ), d AS (
+        SELECT CAST(SUM(ABS(bp_base - bp_new)) AS BIGINT) AS l1_bp FROM s
+    )
+    SELECT s.bucket, s.n_base, s.n_new, s.bp_base, s.bp_new,
+           d.l1_bp // 2 AS tv_bp,
+           d.l1_bp // 2 >= {DRIFT_ALERT_BP} AS drifted
+    FROM s, d
+    """,
+)
+def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two snapshot slices — the
+    monitoring query that catches a silent upstream change before it
+    poisons downstream consumers (the gap `quality_expectations`'
+    row-level rules can't see: every row valid, the DISTRIBUTION
+    shifted).
+
+    One conditional-aggregate pass buckets the metric for BOTH slices
+    (never a scan per slice); shares are basis-point integers (floor
+    division agrees across engines), and the drift score is the total
+    variation distance in basis points — the same alert signal as PSI
+    without PSI's libm log-ratio, so the verdict is exact and
+    reproducible. The bucket table is bounded (metric range /
+    DRIFT_BUCKET), so the grand totals and the L1 fold are single-row
+    broadcasts, not corpus shuffles.
+    """
+    o = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(DRIFT_Y1, DRIFT_Y2)
+    )
+    b = o.groupBy(
+        F.floor(F.col("o_totalprice") / DRIFT_BUCKET)
+        .cast("long")
+        .alias("bucket")
+    ).agg(
+        F.count(F.when(F.year("o_orderdate") == DRIFT_Y1, 1)).alias("n_base"),
+        F.count(F.when(F.year("o_orderdate") == DRIFT_Y2, 1)).alias("n_new"),
+    )
+    t = b.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_new").alias("tn")
+    )
+    s = b.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_base",
+        "n_new",
+        F.expr("10000 * n_base div tb").alias("bp_base"),
+        F.expr("10000 * n_new div tn").alias("bp_new"),
+    )
+    d = s.agg(
+        F.sum(F.abs(F.col("bp_base") - F.col("bp_new"))).alias("l1_bp")
+    )
+    return s.crossJoin(F.broadcast(d)).select(
+        "bucket",
+        "n_base",
+        "n_new",
+        "bp_base",
+        "bp_new",
+        F.expr("l1_bp div 2").alias("tv_bp"),
+        (F.expr("l1_bp div 2") >= DRIFT_ALERT_BP).alias("drifted"),
     )
