@@ -674,3 +674,26 @@ def test_bitmap_distinct_no_expand(spark, sf_dir):
     df = registry.QUERIES["agg_bitmap_distinct"](spark, sf_dir)
     assert count_nodes(df, "Expand") == 0
     assert count_nodes(df, "HashAggregate") >= 2
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No registered query may plan a CartesianProduct — the
+    non-broadcast all-pairs join that cannot survive any scale.
+    (BroadcastNestedLoopJoin is allowed: its build side is broadcast
+    by construction, and every occurrence in this engine is a
+    deliberately tiny frame — scalar totals, per-dim stats rows,
+    k-row centroid tables — crossed against the scan map-side.)"""
+    from crime_data_batch_processing_spark import cachekit
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    streaming_keys = {"stream_events", "stream_stateful"}
+    offenders = []
+    for key, fn in sorted(registry.QUERIES.items()):
+        if key in streaming_keys:
+            continue
+        try:
+            if "CartesianProduct" in physical_plan(fn(spark, sf_dir)):
+                offenders.append(key)
+        finally:
+            cachekit.release_all()
+    assert not offenders, f"CartesianProduct in: {offenders}"
