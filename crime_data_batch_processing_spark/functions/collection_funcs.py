@@ -138,3 +138,53 @@ def map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("m", "props")
     )
+
+
+@query(
+    "json_variant",
+    # The oracle derives every extraction from the ORIGINAL columns —
+    # matching proves construct -> parse_json -> variant_get is a
+    # lossless round trip (double survives via shortest-repr JSON
+    # printing; the missing path must be NULL, not an error).
+    oracle="""
+    SELECT event_id,
+           event_type AS vtype,
+           value AS vval,
+           CAST(props->>'$.k' AS INTEGER) AS vk,
+           CAST(NULL AS INTEGER) AS vmissing
+    FROM events
+    """,
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT handling (Spark 4): parse once, extract
+    many — the modern replacement for repeated `get_json_object`.
+
+    `map_json_funcs` shows the classic per-extraction string parsing;
+    VARIANT changes the cost model: `parse_json` pays the parse ONCE
+    into a binary offset-indexed encoding, and every `variant_get` is
+    a typed offset lookup — the open-format (Parquet Variant / Delta /
+    Iceberg v3) answer to JSONB. The fixture nests event fields into
+    one JSON document per row, parses it to VARIANT, and extracts a
+    string, a double, a nested int, and a MISSING path
+    (`try_variant_get` → NULL, never a job-killing error — the
+    schema-drift posture semi-structured ingest needs). The oracle
+    recomputes everything from the original columns, so any loss in
+    construct→parse→extract (double repr, nested paths, null
+    semantics) is a hash mismatch. Map-only, codegen'd, no shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.col("value").alias("v"),
+            F.from_json("props", "k int").alias("p"),
+        )
+    )
+    v = ev.select("event_id", F.parse_json(doc).alias("var"))
+    return v.select(
+        "event_id",
+        F.variant_get("var", "$.t", "string").alias("vtype"),
+        F.variant_get("var", "$.v", "double").alias("vval"),
+        F.variant_get("var", "$.p.k", "int").alias("vk"),
+        F.try_variant_get("var", "$.missing", "int").alias("vmissing"),
+    )

@@ -568,3 +568,38 @@ def scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey",
         F.col("corrupt_raw").isNotNull().alias("corrupt"),
     )
+
+
+@query(
+    "scan_xml",
+    oracle="SELECT * FROM nation",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan through Spark 4's built-in XML source (spark-xml was
+    an external package for a decade; 4.0 merged it) — the enterprise
+    interchange format the scan family was missing.
+
+    Same fixture discipline as `scan_csv`/`scan_json`: materialize the
+    table as XML once via the native writer, read it back with an
+    explicit schema and `rowTag` — XML schema inference, like JSON's,
+    is a wasted full read at scale. Int+string columns only (nation):
+    XML is a decimal-text format, so doubles would round-trip through
+    repr printing — a separate code path this fixture deliberately
+    avoids (same note as scan_json).
+    """
+    xml_dir = f"{scratch_dir('xml', sf_dir, 'nation')}/nation"
+
+    def _build() -> None:
+        (
+            load_table(spark, sf_dir, "nation")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "nation")
+            .save(xml_dir)
+        )
+
+    build_once(os.path.dirname(xml_dir), _build)
+    return spark.read.format("xml").option("rowTag", "nation").schema(
+        NATION_SCHEMA
+    ).load(xml_dir)
