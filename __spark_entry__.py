@@ -62,12 +62,10 @@ _VERIFY_FIRST = [
     # pipeline. These must fit under the 50-key cap ahead of new keys.
     "text_ngrams", "agg_approx_distinct", "agg_sketch_rollup",
     "scan_zone_map", "dedup_ngram_jaccard",
-    # (2) new in round 4 — no driver row exists at all. 45 of these
-    # 50 fit under the cap this round; the tail (agg_argmax,
-    # text_quality_model, sink_partition_overwrite,
-    # sample_temperature, agg_ab_test) rolls to round 5 — all 50 are
-    # locally strict-verified vs DuckDB at sf0.01 on the current
-    # generation.
+    # (2) new in round 4 — no driver row exists at all. The first 45
+    # fit under the cap this round; the 9-key tail (agg_argmax through
+    # agg_gini below) rolls to round 5 — ALL new keys are locally
+    # strict-verified vs DuckDB at sf0.01 on the current generation.
     "agg_moments", "agg_regression", "agg_bitmap_distinct",
     "window_rolling_median", "window_attribution",
     "join_interval_overlap", "sink_zorder", "scan_json_malformed",
@@ -86,7 +84,7 @@ _VERIFY_FIRST = [
     "pipeline_collapse", "window_gap_fill", "window_ewma",
     "agg_argmax", "text_quality_model", "sink_partition_overwrite",
     "sample_temperature", "agg_ab_test", "profile_drift",
-    "scan_xml", "json_variant",
+    "scan_xml", "json_variant", "agg_gini",
     # (3) last driver-green in ROUND 1 — two testdata generations ago
     # (the driver regenerated /root/testdata before r3 AND again
     # before r4); scan_binary additionally moved onto build_once

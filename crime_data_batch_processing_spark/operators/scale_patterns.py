@@ -575,3 +575,103 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count(F.when(hit, 1)).alias("n_overlap_ship"))
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS rq
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT rq,
+               ROW_NUMBER() OVER (ORDER BY rq ASC, o_custkey ASC) AS r,
+               COUNT(*) OVER () AS n
+        FROM rev
+    ), m AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(rq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS total,
+               CAST(SUM(CAST(rq AS DECIMAL(38,0)) * (2 * r - n - 1))
+                    AS DECIMAL(38,0)) AS num
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           CAST(total AS DOUBLE) / 100.0 AS total_revenue,
+           CAST(num AS DOUBLE) / (n * CAST(total AS DOUBLE)) AS gini
+    FROM m
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (exact Gini coefficient) — and with it,
+    the DISTRIBUTED GLOBAL RANKING pattern: exact positions in a total
+    order without ever putting the data through one partition.
+
+    Gini needs every value's global rank. The naive
+    `row_number() OVER (ORDER BY ...)` with no partition key funnels
+    the whole table into a single task — the anti-pattern this engine
+    bans. The scale form: `repartitionByRange` on the sort key (a
+    real distributed sort — boundaries from sampling), rank WITHIN
+    each range partition, then add per-partition offsets. The offset
+    table is one row per PARTITION (bounded by cluster parallelism,
+    not data), so its cumulative window is over ~32 rows — in-plan,
+    no driver collect. Partition boundaries are sample-dependent but
+    the resulting ranks are not: rank = position in the (value, key)
+    total order, a pure function of the data.
+
+    Revenue is quantized to integer cents (exact — prices carry 2
+    decimals), the rank-weighted sum accumulates in DECIMAL(38,0),
+    and only the final division is floating point — one double each
+    side, bit-identical.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rq")
+    )
+    parts = rev.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "rq", "o_custkey"
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("rq").asc(), F.col("o_custkey").asc()
+    )
+    local = parts.withColumn("lr", F.row_number().over(w_local))
+    sizes = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # offsets: cumulative counts over ONE ROW PER PARTITION (~32 rows
+    # total — bounded by parallelism, not data), so the unpartitioned
+    # window here is safe at any scale
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "rq", (F.col("lr") + F.col("off")).alias("r")
+    )
+    n_total = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rq").cast("decimal(38,0)")).cast("decimal(38,0)")
+        .alias("total"),
+    )
+    m = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("total").alias("total"),
+            F.sum(
+                F.col("rq").cast("decimal(38,0)")
+                * (2 * F.col("r") - F.col("n") - 1)
+            ).cast("decimal(38,0)").alias("num"),
+        )
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        (F.col("total").cast("double") / F.lit(100.0)).alias("total_revenue"),
+        (
+            F.col("num").cast("double")
+            / (F.col("n") * F.col("total").cast("double"))
+        ).alias("gini"),
+    )
