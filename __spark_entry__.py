@@ -84,7 +84,7 @@ _VERIFY_FIRST = [
     "pipeline_collapse", "window_gap_fill", "window_ewma",
     "agg_argmax", "text_quality_model", "sink_partition_overwrite",
     "sample_temperature", "agg_ab_test", "profile_drift",
-    "scan_xml", "json_variant", "agg_gini",
+    "scan_xml", "json_variant", "agg_gini", "stream_stream_left_join",
     # (3) last driver-green in ROUND 1 — two testdata generations ago
     # (the driver regenerated /root/testdata before r3 AND again
     # before r4); scan_binary additionally moved onto build_once

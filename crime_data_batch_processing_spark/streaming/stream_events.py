@@ -931,3 +931,106 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@query(
+    "stream_stream_left_join",
+    # The oracle replays the OUTER-emission rule: matched pairs are
+    # the batch interval join; unmatched clicks appear with NULL
+    # purchase only once the global watermark (min of both sides'
+    # max-event-time minus delay) passes the end of their match
+    # window — clicks near the stream tail stay unemitted, exactly as
+    # the bounded run leaves them buffered in state.
+    oracle=f"""
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT MAX(epoch_us(ts)) FROM events
+             WHERE event_type = 'click'),
+            (SELECT MAX(epoch_us(ts)) FROM events
+             WHERE event_type = 'purchase')) - {_HOUR_US} AS w
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(c.ts) AS click_ts_us,
+           epoch_us(p.ts) AS purchase_ts_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT c.user_id, c.event_id, NULL, epoch_us(c.ts), NULL
+    FROM events c, wm
+    WHERE c.event_type = 'click'
+      AND epoch_us(c.ts) + {_HOUR_US} < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      )
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click eventually
+    produces a row — matched eagerly, or with NULL purchase once the
+    watermark PROVES no match can still arrive.
+
+    The semantics inner joins don't have: a null result cannot be
+    emitted on sight (the match may simply not have arrived yet), so
+    outer emission is watermark-driven — an unmatched click surfaces
+    only when the global watermark passes the end of its match
+    window, i.e. when the purchase side has advanced far enough that
+    a future match is impossible. That makes the OUTPUT itself
+    watermark-dependent (not just state size), which is why the
+    oracle must replay the emission rule rather than a plain batch
+    left join: clicks whose window is still open when the bounded
+    source drains remain buffered, exactly as they would on a live
+    stream. Funnel drop-off analysis ("clicks that never converted")
+    is this topology's canonical use.
+    """
+    joined_src = _stream_src(sf_dir)
+    clicks = (
+        streaming_events(spark, joined_src, max_files_per_trigger=None)
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        streaming_events(spark, joined_src, max_files_per_trigger=None)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+            """
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run_bounded(
+            joined, "cdbp_stream_stream_left_join", "append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
