@@ -443,3 +443,101 @@ def analytics_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation", "o_year")
         .agg(dsum(F.expr(_REVENUE)).alias("revenue"))
     )
+
+
+@query(
+    "analytics_customer_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def analytics_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer —
+    including the customers with ZERO qualifying orders, which is the
+    whole point and the part an inner join silently drops.
+
+    Two-level aggregation: LEFT join customer→orders with the filter
+    in the JOIN CONDITION (in the WHERE it would turn the outer join
+    back into an inner one — the classic outer-join-filter bug), then
+    COUNT(o_orderkey) per customer (NULL-skipping, so no-order
+    customers count 0), then the histogram over those counts. First
+    aggregate shuffles on custkey; the second is tiny (distinct count
+    values), so the plan is join + two hash aggregates — no windows,
+    no skew risk beyond the join key itself.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+#: Q11 adaptation (no partsupp table in the testdata): a part is
+#: "important" when its revenue exceeds IMPORTANT_PPM parts-per-million
+#: of total revenue.
+IMPORTANT_PPM = 200
+
+
+@query(
+    "analytics_important_parts",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               {sql_dsum(_REVENUE)} AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ), total AS (
+        SELECT {sql_dsum(_REVENUE)} AS trev FROM lineitem
+    )
+    SELECT p.l_partkey, p.revenue
+    FROM per_part p, total t
+    WHERE p.revenue > t.trev * ({IMPORTANT_PPM} / 1000000.0)
+    """,
+)
+def analytics_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups kept only if they exceed a fraction of
+    a GLOBAL aggregate — the HAVING-against-scalar-subquery pattern.
+
+    The global total is one single-row aggregate broadcast against the
+    per-group aggregate (never a re-scan per group, never a driver
+    round trip); both aggregates share one scan lineage but aggregate
+    independently, so the plan is two hash aggregates + a broadcast
+    filter. The threshold arithmetic is a fixed IEEE tree over the
+    exact decimal-summed revenues, identical both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.expr(_REVENUE)).alias("revenue")
+    )
+    total = li.agg(dsum(F.expr(_REVENUE)).alias("trev"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("revenue")
+            > F.col("trev") * (F.lit(IMPORTANT_PPM) / F.lit(1_000_000.0))
+        )
+        .select("l_partkey", "revenue")
+    )

@@ -597,3 +597,90 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+#: Time-travel fixture: three dated snapshot runs with growing
+#: content, queried AS OF the middle date.
+_ASOF_RUNS = (
+    ("2026-08-10", ("F",)),
+    ("2026-08-11", ("F", "O")),
+    ("2026-08-12", ("F", "O", "P")),
+)
+_ASOF_TARGET = "2026-08-11"
+
+
+@query(
+    "snapshot_as_of",
+    # as-of 2026-08-11 must resolve to run 2 exactly: statuses F+O,
+    # never run 3's P rows (future leak) nor run 1 alone (stale).
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over dated snapshots: read the table AS OF a date —
+    the audit/repro query (`what did the model train on last Tuesday?`)
+    that the reference's latest-pointer protocol (O12) destroys,
+    because repointing LOCATION forgets history even though the
+    partitioned `_snapshot` table still holds every run.
+
+    Resolution is two steps, both metadata-proportional: list the
+    snapshot dates (a partition-columns-only scan of the dated table —
+    no data columns read), pick the newest date <= the as-of point
+    (one comparable integer per partition, max collected as an
+    orchestration scalar), then a partition-pruned read of exactly
+    that run. Asking for a date with no snapshot naturally falls back
+    to the most recent earlier run — the Iceberg/Delta
+    `TIMESTAMP AS OF` contract rebuilt on parquet primitives.
+    """
+    base = scratch_dir("asof", sf_dir, "orders") + "/orders"
+    orders = load_table(spark, sf_dir, "orders")
+
+    def build() -> None:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for exec_date, statuses in _ASOF_RUNS:
+                stamped = stamp_partitions(
+                    orders.filter(F.col("o_orderstatus").isin(*statuses)),
+                    exec_date,
+                )
+                (
+                    stamped.write.mode("overwrite")
+                    .partitionBy("y", "m", "d")
+                    .parquet(base)
+                )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    build_once(os.path.dirname(base), build)
+    snap = spark.read.parquet(base)
+    # comparable yyyymmdd integer from the string partition values
+    ymd = (
+        F.col("y").cast("int") * 10000
+        + F.col("m").cast("int") * 100
+        + F.col("d").cast("int")
+    )
+    ty, tm, td = (int(p) for p in _ASOF_TARGET.split("-"))
+    target = ty * 10000 + tm * 100 + td
+    chosen = (
+        snap.select(ymd.alias("ymd"))
+        .where(F.col("ymd") <= target)
+        .agg(F.max("ymd"))
+        .first()[0]
+    )
+    return (
+        snap.where(ymd == chosen)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
