@@ -301,3 +301,91 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("vals")
     )
+
+
+#: CUSUM drift allowance and alarm threshold, in integer cents.
+#: K sits just above the corpus mean value (~49.6), so the statistic
+#: hovers near zero under normal traffic and climbs on sustained
+#: above-mean runs; H is the alarm level.
+CUSUM_K_CENTS = 5500
+CUSUM_H_CENTS = 50_000
+
+
+@query(
+    "window_cusum",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT)
+                   - {CUSUM_K_CENTS} AS d
+        FROM events
+    ), pre AS (
+        SELECT user_id, us, event_id,
+               CAST(SUM(d) OVER w AS BIGINT) AS cs
+        FROM s
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), c AS (
+        SELECT user_id, us, event_id,
+               cs - LEAST(0, CAST(MIN(cs) OVER w AS BIGINT)) AS s
+        FROM pre
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX({{'u': us, 'e': event_id, 's': s}}).s AS cusum_final,
+           MAX(s) AS cusum_max,
+           MAX(s) >= {CUSUM_H_CENTS} AS changed
+    FROM c GROUP BY user_id
+    """,
+)
+def window_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity CUSUM change detection: has any user's value stream
+    sustained an above-mean shift — the sequential drift detector
+    behind SLO burn alerts and sensor monitoring.
+
+    CUSUM is defined recursively (S_i = max(0, S_{i-1} + x_i - K)),
+    which LOOKS window-inexpressible like the EWMA — but the
+    recursion UNROLLS: S_i = C_i - min(0, min_{j<=i} C_j) where C is
+    the plain prefix sum of (x - K). So two aggregates over ONE shared
+    window spec (running sum, running min of the running sum) compute
+    it exactly — no array fold, no UDF, one exchange + sort per
+    entity. Everything is integer cents, so both engines walk the
+    identical lattice; `changed` is whether the max excursion ever
+    cleared the alarm level H (the page), `cusum_final` where the
+    statistic rests now (the dashboard).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (
+            (F.col("value").cast("decimal(10,2)") * 100).cast("long")
+            - CUSUM_K_CENTS
+        ).alias("d"),
+    )
+    pre = ev.select(
+        "user_id", "us", "event_id", F.sum("d").over(w).alias("cs")
+    )
+    s = F.col("cs") - F.least(
+        F.lit(0).cast("long"), F.min("cs").over(w)
+    )
+    per_event = pre.select("user_id", "us", "event_id", s.alias("s"))
+    final = F.max(
+        F.struct(
+            F.col("us").alias("u"), F.col("event_id").alias("e"),
+            F.col("s").alias("s"),
+        )
+    )
+    return per_event.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        final["s"].alias("cusum_final"),
+        F.max("s").alias("cusum_max"),
+        (F.max("s") >= CUSUM_H_CENTS).alias("changed"),
+    )
