@@ -933,6 +933,55 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def click_purchase_left_join(
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The LEFT OUTER stream-stream interval-join topology
+    (unstarted) — `click_purchase_join`'s outer sibling, shared by the
+    registered query (bounded run) and the restart tests (file-by-file
+    micro-batches against a checkpoint)."""
+    clicks = (
+        streaming_events(spark, src_dir, max_files_per_trigger)
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        streaming_events(spark, src_dir, max_files_per_trigger)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+            """
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+
+
 @query(
     "stream_stream_left_join",
     # The oracle replays the OUTER-emission rule: matched pairs are
@@ -988,44 +1037,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream. Funnel drop-off analysis ("clicks that never converted")
     is this topology's canonical use.
     """
-    joined_src = _stream_src(sf_dir)
-    clicks = (
-        streaming_events(spark, joined_src, max_files_per_trigger=None)
-        .where(F.col("event_type") == "click")
-        .select(
-            "user_id",
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    purchases = (
-        streaming_events(spark, joined_src, max_files_per_trigger=None)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            """
-            user_id = p_user_id
-            AND purchase_ts >= click_ts
-            AND purchase_ts <= click_ts + INTERVAL 1 HOUR
-            """
-        ),
-        "leftOuter",
-    ).select(
-        "user_id",
-        "click_id",
-        "purchase_id",
-        F.unix_micros("click_ts").alias("click_ts_us"),
-        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
-    )
+    joined = click_purchase_left_join(spark, _stream_src(sf_dir))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

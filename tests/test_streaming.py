@@ -298,3 +298,73 @@ def test_anomaly_state_carries_across_microbatches(spark, stream_dirs):
     assert spike.n_frame == 20, "state was not carried across batches"
     assert spike.is_anomaly, "full-frame spike must flag"
     assert not any(r.is_anomaly for i, r in rows.items() if i != 99)
+
+
+def test_left_outer_join_null_emission_across_restart(
+    spark, stream_dirs, tmp_path
+):
+    """Outer stream-stream join: a NULL row for an unmatched click may
+    appear only once the GLOBAL watermark (min across both sides)
+    passes the end of its match window — including across a restart,
+    where the watermark must recover from the checkpoint. A click
+    whose window is still open at shutdown must NOT have produced a
+    premature null row."""
+    from crime_data_batch_processing_spark.streaming.stream_events import (
+        click_purchase_left_join,
+    )
+
+    src, ckpt = stream_dirs
+    out = str(tmp_path / "out")
+
+    def run() -> dict:
+        joined = click_purchase_left_join(spark, src)
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.click_id: r.purchase_id
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # run 1: c0 matched by p1; c2 unmatched (window ends 2.0);
+    # c3/p4 at hour 9 advance BOTH side watermarks to 8.0
+    _write_batch(
+        spark,
+        [
+            (0, BASE_NS + int(0.5 * HOUR_NS), 1, "click", 1.0, "{}"),
+            (1, BASE_NS + int(0.7 * HOUR_NS), 1, "purchase", 1.0, "{}"),
+            (2, BASE_NS + int(1.0 * HOUR_NS), 2, "click", 1.0, "{}"),
+            (3, BASE_NS + int(9.0 * HOUR_NS), 1, "click", 1.0, "{}"),
+            (4, BASE_NS + int(9.0 * HOUR_NS), 3, "purchase", 1.0, "{}"),
+        ],
+        src,
+        "b0",
+    )
+    first = run()
+    assert first.get(0) == 1, first          # eager match
+    assert first.get(2) is None and 2 in first, first  # closed → null
+    assert 3 not in first, first             # window open → buffered
+
+    # run 2 (restart): a click at hour 12 advances the click-side
+    # watermark; min(click_wm, purchase_wm) = min(11, 8) stays 8 until
+    # the purchase side also advances — so ship one of each. c3's
+    # window (ends 10.0) is now provably unmatchable → null row.
+    _write_batch(
+        spark,
+        [
+            (5, BASE_NS + int(12.0 * HOUR_NS), 9, "click", 1.0, "{}"),
+            (6, BASE_NS + int(12.0 * HOUR_NS), 8, "purchase", 1.0, "{}"),
+        ],
+        src,
+        "b1",
+    )
+    second = run()
+    assert second.get(3) is None and 3 in second, second
+    assert second.get(0) == 1 and 2 in second, second  # append-only history
+    assert 5 not in second, second           # tail click stays buffered
