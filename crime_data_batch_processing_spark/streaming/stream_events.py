@@ -1046,3 +1046,54 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@query(
+    "stream_pipeline",
+    oracle=f"""
+    WITH dd AS (
+        SELECT DISTINCT user_id, event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us
+        FROM events
+    )
+    SELECT c.c_mktsegment, dd.hour_us,
+           COUNT(*) AS n_active
+    FROM dd JOIN customer c ON dd.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, dd.hour_us
+    """,
+)
+def stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed streaming topology — the batch `pipeline_*` idea on a
+    stream: dedup → broadcast enrichment → windowed aggregation, THREE
+    chained operators (two of them stateful) in ONE streaming query.
+
+    Chaining is the point: the first-occurrence dedup state feeds the
+    enrichment join feeds the aggregate state inside one micro-batch —
+    no intermediate sink, no re-read, exactly how a production
+    activity-rollup topology composes. Determinism discipline: the
+    dedup KEY (user, type, hour) contains every column the downstream
+    aggregate reads, so WHICH duplicate survives the in-batch shuffle
+    is immaterial — a pipeline that carried a non-key column (say the
+    surviving row's ts) through the dedup would be arrival-order-
+    dependent and un-oracle-able. The aggregate is then a distinct
+    count per (segment, hour), and the batch oracle is the same
+    DISTINCT → join → GROUP BY chain.
+    """
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        streaming_events(spark, _stream_src(sf_dir), max_files_per_trigger=None)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+        )
+        .dropDuplicates(["user_id", "event_type", "hour_us"])
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "hour_us")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return _run_bounded(agg, "cdbp_stream_pipeline", "complete")
