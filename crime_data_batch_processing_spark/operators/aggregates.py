@@ -1074,3 +1074,54 @@ def agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((var_a / na) + (var_b / nb))
         ).alias("welch_t"),
     )
+
+
+@query(
+    "agg_mad",
+    # median/percentile interpolation parity between F.median and
+    # quantile_cont is already proven by agg_percentile; MAD composes
+    # the same exact interpolated median twice.
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS med_qty
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           MAX(m.med_qty) AS med_qty,
+           quantile_cont(ABS(l.l_quantity - m.med_qty), 0.5) AS mad_qty
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust scale
+    estimate (stddev is hijacked by the very outliers a data-quality
+    pass wants to find; MAD is 50%-breakdown robust).
+
+    Inherently two-pass: the deviations need the median first. Pass 1
+    is a tiny per-group median aggregate broadcast back onto the scan;
+    pass 2 computes the median of absolute deviations. Both passes are
+    exact interpolated percentiles (`F.median` ≡ `quantile_cont`,
+    parity proven by the percentile key), and |x − med| is one IEEE
+    subtraction on identical doubles — so the result is bit-equal
+    cross-engine despite two levels of interpolation. The robust
+    z-score rung of the anomaly family: `window_anomaly` flags by
+    3σ; MAD replaces σ when the data has heavy tails.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("med_qty").alias("med_qty"),
+            F.median(F.abs(F.col("l_quantity") - F.col("med_qty"))).alias(
+                "mad_qty"
+            ),
+        )
+    )
