@@ -37,8 +37,18 @@ from crime_data_batch_processing_spark.operators.filters import (
     MIXTURE_BUDGET_DEN,
     MIXTURE_BUDGET_NUM,
     SAMPLE_M,
+    SPLIT_TRAIN_HI,
+    SPLIT_VAL_HI,
     sample_hash32,
     sql_sample_hash32,
+)
+from crime_data_batch_processing_spark.operators.text_analysis import (
+    QM_BIAS,
+    QM_THRESHOLD,
+    QM_W_DISTINCT,
+    QM_W_LONG,
+    QM_W_STOP,
+    QM_W_TOKENS,
 )
 from crime_data_batch_processing_spark.operators.chunking import (
     CHUNK_STRIDE,
@@ -387,4 +397,98 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double")
             / F.col("grand_total").cast("double")
         ).alias("doc_share"),
+    )
+
+
+#: Training-manifest geometry: shards per split; the quality gate
+#: reuses the linear model's weights/threshold (text_analysis).
+MANIFEST_SHARDS = 8
+
+
+@query(
+    "pipeline_train_manifest",
+    oracle=f"""
+    WITH kept AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_toks
+        FROM documents
+        WHERE ({QM_BIAS}
+               + {QM_W_TOKENS} * len(string_split(text, ' '))
+               + {QM_W_STOP} * len(list_filter(string_split(text, ' '),
+                                               t -> t IN ('the', 'a')))
+               + {QM_W_DISTINCT}
+                   * len(list_distinct(string_split(text, ' ')))
+               + {QM_W_LONG} * len(list_filter(string_split(text, ' '),
+                                               t -> len(t) > 12)))
+              >= {QM_THRESHOLD}
+    ), dedup AS (
+        SELECT k.doc_id, k.n_toks FROM kept k
+        WHERE k.doc_id = (SELECT MIN(k2.doc_id) FROM kept k2
+                          WHERE md5(k2.text) = md5(k.text))
+    )
+    SELECT CASE WHEN h < {SPLIT_TRAIN_HI} THEN 'train'
+                WHEN h < {SPLIT_VAL_HI} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(doc_id % {MANIFEST_SHARDS} AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, n_toks,
+                 {sql_sample_hash32('doc_id')} AS h
+          FROM dedup)
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deliverable at the end of the curation ladder: the training
+    SHARD MANIFEST — per (split, shard): document and token counts —
+    what actually gets handed to the trainer and pinned in the run
+    config.
+
+    Composes verified kernels in ONE lazy plan: the linear quality
+    gate (`text_quality_model`'s integer logit as a pushed filter),
+    exact keep-first dedup (md5 digest, min-id wins), the
+    key-deterministic 80/10/10 split (`sample_split`'s hash — co-keyed
+    tables land on the same side), and id-based sharding. Counts and
+    token totals per (split, shard) are the checksum a release ships:
+    two runs — or two ENGINES — must produce identical manifests,
+    which is exactly what the oracle asserts. One corpus-sized shuffle
+    (the dedup digest aggregate); everything else is map-only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    logit = (
+        F.lit(QM_BIAS)
+        + F.lit(QM_W_TOKENS) * F.size(toks)
+        + F.lit(QM_W_STOP)
+        * F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+        + F.lit(QM_W_DISTINCT) * F.size(F.array_distinct(toks))
+        + F.lit(QM_W_LONG)
+        * F.size(F.filter(toks, lambda t: F.length(t) > 12))
+    )
+    kept = docs.where(logit >= QM_THRESHOLD).select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        F.size(tokens("text")).alias("n_toks"),
+    )
+    first = kept.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    dedup = (
+        kept.join(first, "digest")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "n_toks")
+    )
+    h = sample_hash32(F.col("doc_id"))
+    split = (
+        F.when(h < SPLIT_TRAIN_HI, "train")
+        .when(h < SPLIT_VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        dedup.groupBy(
+            split.alias("split"),
+            (F.col("doc_id") % MANIFEST_SHARDS).alias("shard"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
     )
