@@ -308,3 +308,90 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("canonical_id", F.min("doc_id").over(w))
         .withColumn("is_dup", F.col("doc_id") != F.col("canonical_id"))
     )
+
+
+@query(
+    "pipeline_media_ingest",
+    # Payloads are ASCII text, so every byte feature is SQL-
+    # reproducible (octet_length == chars, byte sums == ascii sums) —
+    # the same contract as the other multimodal oracles.
+    oracle=f"""
+    WITH env AS (
+        SELECT doc_id, lang, text, md5(text) AS digest
+        FROM documents
+    ), verdict AS (
+        SELECT doc_id, lang, text,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY digest) AS is_dup
+        FROM env
+    )
+    SELECT lang,
+           COUNT(*) FILTER (WHERE NOT is_dup) AS n_assets,
+           COUNT(*) FILTER (WHERE is_dup) AS n_dups,
+           CAST(COALESCE(SUM(octet_length(encode(text)))
+                    FILTER (WHERE NOT is_dup), 0) AS BIGINT) AS total_bytes,
+           CAST(COALESCE(SUM(list_sum(list_transform(
+                    string_split(substring(text, 1, {THUMB_BYTES}), ''),
+                    c -> ascii(c))) % {CHECKSUM_MOD})
+                    FILTER (WHERE NOT is_dup), 0) AS BIGINT)
+               AS thumb_checksum
+    FROM verdict
+    GROUP BY lang
+    """,
+)
+def pipeline_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal family composed end-to-end in ONE lazy plan —
+    the media-ingest topology a 100 TB asset pipeline runs nightly:
+    typed envelope → byte-digest dedup verdict → Arrow-batched
+    payload transform on SURVIVORS only → per-language ingest report
+    (kept/dropped counts, payload bytes, transform checksum).
+
+    Composition details that matter at scale: the dedup verdict is a
+    window over the cryptographic digest (uniform shuffle, no skew),
+    computed BEFORE the Python transform so duplicate payloads never
+    pay the expensive per-payload work (with real decoders that is
+    the entire cost); the transform flows through one Arrow
+    `mapInPandas` carrying the verdict and language along, so the
+    final report is a single hash aggregate over its output. The
+    thumbnail stand-in keeps the chain oracle-verifiable without
+    media libraries — a deployment swaps in `resize_image` and
+    nothing else moves.
+    """
+    from pyspark.sql import Window
+
+    env = media_envelope(load_table(spark, sf_dir, "documents"))
+    flat = env.select(
+        "doc_id",
+        F.col("media.data").alias("data"),
+        F.col("media.meta.lang").alias("lang"),
+        F.md5(F.col("media.data")).alias("digest"),
+    )
+    w = Window.partitionBy("digest")
+    flagged = flat.withColumn(
+        "is_dup", F.col("doc_id") != F.min("doc_id").over(w)
+    )
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = ~pdf["is_dup"]
+            data = pdf["data"]
+            yield pd.DataFrame(
+                {
+                    "lang": pdf["lang"],
+                    "is_dup": pdf["is_dup"],
+                    "byte_len": data.map(len).where(keep, 0).astype("int64"),
+                    "thumb_sum": data.map(
+                        lambda b: sum(b[:THUMB_BYTES]) % CHECKSUM_MOD
+                    ).where(keep, 0).astype("int64"),
+                }
+            )
+
+    feats = flagged.mapInPandas(
+        _features,
+        schema="lang string, is_dup boolean, byte_len long, thumb_sum long",
+    )
+    return feats.groupBy("lang").agg(
+        F.count(F.when(~F.col("is_dup"), 1)).alias("n_assets"),
+        F.count(F.when(F.col("is_dup"), 1)).alias("n_dups"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.sum("thumb_sum").alias("thumb_checksum"),
+    )
