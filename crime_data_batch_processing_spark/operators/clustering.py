@@ -198,3 +198,166 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_assign.join(sizes, "cid").select(
         "vec_id", "cid", "cluster_size"
     )
+
+
+#: Incremental split for out-of-sample assignment: every 5th vector is
+#: the "new batch"; the rest trained the persisted centroids.
+ASSIGN_MOD = 5
+
+
+def _sql_assign_incremental() -> str:
+    """Replay: base-only corpus → 2 Lloyd sweeps → persisted centroids
+    → map-only assignment of the increment. Reuses the per-iteration
+    CTE fragments of the full k-means oracle, restricted to the
+    training split.
+
+    Seed residue is 1, NOT 0: a stride divisible by ASSIGN_MOD would
+    put every residue-0 id in the increment split (excluded from the
+    training corpus → zero seeds → empty everything). No ``--``
+    comments inside the SQL — oracle strings are whitespace-collapsed
+    downstream, and a line comment would swallow the rest of the
+    query."""
+    score = (
+        f"{_SQL_IDOT.format(a='v.q', b='ct.c')}"
+        " / sqrt(CAST(v.nsq AS DOUBLE) * CAST(ct.cn AS DOUBLE))"
+    )
+    return f"""
+    WITH q0 AS (
+        SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS q
+        FROM embeddings WHERE vec_id % {ASSIGN_MOD} != 0
+    ), corpus AS (
+        SELECT vec_id, q, {_SQL_INSQ.format(c='q')} AS nsq FROM q0
+    ), p AS (
+        SELECT GREATEST(1, COUNT(*) // {K_CLUSTERS}) AS stride FROM corpus
+    ), cents0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1 AS INT)
+                   AS cid, c.q AS c, c.nsq AS cn
+        FROM corpus c, p
+        WHERE c.vec_id % p.stride = 1
+        QUALIFY ROW_NUMBER() OVER (ORDER BY c.vec_id) <= {K_CLUSTERS}
+    ), {_sql_iteration(1, 'cents0')}, {_sql_iteration(2, 'cents1')},
+    inc0 AS (
+        SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS q
+        FROM embeddings WHERE vec_id % {ASSIGN_MOD} = 0
+    ), inc AS (
+        SELECT vec_id, q, {_SQL_INSQ.format(c='q')} AS nsq FROM inc0
+    ), iscore AS (
+        SELECT v.vec_id, ct.cid, {score} AS score
+        FROM inc v CROSS JOIN cents2 ct
+    )
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cid DESC) AS rn
+        FROM iscore
+    ) WHERE rn = 1
+    """
+
+
+@query("cluster_assign_incremental", oracle=_sql_assign_incremental())
+def cluster_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-sample cluster assignment: a NEW batch of vectors routed
+    to PERSISTED centroids — the clustering rung of the incremental
+    trilogy (`dedup_incremental` for dedup, the `*_incremental`
+    streaming keys for rollups).
+
+    Retraining k-means per ingest is O(corpus x sweeps); production
+    trains on a schedule and ASSIGNS incrementally. The fixture runs
+    two Lloyd sweeps over the training split once per testdata
+    generation and persists the centroid table (k rows of int64
+    arrays); each new batch is then map-only — broadcast the
+    centroids, score, argmax — zero shuffles over the increment and
+    zero touches of the training corpus. Integer-exact geometry
+    end-to-end (same algebra as `cluster_kmeans`), so the DuckDB
+    oracle replays training AND assignment value-for-value.
+    """
+    from crime_data_batch_processing_spark.fixtures import (
+        build_once,
+        scratch_dir,
+    )
+
+    # kind carries a build-code version: scratch keys hash inputs, not
+    # code, so a changed build must bump the suffix or serve stale state
+    base_dir = scratch_dir("kmassign_v2", sf_dir, "embeddings")
+    cents_path = f"{base_dir}/centroids"
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_inc = F.col("vec_id") % ASSIGN_MOD == 0
+
+    def _corpus(df: DataFrame) -> DataFrame:
+        c = df.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        return c.select(
+            "vec_id", "q", idot(F.col("q"), F.col("q")).alias("nsq")
+        )
+
+    def score_expr():
+        return idot(F.col("q"), F.col("c")).cast("double") / F.sqrt(
+            F.col("nsq").cast("double") * F.col("cn").cast("double")
+        )
+
+    def assign(vecs: DataFrame, cents_df: DataFrame) -> DataFrame:
+        return (
+            vecs.crossJoin(F.broadcast(cents_df))
+            .select("vec_id", score_expr().alias("score"), "cid")
+            .groupBy("vec_id")
+            .agg(F.max(F.struct("score", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
+        )
+
+    def build() -> None:
+        corpus = (
+            _corpus(emb.where(~is_inc))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n = corpus.count()
+        stride = max(1, n // K_CLUSTERS)
+        # seeds: every stride-th TRAINING vector by rank (vec_id
+        # strides don't work on the gapped split)
+        from pyspark.sql import Window as W
+
+        # seed selection: the stride-filtered frame holds ~k rows, so
+        # the unpartitioned row_number window here is bounded by k,
+        # never by the corpus. Residue 1, NOT 0: when stride is a
+        # multiple of ASSIGN_MOD, every id with residue 0 belongs to
+        # the increment split and the training corpus would yield
+        # zero seeds.
+        seeds = (
+            corpus.where(F.col("vec_id") % stride == 1)
+            .withColumn(
+                "cid",
+                (F.row_number().over(W.orderBy("vec_id")) - 1).cast("int"),
+            )
+            .where(F.col("cid") < K_CLUSTERS)
+            .select("cid", F.col("q").alias("c"), F.col("nsq").alias("cn"))
+        )
+        c = seeds
+        for _ in range(KMEANS_ITERS):
+            assigned = assign(corpus, c)
+            ex = assigned.join(corpus, "vec_id").select(
+                "cid", F.posexplode("q").alias("dim", "x")
+            )
+            per = ex.groupBy("cid", "dim").agg(
+                F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt")
+            )
+            cd = per.select(
+                "cid", "dim",
+                F.expr("(s - pmod(s, cnt)) div cnt").alias("cd"),
+            )
+            c = (
+                cd.groupBy("cid")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "cd"))
+                    ).alias("a")
+                )
+                .select("cid", F.transform("a", lambda s: s["cd"]).alias("c"))
+                .select(
+                    "cid", "c", idot(F.col("c"), F.col("c")).alias("cn")
+                )
+            )
+        c.write.mode("overwrite").parquet(cents_path)
+        corpus.unpersist()
+
+    build_once(base_dir, build)
+    cents = spark.read.parquet(cents_path)
+    inc = _corpus(emb.where(is_inc))
+    return assign(inc, cents)
