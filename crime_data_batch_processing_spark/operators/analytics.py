@@ -380,8 +380,8 @@ def analytics_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
-    WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
-       OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+    WHERE (cn.n_name = 'NATION_12' AND sn.n_name = 'NATION_13')
+       OR (cn.n_name = 'NATION_13' AND sn.n_name = 'NATION_12')
     GROUP BY cn.n_name, sn.n_name, YEAR(o.o_orderdate)
     """,
 )
@@ -398,7 +398,7 @@ def analytics_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a post-join filter over everything.
     """
     n = load_table(spark, sf_dir, "nation").where(
-        F.col("n_name").isin("NATION_1", "NATION_2")
+        F.col("n_name").isin("NATION_12", "NATION_13")
     )
     c = (
         load_table(spark, sf_dir, "customer")
@@ -429,11 +429,11 @@ def analytics_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     pair = (
-        (F.col("cust_nation") == "NATION_1")
-        & (F.col("supp_nation") == "NATION_2")
+        (F.col("cust_nation") == "NATION_12")
+        & (F.col("supp_nation") == "NATION_13")
     ) | (
-        (F.col("cust_nation") == "NATION_2")
-        & (F.col("supp_nation") == "NATION_1")
+        (F.col("cust_nation") == "NATION_13")
+        & (F.col("supp_nation") == "NATION_12")
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))

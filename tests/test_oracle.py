@@ -64,3 +64,16 @@ def test_contract_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+@pytest.mark.parametrize("key", sorted(registry.QUERIES))
+def test_query_returns_rows(spark, sf_dir, key):
+    """Every registered query must return at least one row at test
+    scale — a 0-row result matching an equally-empty oracle is a
+    VACUOUS pass (a symmetric bug zeroes both sides; round 4's
+    cluster-assignment key shipped exactly that way until caught).
+    No registered key legitimately returns an empty frame on this
+    testdata; if one ever should, allowlist it here explicitly."""
+    assert registry.QUERIES[key](spark, sf_dir).count() > 0, (
+        f"{key} returned 0 rows — vacuous-oracle hazard"
+    )
