@@ -17,7 +17,7 @@ bounds the per-task state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
@@ -206,4 +206,66 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("seq").cast("long").alias("n_events"),
         ewma.alias("ewma"),
+    )
+
+
+#: Session labeling gap — shared with the session-window aggregate.
+LABEL_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "window_sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+    ), flagged AS (
+        SELECT event_id, user_id, ts_us,
+               CASE WHEN ts_us - LAG(ts_us) OVER w >= {LABEL_GAP_US}
+                         OR LAG(ts_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(user_id * 1000000 + SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_id
+    FROM flagged
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session labeling (gaps-and-islands): every event gets
+    a stable session_id — the composable primitive underneath
+    `window_session`'s aggregates (which emit per-SESSION rows and
+    lose the event-level join key downstream enrichment needs).
+
+    The textbook two-window chain on one shared (user, ts) spec: a
+    new-session flag from LAG against the gap, then a running sum of
+    flags numbers the islands. Ids are (user, ordinal) composites —
+    globally unique, reproducible across runs and engines (event_id
+    tie-break), and assignable without any global coordination: each
+    user's partition labels itself. One exchange + sort serves both
+    windows.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts_us") - prev >= LABEL_GAP_US), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .select(
+            "event_id",
+            "user_id",
+            (
+                F.col("user_id") * 1_000_000 + F.sum("is_new").over(wsum)
+            ).alias("session_id"),
+        )
     )
