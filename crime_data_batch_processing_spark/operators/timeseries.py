@@ -680,3 +680,71 @@ def window_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_walks"), F.asc("path"))
         .limit(PATH_TOP)
     )
+
+
+@query(
+    "window_daily_kpis",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT day, n_orders, revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(28,6))) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(28,6))) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS DOUBLE)
+             / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                              AND CURRENT ROW) AS ma7_revenue
+    FROM daily
+    """,
+)
+def window_daily_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI daily-KPI triple: per-day revenue, running cumulative,
+    and 7-day moving average — the first dashboard every warehouse
+    serves.
+
+    Two layers with different cardinalities: the per-day aggregate is
+    the corpus-sized work (one map-combining hash aggregate — the
+    shuffle carries one row per (task, day)); the windows then run
+    over the DAILY frame, whose row count is bounded by the calendar
+    (~thousands of rows at ANY data volume), so the unpartitioned
+    ordered window here — normally this engine's forbidden pattern —
+    is safe by construction and stays safe at 100 TB: time, not data,
+    bounds it. Running sums accumulate in DECIMAL so cumulative
+    revenue is order-independent; the moving average divides two
+    frame aggregates sharing one spec.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+    # windows over the bounded daily frame (calendar-sized, see above)
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_ma = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_orders",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(28,6)"))
+        .over(w_cum)
+        .cast("double")
+        .alias("cum_revenue"),
+        (
+            F.sum(F.col("revenue").cast("decimal(28,6)"))
+            .over(w_ma)
+            .cast("double")
+            / F.count(F.lit(1)).over(w_ma)
+        ).alias("ma7_revenue"),
+    )
