@@ -318,3 +318,60 @@ def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", "version", "acctbal_at", "o_totalprice"
         )
     )
+
+
+@query(
+    "join_null_safe",
+    # segment NULLed for 'BUILDING' on both sides: the null-safe join
+    # must pair the NULL fact rows with the NULL dim row — a plain
+    # equi-join silently drops every one of them.
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg_key,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNSEGMENTED')
+                   AS seg_label
+        FROM customer
+    )
+    SELECT d.seg_label, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN dim d
+      ON NULLIF(c.c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM d.seg_key
+    GROUP BY d.seg_label
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently vanishing.
+
+    Standard SQL equality is three-valued: NULL = NULL is NULL, so an
+    equi-join DROPS every null-keyed row — the single most common
+    silent-data-loss bug in dimension joins (unknown category, missing
+    segment). `eqNullSafe` treats NULL as one more key value: the
+    null-keyed fact rows land on the dimension's null row like any
+    other group. It remains a HASH-joinable condition (null-safe
+    equality is an equi predicate to Catalyst — no nested-loop
+    degradation), so the fix costs nothing at scale; the one real
+    cost is that all null-keyed rows hash to ONE partition — if NULL
+    is a heavy key, the skew machinery (salting/AQE) applies to it
+    like any other hot value.
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    key = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    dim = (
+        cu.select(key.alias("seg_key"))
+        .distinct()
+        .select(
+            "seg_key",
+            F.coalesce(F.col("seg_key"), F.lit("UNSEGMENTED")).alias(
+                "seg_label"
+            ),
+        )
+    )
+    return (
+        cu.select(key.alias("fact_key"))
+        .join(
+            F.broadcast(dim), F.col("fact_key").eqNullSafe(F.col("seg_key"))
+        )
+        .groupBy("seg_label")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -603,3 +603,34 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("xml").option("rowTag", "nation").schema(
         NATION_SCHEMA
     ).load(xml_dir)
+
+
+@query(
+    "scan_csv_gzip",
+    oracle="SELECT * FROM nation",
+)
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-CSV ingestion (.csv.gz) — how raw dumps actually
+    arrive, and a scan with a SCALE TRAP the plain-CSV key doesn't
+    have: gzip is not splittable, so each .gz file is ONE task no
+    matter its size. A single 500 GB .csv.gz serializes the whole
+    ingest onto one core; the fix is many moderate files (as here —
+    Spark's codec wiring is per-file) or a splittable codec
+    (bzip2/zstd-seekable) or an immediate decompress-and-land hop.
+    Spark picks the codec off the extension; schema stays explicit
+    (inference would decompress everything once just to guess).
+    """
+    gz_dir = f"{scratch_dir('csvgz', sf_dir, 'nation')}/nation"
+
+    def _build() -> None:
+        (
+            load_table(spark, sf_dir, "nation")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("compression", "gzip")
+            .csv(gz_dir)
+        )
+
+    build_once(os.path.dirname(gz_dir), _build)
+    return spark.read.csv(gz_dir, header=True, schema=NATION_SCHEMA)

@@ -124,3 +124,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "set_union_evolved",
+    # v1 rows surface the added column as NULL — the same evolution
+    # contract scan_schema_evolution proves at the STORAGE layer,
+    # here at the DataFrame layer.
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(NULL AS DOUBLE) AS o_discount_rate, 1 AS gen
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           o_totalprice / 100000.0 AS o_discount_rate, 2 AS gen
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def set_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift UNION: combine two generations of a feed where
+    the newer one grew a column — `unionByName(allowMissingColumns=
+    True)`, the DataFrame-layer counterpart of the storage-layer
+    `scan_schema_evolution`.
+
+    Positional `union` would silently MISALIGN columns the moment two
+    producers order fields differently — the classic pipeline
+    corruption that surfaces weeks later as garbage aggregates.
+    By-name resolution with missing-column tolerance gives drifted
+    feeds the Delta/Iceberg evolution contract in memory: old rows
+    carry NULL for the new column, nothing shifts, and the plan is a
+    plain Union (no shuffle — evolution costs nothing at read time).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    gen1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", F.lit(1).alias("gen")
+    )
+    gen2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") / 100_000.0).alias("o_discount_rate"),
+        F.lit(2).alias("gen"),
+    )
+    return gen1.unionByName(gen2, allowMissingColumns=True)
