@@ -79,3 +79,42 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
     )
+
+
+#: Pagination geometry: page size and the page served.
+PAGE_SIZE = 20
+PAGE_NUMBER = 3  # zero-based → rows [60, 80) of the total order
+
+
+@query(
+    "sort_paginate",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT {PAGE_SIZE} OFFSET {PAGE_NUMBER * PAGE_SIZE}
+    """,
+)
+def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-stable pagination: page N of a ranked listing via
+    ORDER BY + OFFSET + LIMIT (`DataFrame.offset`, Spark 3.4+).
+
+    The plan is still top-k shaped: offset+limit fold into ONE
+    TakeOrderedAndProject of (offset+limit) rows — each partition
+    keeps its local top-80, the driver merges and drops the first 60;
+    no global sort materializes. That also states the scale limit
+    honestly: cost grows with PAGE DEPTH (top-10060 for page 500), so
+    deep pagination belongs to keyset continuation (WHERE (price, key)
+    < last-seen — a pushed filter + top-k per page, depth-independent)
+    — this operator is the front-pages form every listing API serves.
+    The total-order tie-break (price DESC, key ASC) is what makes a
+    page STABLE: without it, rows duplicate or vanish across pages
+    whenever ties straddle a boundary.
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(PAGE_NUMBER * PAGE_SIZE)
+        .limit(PAGE_SIZE)
+    )
