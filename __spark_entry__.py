@@ -63,8 +63,8 @@ _VERIFY_FIRST = [
     "text_ngrams", "agg_approx_distinct", "agg_sketch_rollup",
     "scan_zone_map", "dedup_ngram_jaccard",
     # (2) new in round 4 — no driver row exists at all. The first 45
-    # fit under the cap this round; the 25-key tail (agg_argmax
-    # through sort_paginate below) rolls to round 5 — ALL
+    # fit under the cap this round; the 26-key tail (agg_argmax
+    # through agg_weighted_median below) rolls to round 5 — ALL
     # new keys are locally strict-verified vs DuckDB at sf0.01 on the
     # current generation.
     "agg_moments", "agg_regression", "agg_bitmap_distinct",
@@ -91,7 +91,7 @@ _VERIFY_FIRST = [
     "pipeline_media_ingest", "cluster_assign_incremental",
     "window_sessionize", "window_daily_kpis",
     "scan_csv_gzip", "set_union_evolved", "join_null_safe",
-    "sort_paginate",
+    "sort_paginate", "agg_weighted_median",
     # (3) last driver-green in ROUND 1 — two testdata generations ago
     # (the driver regenerated /root/testdata before r3 AND again
     # before r4); scan_binary additionally moved onto build_once

@@ -17,7 +17,7 @@ percentiles sort within groups (memory-heavy at scale); prefer
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crime_data_batch_processing_spark.functions.exact import dsum
@@ -180,4 +180,71 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc(5).alias("p95_exact"),
         ap(1).between(pc(1), pc(3)).alias("p50_ok"),
         ap(2).between(pc(4), pc(6)).alias("p95_ok"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    # Explicit cumulative-weight replay on BOTH sides — weighted
+    # quantiles have no engine builtin with pinned semantics, so the
+    # definition (smallest value whose cumulative weight reaches half
+    # the total) is spelled out rather than trusted to a library.
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ), c AS (
+        SELECT l_returnflag, v, wt,
+               SUM(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY v, wt
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+        FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MAX(total) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN 2 * cum >= total THEN v END) AS weighted_median
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group: the price at which half the
+    QUANTITY (not half the rows) sits below — the unit-weighted
+    statistic behind cost-per-unit medians, wage medians weighted by
+    hours, latency medians weighted by request count.
+
+    No engine builtin has pinned weighted-quantile semantics, so the
+    definition is computed explicitly: sort the group by value,
+    accumulate integer weights, take the smallest value whose doubled
+    cumulative weight reaches the group total. One exchange + sort per
+    group serves both window aggregates; weights are integral
+    (quantities), so every comparison is exact and the chosen value is
+    a pure function of the data — the (v, wt) sort tie-break pins even
+    equal-value orderings. The conditional-MIN finalizer replaces a
+    self-join against the total: one pass, no re-scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("v").asc(), F.col("wt").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(w_cum).alias("cum"),
+        F.sum("wt").over(w_all).alias("total"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.max("total").alias("total_weight"),
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("v"))).alias(
+            "weighted_median"
+        ),
     )
