@@ -55,46 +55,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # machinery has been touched since).  Keys verified green in round 2 at
 # unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
-    # (1) code or oracle CHANGED in round 4 — their existing green
-    # rows prove nothing: text_ngrams rank-after-limit rewrite; the
-    # two sketch keys' widened error bounds; scan_zone_map manifest
-    # cap; dedup_ngram_jaccard refactored onto the shared _pair_counts
-    # pipeline. These must fit under the 50-key cap ahead of new keys.
-    "text_ngrams", "agg_approx_distinct", "agg_sketch_rollup",
-    "scan_zone_map", "dedup_ngram_jaccard",
-    # (2) new in round 4 — no driver row exists at all. The first 45
-    # fit under the cap this round; the 26-key tail (agg_argmax
-    # through agg_weighted_median below) rolls to round 5 — ALL
-    # new keys are locally strict-verified vs DuckDB at sf0.01 on the
-    # current generation.
-    "agg_moments", "agg_regression", "agg_bitmap_distinct",
-    "window_rolling_median", "window_attribution",
-    "join_interval_overlap", "sink_zorder", "scan_json_malformed",
-    "stream_watermark_late", "sim_search_pq", "dedup_incremental",
-    "quality_expectations", "udtf_token_spans",
-    "analytics_waiting_suppliers", "analytics_nation_volume",
-    "window_paths", "sink_pysource",
-    "profile_stats", "agg_cube", "sample_split", "window_anomaly",
-    "multimodal_dedup", "scan_partition_prune", "scan_pysource",
-    "text_domain_mix", "agg_hll_intersection", "pipeline_dataset_card",
-    "udf_arrow", "join_scd2", "stream_anomaly",
-    "dedup_embedding_lsh", "sink_compacted", "join_bloom",
-    "scan_schema_evolution", "agg_count_min", "text_dedup_spans",
-    "cluster_kmeans", "stream_count_min", "graph_pagerank",
-    "dedup_containment", "scan_text", "sample_bottomk",
-    "pipeline_collapse", "window_gap_fill", "window_ewma",
+    # (1) code or oracle CHANGED in round 5 — their r4 green rows
+    # prove nothing about the new code: sink_zorder's boundary-scalar
+    # sidecar; sink_pysource's append-merge commit; the clustering
+    # seed-stride degenerate guard; window_sessionize's widened
+    # (user_id << 32) id space (oracle changed identically).
+    "sink_zorder", "sink_pysource", "cluster_assign_incremental",
+    "window_sessionize",
+    # (2) NEW in round 5 — no driver row exists.
+    "latest_snapshot_catalog", "sort_keyset", "stream_transform_state",
+    # (3) the round-4 tail — registered and locally strict-verified
+    # in r4 but never driver-checked (fell past the ~50-key cap).
     "agg_argmax", "text_quality_model", "sink_partition_overwrite",
     "sample_temperature", "agg_ab_test", "profile_drift",
     "scan_xml", "json_variant", "agg_gini", "stream_stream_left_join",
     "analytics_customer_distribution", "analytics_important_parts",
-    "snapshot_as_of", "window_cusum", "stream_pipeline", "agg_mad", "pipeline_train_manifest",
-    "pipeline_media_ingest", "cluster_assign_incremental",
-    "window_sessionize", "window_daily_kpis",
+    "snapshot_as_of", "window_cusum", "stream_pipeline", "agg_mad",
+    "pipeline_train_manifest", "pipeline_media_ingest",
+    "window_daily_kpis",
     "scan_csv_gzip", "set_union_evolved", "join_null_safe",
     "sort_paginate", "agg_weighted_median",
-    # (3) last driver-green in ROUND 1 — two testdata generations ago
-    # (the driver regenerated /root/testdata before r3 AND again
-    # before r4); scan_binary additionally moved onto build_once
+    # (4) last driver-green in ROUND 1 — three testdata generations
+    # ago; their shared machinery (textkit, cachekit, fixtures
+    # locking) changed in r3/r4. The first ~19 fit the cap this
+    # round; the remainder + group (5) roll to round 6.
     "agg_count_filter", "filter_eq", "filter_compound",
     "project_lit", "project_expr",
     "agg_multi", "agg_distinct", "agg_rollup", "agg_grouping_sets",
@@ -106,10 +90,8 @@ _VERIFY_FIRST = [
     "doc_chunks",
     "scan_source", "scan_csv", "scan_json", "scan_orc", "scan_binary",
     "scan_catalog",
-    # (4) last driver-green in ROUND 2 (one stale generation),
-    # highest-traffic first; dedup_minhash additionally sits on the
-    # semantics-preserving _band_rows refactor (locally re-verified).
-    # Nothing below this line fits the cap in round 4; rolls to r5.
+    # (5) last driver-green in ROUND 2 (stale generation), highest
+    # traffic first. Rolls to round 6 under the cap.
     "dedup_minhash", "dedup_simhash", "sort_limit", "topk_per_group",
     "subquery_exists", "subquery_in", "subquery_scalar",
     "latest_snapshot", "sink_partitioned", "pipeline_pretrain",
@@ -120,10 +102,8 @@ _VERIFY_FIRST = [
     "agg_listagg", "agg_mode", "agg_approx_percentile",
     "text_token_count", "text_quality", "text_lang_id",
     "text_fingerprint", "text_tfidf", "text_pii_scrub",
-    # every key verified green in round 3 on ITS generation sorts last
-    # in dict order — their code is unchanged and the r4 local
-    # driver-replica harness re-verified all keys against DuckDB at
-    # sf0.01 on the current generation.
+    # keys green in rounds 3-4 on the current generation sort last in
+    # dict order — unchanged code, freshest driver evidence.
 ]
 
 

@@ -228,7 +228,7 @@ def _sql_assign_incremental() -> str:
     ), corpus AS (
         SELECT vec_id, q, {_SQL_INSQ.format(c='q')} AS nsq FROM q0
     ), p AS (
-        SELECT GREATEST(1, COUNT(*) // {K_CLUSTERS}) AS stride FROM corpus
+        SELECT GREATEST(2, COUNT(*) // {K_CLUSTERS}) AS stride FROM corpus
     ), cents0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1 AS INT)
                    AS cid, c.q AS c, c.nsq AS cn
@@ -278,7 +278,9 @@ def cluster_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # kind carries a build-code version: scratch keys hash inputs, not
     # code, so a changed build must bump the suffix or serve stale state
-    base_dir = scratch_dir("kmassign_v2", sf_dir, "embeddings")
+    # v3: seed-stride floor raised 1 → 2 (degenerate-guard); bump the
+    # kind so cached centroids from the v2 build code can't be served
+    base_dir = scratch_dir("kmassign_v3", sf_dir, "embeddings")
     cents_path = f"{base_dir}/centroids"
     emb = load_table(spark, sf_dir, "embeddings")
     is_inc = F.col("vec_id") % ASSIGN_MOD == 0
@@ -309,7 +311,12 @@ def cluster_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n = corpus.count()
-        stride = max(1, n // K_CLUSTERS)
+        # floor of 2, NOT 1: residue-1 selection degenerates at
+        # stride 1 (x % 1 == 1 is never true → zero seeds → an empty
+        # result that would vacuously match the equally-empty oracle
+        # on a corpus smaller than 2·K). The oracle applies the same
+        # GREATEST(2, …).
+        stride = max(2, n // K_CLUSTERS)
         # seeds: every stride-th TRAINING vector by rank (vec_id
         # strides don't work on the gapped split)
         from pyspark.sql import Window as W

@@ -409,19 +409,31 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Bucket scaling uses the table's min/max (one single-row aggregate
     collected driver-side — an orchestration scalar, same role as the
-    hypertable boundary watermark). The registered query answers a 2-D
-    box over the rewritten layout; the oracle answers it over the
+    hypertable boundary watermark), paid once per fixture build and
+    persisted in a sidecar so warm invocations read four constants
+    instead of re-scanning the table. The registered query answers a
+    2-D box over the rewritten layout; the oracle answers it over the
     source table, so the round trip must be lossless.
     """
-    base = scratch_dir("zorder", sf_dir, "orders")
+    # v2: boundary scalars moved inside build() + sidecar-persisted;
+    # pre-v2 fixture dirs lack bounds.json, so the kind must change
+    base = scratch_dir("zorder_v2", sf_dir, "orders")
     zdir = f"{base}/zorder"
+    bounds_path = f"{base}/bounds.json"
     o = load_table(spark, sf_dir, "orders")
     d_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-    c_lo, c_hi, d_lo, d_hi = o.agg(
-        F.min("o_custkey"), F.max("o_custkey"), F.min(d_us), F.max(d_us)
-    ).first()
 
     def build() -> None:
+        # bucket-scaling boundaries: one single-row aggregate, paid
+        # ONCE per fixture generation and persisted in a sidecar so
+        # warm calls never re-scan the table for four constants
+        c_lo, c_hi, d_lo, d_hi = o.agg(
+            F.min("o_custkey"), F.max("o_custkey"), F.min(d_us), F.max(d_us)
+        ).first()
+        import json as _json
+
+        with open(bounds_path, "w") as f:
+            _json.dump([c_lo, c_hi, d_lo, d_hi], f)
         bx = (
             (F.col("o_custkey") - c_lo) * 256 / (c_hi - c_lo + 1)
         ).cast("int")
@@ -436,6 +448,10 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     build_once(base, build)
+    import json as _json
+
+    with open(bounds_path) as f:
+        c_lo, c_hi, d_lo, d_hi = _json.load(f)
     box = (
         (F.col("o_custkey") >= (c_lo * 3 + c_hi) // 4)
         & (F.col("o_custkey") < (c_lo + c_hi) // 2)
@@ -490,7 +506,8 @@ def sink_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest_files,
     )
 
-    base = scratch_dir("pysink", sf_dir, "orders")
+    # v2: writer gained real append-merge commit semantics
+    base = scratch_dir("pysink_v2", sf_dir, "orders")
     path = f"{base}/orders_sink"
 
     def build() -> None:

@@ -227,7 +227,7 @@ LABEL_GAP_US = 30 * 60 * 1_000_000
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     )
     SELECT event_id, user_id,
-           CAST(user_id * 1000000 + SUM(is_new) OVER (
+           CAST(user_id * 4294967296 + SUM(is_new) OVER (
                PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS session_id
@@ -242,11 +242,13 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The textbook two-window chain on one shared (user, ts) spec: a
     new-session flag from LAG against the gap, then a running sum of
-    flags numbers the islands. Ids are (user, ordinal) composites —
-    globally unique, reproducible across runs and engines (event_id
-    tie-break), and assignable without any global coordination: each
-    user's partition labels itself. One exchange + sort serves both
-    windows.
+    flags numbers the islands. Ids are (user, ordinal) composites
+    packed as user_id << 32 | ordinal — globally unique for any user
+    with fewer than 2^32 sessions (and user_id < 2^31, or the high
+    bits overflow the BIGINT), reproducible across runs and engines
+    (event_id tie-break), and assignable without any global
+    coordination: each user's partition labels itself. One exchange +
+    sort serves both windows.
     """
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts_us").asc(), F.col("event_id").asc()
@@ -265,7 +267,8 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             (
-                F.col("user_id") * 1_000_000 + F.sum("is_new").over(wsum)
+                F.col("user_id") * F.lit(1 << 32).cast("long")
+                + F.sum("is_new").over(wsum)
             ).alias("session_id"),
         )
     )

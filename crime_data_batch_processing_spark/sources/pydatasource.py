@@ -198,8 +198,9 @@ class FileCommit(WriterCommitMessage):
 class ManifestParquetWriter(DataSourceArrowWriter):
     """Per-task Arrow->parquet writer; commit publishes the manifest."""
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, overwrite: bool) -> None:
         self.path = path
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import os
@@ -211,10 +212,11 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         batches = list(iterator)
         name = f"data-{uuid.uuid4().hex}.parquet"
         os.makedirs(self.path, exist_ok=True)
-        if batches:
-            table = pa.Table.from_batches(batches)
-        else:  # empty task still commits an (empty) file deterministically
+        if not batches:
+            # empty task writes NO file; its no-op commit message
+            # (empty filename) is filtered out at commit time
             return FileCommit("", 0)
+        table = pa.Table.from_batches(batches)
         pq.write_table(table, os.path.join(self.path, name))
         return FileCommit(name, table.num_rows)
 
@@ -225,12 +227,22 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         files = sorted(
             m.filename for m in messages if m is not None and m.filename
         )
-        tmp = os.path.join(self.path, "_manifest.json.tmp")
+        manifest = os.path.join(self.path, "_manifest.json")
+        if not self.overwrite and os.path.exists(manifest):
+            # append merges the prior committed list — a wholesale
+            # rewrite would silently un-publish earlier writes
+            with open(manifest) as f:
+                prior = json.load(f)["files"]
+            files = sorted(set(prior) | set(files))
+        tmp = manifest + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"files": files}, f)
         # atomic publish: readers either see the old manifest or the
-        # new one, never a half-written file list
-        os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+        # new one, never a half-written file list. On overwrite the
+        # previous generation's data files become unreferenced (and
+        # invisible to manifest_files) rather than being deleted —
+        # the table-format convention (vacuum is a separate concern).
+        os.replace(tmp, manifest)
 
     def abort(self, messages) -> None:
         import os
@@ -251,7 +263,7 @@ class ManifestParquetSink(DataSource):
         return "manifest_parquet"
 
     def writer(self, schema, overwrite: bool):
-        return ManifestParquetWriter(self.options["path"])
+        return ManifestParquetWriter(self.options["path"], overwrite)
 
 
 def manifest_files(path: str) -> list[str]:

@@ -3,8 +3,8 @@
 This is the engine's sqllogictest (SURVEY.md §5.2): each `queries()`
 entry with an oracle is executed by both engines on the same sf0.001
 parquet and compared (count + columns + order-insensitive values).
-Queries without an oracle get a rows-run smoke check here; their
-semantic checks live in dedicated test modules.
+Every registered query MUST carry an oracle — asserted below — so the
+rows-only fallback path is intentionally untestable here.
 """
 
 from __future__ import annotations
@@ -18,7 +18,6 @@ registry.load_all_operators()
 from tests.oracle_harness import compare, duck_connection  # noqa: E402
 
 ORACLE_KEYS = sorted(registry.ORACLES)
-ROWS_ONLY_KEYS = sorted(set(registry.QUERIES) - set(registry.ORACLES))
 
 
 @pytest.fixture(scope="module")
@@ -44,10 +43,15 @@ def test_query_matches_oracle(spark, sf_dir, duck, key):
     compare(df, duck, registry.ORACLES[key])
 
 
-@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
-def test_rows_only_query_runs(spark, sf_dir, key):
-    df = registry.QUERIES[key](spark, sf_dir)
-    assert df.count() >= 0
+def test_every_query_carries_an_oracle():
+    """100% strict-oracle coverage is a deliberate invariant: a future
+    key registered without DuckDB SQL would silently fall to the
+    driver's weaker rows-only check. Fail loudly instead; if a
+    genuinely non-SQL-expressible key ever lands, allowlist it here
+    with a comment explaining why no oracle can exist."""
+    assert set(registry.QUERIES) == set(registry.ORACLES), (
+        f"oracle-less keys: {sorted(set(registry.QUERIES) - set(registry.ORACLES))}"
+    )
 
 
 def test_entry_smoke(spark):

@@ -58,3 +58,45 @@ def test_unsupported_filters_returned_to_spark(tmp_path):
     residual = list(r.pushFilters([unsupported, EqualTo(("lang",), "fr")]))
     assert residual == [unsupported]
     assert len(r.partitions()) == 4  # string stats keep all groups
+
+
+def _write_one(writer, n: int):
+    table = pa.table({"x": list(range(n))})
+    return writer.write(iter(table.to_batches()))
+
+
+def test_sink_append_merges_prior_manifest(tmp_path):
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        FileCommit,
+        ManifestParquetWriter,
+        manifest_files,
+    )
+
+    path = str(tmp_path / "sink")
+    w1 = ManifestParquetWriter(path, overwrite=False)
+    w1.commit([_write_one(w1, 3)])
+    assert len(manifest_files(path)) == 1
+
+    # second APPEND write must keep the first write's file visible
+    w2 = ManifestParquetWriter(path, overwrite=False)
+    w2.commit([_write_one(w2, 2), FileCommit("", 0)])  # + empty task
+    assert len(manifest_files(path)) == 2
+
+    # OVERWRITE replaces the manifest wholesale
+    w3 = ManifestParquetWriter(path, overwrite=True)
+    w3.commit([_write_one(w3, 1)])
+    assert len(manifest_files(path)) == 1
+
+
+def test_sink_empty_task_writes_no_file(tmp_path):
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+    )
+
+    path = str(tmp_path / "sink2")
+    w = ManifestParquetWriter(path, overwrite=False)
+    msg = w.write(iter([]))
+    assert msg.filename == "" and msg.n_rows == 0
+    import os
+
+    assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
