@@ -149,6 +149,91 @@ def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "latest_snapshot_catalog",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def latest_snapshot_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 in the reference's OWN idiom: an unpartitioned catalog table
+    whose LOCATION is repointed at the newest snapshot directory each
+    run (`CREATE TABLE … USING PARQUET LOCATION` when absent, `ALTER
+    TABLE … SET LOCATION` when present —
+    spark_ingest_script.py:97-105, spark_process_script.py:74-82) —
+    the compat mode for a user migrating off the reference's two-table
+    protocol. `latest_snapshot` is the recommended replacement
+    (partition-pruned predicate read, no mutable DDL); this key proves
+    the metastore form works verbatim on the local catalog.
+
+    One call replays the full two-run lifecycle so BOTH branches of
+    the reference's tableExists() check execute: drop → CREATE
+    pointing at a STALE day-1 snapshot ('F'-status subset) → ALTER
+    SET LOCATION to the full day-2 snapshot → REFRESH TABLE (Spark
+    caches the file listing per table; the reference gets this for
+    free only because each run is a fresh session). The aggregate is
+    read through `spark.table`, so if the repoint or refresh failed
+    the stale subset would hash-mismatch the full-table oracle.
+
+    Scale note: the repoint is one metastore call, O(1) in data size —
+    but it is a single global pointer flip, racy under concurrent
+    readers mid-query (the reason SURVEY.md §1.4 prefers the
+    partition-pruned idiom). Snapshot writes themselves are
+    build_once-cached per testdata generation.
+    """
+    base = scratch_dir("snapcat", sf_dir, "orders")
+    snap = f"{base}/orders"
+    paths: dict[str, str] = {}
+
+    def build() -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        write_snapshot(
+            orders.filter(F.col("o_orderstatus") == "F"), snap, "2026-08-12"
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            stamp_partitions(orders, "2026-08-13").write.mode(
+                "overwrite"
+            ).partitionBy("y", "m", "d").parquet(snap)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    build_once(base, build)
+    paths["stale"] = f"{snap}/y=2026/m=8/d=12"
+    paths["latest"] = f"{snap}/y=2026/m=8/d=13"
+
+    sf_tag = "".join(
+        c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/"))
+    )
+    tbl = f"cdbp_catalog.orders_latest_{sf_tag}"
+    spark.sql("CREATE DATABASE IF NOT EXISTS cdbp_catalog")
+    # deterministic replay: reset, then CREATE (absent branch) against
+    # the stale day, then ALTER (present branch) to the latest day
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    assert not spark.catalog.tableExists(tbl)
+    spark.sql(f"CREATE TABLE {tbl} USING PARQUET LOCATION '{paths['stale']}'")
+    assert spark.catalog.tableExists(tbl)
+    spark.sql(f"ALTER TABLE {tbl} SET LOCATION '{paths['latest']}'")
+    spark.sql(f"REFRESH TABLE {tbl}")
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
 #: Compaction geometry: the sink is deliberately over-fragmented into
 #: FRAGMENT_FILES splits, then rewritten into ceil(bytes/TARGET) files.
 #: 4 MiB keeps the testdata round trip to 1-2 output files; production

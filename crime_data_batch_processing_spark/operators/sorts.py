@@ -118,3 +118,68 @@ def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(PAGE_NUMBER * PAGE_SIZE)
         .limit(PAGE_SIZE)
     )
+
+
+@query(
+    "sort_keyset",
+    oracle=f"""
+    WITH b AS (
+        SELECT o_totalprice AS bp, o_orderkey AS bk
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 1 OFFSET {(PAGE_NUMBER + 1) * PAGE_SIZE - 1}
+    )
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders, b
+    WHERE o_totalprice < bp
+       OR (o_totalprice = bp AND o_orderkey > bk)
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT {PAGE_SIZE}
+    """,
+)
+def sort_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) continuation: the DEPTH-INDEPENDENT page
+    form `sort_paginate`'s docstring defers to — page N+1 is "the
+    first PAGE_SIZE rows strictly beyond the last row the client saw",
+    not "skip N·PAGE_SIZE rows".
+
+    The client's cursor is the last-seen (price, key) tuple; here it
+    is fetched once as an orchestration scalar (the last row of
+    `sort_paginate`'s page, itself a TakeOrderedAndProject — in
+    production the client sends these two literals back, so no server
+    state survives between pages). The page query is then a LITERAL
+    compound predicate + top-k: the Or((price<bp),(price=bp AND
+    key>bk)) filter reaches the parquet scan as a pushed filter
+    (row-group stats skip everything above the cursor), and the limit
+    plans TakeOrderedAndProject — per-partition top-20 heaps, no
+    offset scan, no global sort. Cost is O(scan beyond cursor) + O(k)
+    memory at ANY depth: page 5 000 000 costs the same as page 4,
+    which is exactly the property OFFSET pagination lacks. The strict
+    (DESC, ASC) total order makes the continuation gapless and
+    duplicate-free across page boundaries even when price ties
+    straddle them.
+
+    Verified against the offset form: the oracle derives the same
+    cursor with LIMIT 1 OFFSET 79, so this page must equal the
+    offset-built page [80, 100) row-for-row.
+    """
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    # the "client cursor": last row of the previous page (row 80 of
+    # the total order). One driver-side row, top-k-shaped fetch.
+    cursor = (
+        src.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit((PAGE_NUMBER + 1) * PAGE_SIZE)
+        .tail(1)[0]
+    )
+    bp, bk = cursor["o_totalprice"], cursor["o_orderkey"]
+    beyond = (F.col("o_totalprice") < F.lit(bp)) | (
+        (F.col("o_totalprice") == F.lit(bp))
+        & (F.col("o_orderkey") > F.lit(bk))
+    )
+    return (
+        src.where(beyond)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(PAGE_SIZE)
+    )

@@ -1097,3 +1097,205 @@ def stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
     return _run_bounded(agg, "cdbp_stream_pipeline", "complete")
+
+
+def _transform_state_available() -> bool:
+    """transformWithStateInPandas needs the python protobuf package
+    for its driver<->state-server protocol; probe it so the operator
+    can fall back instead of crashing the streaming runner."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_record_fold():
+    """Factory for the shared record-tracking fold: one user's
+    micro-batch rows → updated (max_value, n_events, n_records) state.
+
+    Returned as a NESTED function (not module-level) so cloudpickle
+    ships it BY VALUE inside the streaming UDF — a module-level
+    function pickles by reference and requires this package on worker
+    PYTHONPATH, which the driver contract does not guarantee (the
+    same rule streaming/stateful.py documents).
+
+    Rows are sorted by (ts_us, event_id) — chunk arrival order within
+    a batch is not deterministic; the sort is what makes the fold
+    replayable — then folded vectorized (numpy running max, no
+    per-row Python loop): an event is a "record" iff its value
+    strictly exceeds every earlier value of that user, seeded from
+    state so the property holds across micro-batches."""
+
+    def fold(prev, pdfs):
+        import numpy as np
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        )
+        seed = -np.inf if prev is None else prev[0]
+        vals = batch["value"].to_numpy()
+        running = np.maximum.accumulate(vals)
+        prior = np.concatenate(([seed], np.maximum(running[:-1], seed)))
+        n_new = int((vals > prior).sum())
+        n_events = len(vals) + (0 if prev is None else prev[1])
+        n_records = n_new + (0 if prev is None else prev[2])
+        return float(max(seed, running[-1])), n_events, n_records
+
+    return fold
+
+
+def _record_tracker_cls():
+    """Build the StatefulProcessor subclass lazily: the
+    transformWithState API landed in Spark 4.0, and importing it at
+    module load would break the whole registry on an older runtime."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    fold = _make_record_fold()
+
+    class RecordTracker(StatefulProcessor):
+        """Per-user running high-watermark with record counting:
+        one fixed-width ValueState row per user."""
+
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "agg", "max_value double, n_events bigint, n_records bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prev = self._state.get() if self._state.exists() else None
+            max_value, n_events, n_records = fold(prev, rows)
+            self._state.update((max_value, n_events, n_records))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "n_records": [n_records],
+                    "max_value": [max_value],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RecordTracker
+
+
+@query(
+    "stream_transform_state",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, value,
+               MAX(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN prev_max IS NULL OR value > prev_max
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+           MAX(value) AS max_value
+    FROM o
+    GROUP BY user_id
+    """,
+)
+def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via `transformWithStateInPandas`
+    (Spark 4's successor to `applyInPandasWithState`): a custom
+    per-user StatefulProcessor tracking the value high-watermark and
+    counting RECORD events (strictly exceeding all prior values) — a
+    fold no built-in streaming aggregate expresses, because each
+    event's contribution depends on the running extremum at its
+    position in event-time order.
+
+    The processor holds one fixed-width ValueState row per user —
+    bounded state, no timeline retained — and its Arrow-batched fold
+    is numpy-vectorized (sort + running max, shared `_fold_records`),
+    never per-row Python. The batch oracle is the same fold as a
+    window scan: value > MAX(value) OVER (... ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING).
+
+    API selection at runtime: transformWithStateInPandas needs the
+    python protobuf package for its state-server protocol (and the
+    RocksDB state store, set for the run and restored). Where
+    protobuf is absent — as in this container — the SAME fold runs
+    through `applyInPandasWithState`'s GroupState, so the key stays
+    green on both runtimes and the two APIs are proven semantically
+    interchangeable against one oracle.
+
+    Update-mode emissions are cumulative snapshots (one per key per
+    micro-batch), so the memory-sink table is reduced to each user's
+    final state with a max-struct fold keyed on n_events — making the
+    result independent of how AvailableNow chose to batch the files.
+    """
+    events = streaming_events(
+        spark, _stream_src(sf_dir), max_files_per_trigger=None
+    ).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    out_schema = (
+        "user_id bigint, n_events bigint, n_records bigint, max_value double"
+    )
+    if _transform_state_available():
+        tracked = events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_record_tracker_cls()(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            out = _run_bounded(tracked, "cdbp_stream_tws", "update")
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+    else:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        fold = _make_record_fold()
+
+        def _track(key, pdfs, state):
+            import pandas as pd
+
+            prev = state.get if state.exists else None
+            max_value, n_events, n_records = fold(prev, pdfs)
+            state.update((max_value, n_events, n_records))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "n_records": [n_records],
+                    "max_value": [max_value],
+                }
+            )
+
+        tracked = events.groupBy("user_id").applyInPandasWithState(
+            _track,
+            outputStructType=out_schema,
+            stateStructType=(
+                "max_value double, n_events bigint, n_records bigint"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        out = _run_bounded(tracked, "cdbp_stream_tws", "update")
+    return (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_records", "max_value")).alias("m"))
+        .select("user_id", "m.n_events", "m.n_records", "m.max_value")
+    )

@@ -697,3 +697,19 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         finally:
             cachekit.release_all()
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_sort_keyset_is_pushed_filter_plus_top_k(spark, sf_dir):
+    """Keyset pagination's scale claim: the cursor predicate reaches
+    the parquet scan (row-group stats skip everything above the
+    cursor) and the page is a TakeOrderedAndProject — no OFFSET scan,
+    no global sort, depth-independent cost."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    df = registry.QUERIES["sort_keyset"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert has_pushed_filters(df), (
+        "the compound keyset predicate must reach the scan"
+    )
+    assert "GlobalLimit" not in plan or "Offset" not in plan, plan
