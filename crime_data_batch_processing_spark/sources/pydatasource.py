@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -274,3 +275,82 @@ def manifest_files(path: str) -> list[str]:
 
     with open(os.path.join(path, "_manifest.json")) as f:
         return [os.path.join(path, n) for n in json.load(f)["files"]]
+
+
+# ---------------------------------------------------------------------------
+# Streaming half of the extension point: a Python streaming SOURCE with
+# offset management — the protocol a Kafka-shaped connector implements.
+# `scan_pysource` covers batch read, `sink_pysource` batch write; this
+# completes the family. SimpleDataSourceStreamReader is the driver-side
+# simple API (read() returns rows + the next offset; readBetweenOffsets
+# replays a committed range after restart — exactly-once comes from
+# offsets being durable in the checkpoint, not from the source). At
+# scale the partition-based DataSourceStreamReader variant distributes
+# chunk reads across executors; the offset protocol is identical.
+# ---------------------------------------------------------------------------
+
+
+class ChunkedParquetStreamReader(SimpleDataSourceStreamReader):
+    """Serve a parquet file as CHUNKS offset-ranged micro-batches.
+
+    Offsets are row positions ({"row": n}); each read() advances one
+    chunk. A caught-up stream returns an empty iterator with an
+    unchanged offset, which is how processAllAvailable() knows to
+    stop triggering."""
+
+    CHUNKS = 4
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._total = None
+
+    def _meta(self):
+        import math
+
+        import pyarrow.parquet as pq
+
+        if self._total is None:
+            self._total = pq.read_metadata(self.path).num_rows
+        return self._total, math.ceil(self._total / self.CHUNKS)
+
+    def _slice(self, lo: int, hi: int):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(
+            self.path, columns=["event_id", "event_type", "value"]
+        ).slice(lo, hi - lo)
+        return iter(
+            zip(
+                table.column("event_id").to_pylist(),
+                table.column("event_type").to_pylist(),
+                table.column("value").to_pylist(),
+            )
+        )
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def read(self, start):
+        total, step = self._meta()
+        lo = start["row"]
+        if lo >= total:
+            return iter([]), start
+        hi = min(lo + step, total)
+        return self._slice(lo, hi), {"row": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return self._slice(start["row"], end["row"])
+
+
+class ChunkedParquetStreamSource(DataSource):
+    """`readStream.format("chunked_events")` — registered per-session."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "chunked_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, event_type string, value double"
+
+    def simpleStreamReader(self, schema):
+        return ChunkedParquetStreamReader(self.options["path"])

@@ -1299,3 +1299,73 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct("n_events", "n_records", "max_value")).alias("m"))
         .select("user_id", "m.n_events", "m.n_records", "m.max_value")
     )
+
+
+@query(
+    "stream_pysource",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom streaming SOURCE through the Python Data Source API —
+    the third leg of the extension-point family (`scan_pysource`
+    batch read, `sink_pysource` batch write): a connector that owns
+    its OWN offset protocol, the contract a Kafka-shaped source
+    implements.
+
+    The source serves the events table as offset-ranged micro-chunks
+    ({"row": n} offsets, 4 chunks); each micro-batch advances one
+    chunk, a caught-up read() returns an unchanged offset, and
+    readBetweenOffsets replays any committed range after restart —
+    exactly-once derives from offsets living in the checkpoint, not
+    from source goodwill. Run with the default micro-batch trigger +
+    processAllAvailable() so ALL chunks drain (AvailableNow falls
+    back to single-batch for simple stream readers and would stop
+    after chunk 1 — trap worth encoding). The aggregate downstream is
+    the usual per-type count + exact sum, so the oracle proves no
+    chunk was lost or double-counted across the 4 batches.
+
+    SimpleDataSourceStreamReader reads on the driver — right for
+    control-plane-sized streams and for demonstrating the protocol;
+    the partition-based DataSourceStreamReader distributes range
+    reads across executors with the same offset contract
+    (documented in sources/pydatasource.py).
+    """
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        ChunkedParquetStreamSource,
+    )
+
+    spark.dataSource.register(ChunkedParquetStreamSource)
+    src = (
+        spark.readStream.format("chunked_events")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    name = "cdbp_stream_pysource"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    ckpt = _scratch_ckpt()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
