@@ -64,7 +64,7 @@ _VERIFY_FIRST = [
     "window_sessionize",
     # (2) NEW in round 5 — no driver row exists.
     "latest_snapshot_catalog", "sort_keyset", "stream_transform_state",
-    "stream_pysource",
+    "stream_pysource", "join_dpp",
     # (3) the round-4 tail — registered and locally strict-verified
     # in r4 but never driver-checked (fell past the ~50-key cap).
     "agg_argmax", "text_quality_model", "sink_partition_overwrite",

@@ -675,3 +675,57 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("total").cast("double"))
         ).alias("gini"),
     )
+
+
+@query(
+    "join_dpp",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) % 2 = 1
+    GROUP BY 1
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a DIM-side filter prunes FACT
+    partitions at RUNTIME — the join-driven sibling of
+    `scan_partition_prune`'s static pruning, and the optimization
+    that makes star-schema queries feasible on a 100 TB partitioned
+    fact table (only partitions whose keys survive the dimension
+    filter are ever listed/read; the rest of the table costs
+    nothing).
+
+    The fact is the shared year-partitioned orders layout; the dim is
+    a small calendar table whose selective predicate (odd years) says
+    nothing about the partition column UNTIL the join resolves it.
+    Catalyst inserts a DynamicPruningExpression on the fact scan's
+    PartitionFilters, fed by the reused broadcast of the filtered dim
+    (plan-asserted in tests/test_plans.py) — no static predicate on
+    o_year exists anywhere in the query. The oracle computes the same
+    aggregate from the unpartitioned source with the year-parity
+    predicate applied directly.
+    """
+    from crime_data_batch_processing_spark.operators.scans import (
+        orders_by_year_dir,
+    )
+
+    fact = spark.read.parquet(orders_by_year_dir(spark, sf_dir))
+    # a calendar dim deliberately WIDER than the fact's year span
+    # (as production calendars are) — coverage, not data knowledge
+    dim = spark.createDataFrame(
+        [(y, "odd" if y % 2 else "even") for y in range(1990, 2011)],
+        "d_year long, parity string",
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.where(F.col("parity") == "odd")),
+            fact["o_year"] == F.col("d_year"),
+        )
+        .groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )

@@ -375,6 +375,27 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRUNE_YEAR = 1995
 
 
+def orders_by_year_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per generation) and return the year-partitioned
+    orders layout — shared by the static (`scan_partition_prune`) and
+    dynamic (`join_dpp`) pruning demonstrations."""
+    base = scratch_dir("prune", sf_dir, "orders")
+    data_dir = f"{base}/orders_by_year"
+
+    def _build() -> None:
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate").cast("long"))
+            .repartition("o_year")
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(data_dir)
+        )
+
+    build_once(base, _build)
+    return data_dir
+
+
 @query(
     "scan_partition_prune",
     oracle=f"""
@@ -404,22 +425,8 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     any row the pruned read loses or misattributes is a hash
     mismatch.
     """
-    base = scratch_dir("prune", sf_dir, "orders")
-    data_dir = f"{base}/orders_by_year"
-
-    def _build() -> None:
-        (
-            load_table(spark, sf_dir, "orders")
-            .withColumn("o_year", F.year("o_orderdate").cast("long"))
-            .repartition("o_year")
-            .write.mode("overwrite")
-            .partitionBy("o_year")
-            .parquet(data_dir)
-        )
-
-    build_once(base, _build)
     return (
-        spark.read.parquet(data_dir)
+        spark.read.parquet(orders_by_year_dir(spark, sf_dir))
         .filter(F.col("o_year") == PRUNE_YEAR)
         .groupBy(F.month("o_orderdate").cast("long").alias("o_month"))
         .agg(

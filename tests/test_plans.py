@@ -713,3 +713,15 @@ def test_sort_keyset_is_pushed_filter_plus_top_k(spark, sf_dir):
         "the compound keyset predicate must reach the scan"
     )
     assert "GlobalLimit" not in plan or "Offset" not in plan, plan
+
+
+def test_join_dpp_prunes_partitions_dynamically(spark, sf_dir):
+    """Dynamic partition pruning must fire: the fact scan's
+    PartitionFilters carry a dynamicpruning expression fed by the
+    dim broadcast — no static o_year predicate exists in the query,
+    so without DPP every partition would be read."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    df = registry.QUERIES["join_dpp"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
