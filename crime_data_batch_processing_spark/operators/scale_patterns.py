@@ -713,9 +713,12 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fact = spark.read.parquet(orders_by_year_dir(spark, sf_dir))
     # a calendar dim deliberately WIDER than the fact's year span
-    # (as production calendars are) — coverage, not data knowledge
+    # (as production calendars are) — coverage, not data knowledge;
+    # spans 1970-2040 so a regenerated testdata year range can never
+    # silently fall outside the dim (which would drop years the
+    # oracle keeps)
     dim = spark.createDataFrame(
-        [(y, "odd" if y % 2 else "even") for y in range(1990, 2011)],
+        [(y, "odd" if y % 2 else "even") for y in range(1970, 2041)],
         "d_year long, parity string",
     )
     return (

@@ -322,3 +322,44 @@ class TestRound4Algebra:
         }
         for x, y in pairs:
             assert got[(x, y)] == ref(x, y), (x, y)
+
+
+class TestKeysetPagination:
+    """Keyset continuation must reproduce offset pagination at EVERY
+    depth — the invariant that makes the cursor form a drop-in for
+    the offset form. Exercised on a deliberately tie-heavy frame so
+    page boundaries fall inside runs of equal sort keys."""
+
+    def test_keyset_pages_equal_offset_pages(self, spark):
+        from pyspark.sql import functions as F
+
+        # 100 rows, only 7 distinct prices → ~14-row tie runs; the
+        # unique id tie-break is what keeps pages stable
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("price")
+        )
+        order = [F.col("price").desc(), F.col("k").asc()]
+        page_size = 10
+        for page in range(1, 9):
+            offset_page = [
+                (r["k"], r["price"])
+                for r in df.orderBy(*order)
+                .offset(page * page_size)
+                .limit(page_size)
+                .collect()
+            ]
+            cursor = (
+                df.orderBy(*order).limit(page * page_size).tail(1)[0]
+            )
+            beyond = (F.col("price") < cursor["price"]) | (
+                (F.col("price") == cursor["price"])
+                & (F.col("k") > cursor["k"])
+            )
+            keyset_page = [
+                (r["k"], r["price"])
+                for r in df.where(beyond)
+                .orderBy(*order)
+                .limit(page_size)
+                .collect()
+            ]
+            assert keyset_page == offset_page, f"page {page} diverged"
