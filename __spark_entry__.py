@@ -55,13 +55,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # machinery has been touched since).  Keys verified green in round 2 at
 # unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
-    # (1) code or oracle CHANGED in round 5 — their r4 green rows
+    # (1) code or oracle CHANGED in round 5 — their prior green rows
     # prove nothing about the new code: sink_zorder's boundary-scalar
     # sidecar; sink_pysource's append-merge commit; the clustering
     # seed-stride degenerate guard; window_sessionize's widened
-    # (user_id << 32) id space (oracle changed identically).
+    # (user_id << 32) id space (oracle changed identically);
+    # text_tfidf's glibc idf log-table (the JVM/libm 1-ULP drift
+    # surfaced at sf0.1 and was removed from the value chain).
     "sink_zorder", "sink_pysource", "cluster_assign_incremental",
-    "window_sessionize",
+    "window_sessionize", "text_tfidf",
     # (2) NEW in round 5 — no driver row exists.
     "latest_snapshot_catalog", "sort_keyset", "stream_transform_state",
     "stream_pysource", "join_dpp",
@@ -102,7 +104,7 @@ _VERIFY_FIRST = [
     "array_explode", "array_funcs",
     "agg_listagg", "agg_mode", "agg_approx_percentile",
     "text_token_count", "text_quality", "text_lang_id",
-    "text_fingerprint", "text_tfidf", "text_pii_scrub",
+    "text_fingerprint", "text_pii_scrub",
     # keys green in rounds 3-4 on the current generation sort last in
     # dict order — unchanged code, freshest driver evidence.
 ]

@@ -275,6 +275,13 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+#: Cap on the distinct-df idf lookup (overflow asserts rather than
+#: silently truncating). Distinct df VALUES are bounded by the number
+#: of distinct term-frequency counts — O(10^2-10^5) even at corpus
+#: scale, never vocabulary-sized.
+IDF_TABLE_CAP = 100_000
+
+
 @query(
     "text_tfidf",
     oracle="""
@@ -294,36 +301,62 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed tf-idf for every (document, token) pair.
 
-    idf = ln((N+1)/(df+1)) + 1 (sklearn's smoothing — never
-    divides by zero, never negative). `ln` of a rational of integers
-    is computed from identical doubles on both engines, and libm/JVM
-    agree on these arguments (verified empirically by the oracle
-    gate).
+    idf = ln((N+1)/(df+1)) + 1 (sklearn's smoothing — never divides
+    by zero, never negative).
+
+    Bit-exactness design (revised in round 5): the JVM's Math.log and
+    glibc's log disagree by 1 ULP on some arguments — invisible at
+    sf0.01, surfaced at sf0.1 (df=3847, N=5000 → Spark
+    …99194 vs DuckDB …992). Rounding can't close a ULP gap safely
+    (a boundary-straddling value flips), so the JVM is removed from
+    the value chain instead: idf is PRECOMPUTED in Python (glibc —
+    the same libm DuckDB calls) over the distinct OBSERVED df values
+    and broadcast-joined. That's the classic log-table technique, and
+    it is scale-sane: distinct df values number in the hundreds here
+    (capped + overflow-asserted at {IDF_TABLE_CAP}), so the collect
+    is a bounded metadata-sized scalar fetch, same class as
+    `scan_zone_map`'s capped manifest. tf × idf is then one IEEE
+    multiply of identical doubles on both engines.
 
     Scale shape: explode → two hash aggregates (doc-term, then term)
-    → one broadcast join back. The document-frequency table is
-    vocabulary-sized — tiny relative to the corpus — so it is
-    explicitly broadcast; N is a scalar literal-ish cross join.
+    → broadcast df join → broadcast idf-table join. The document-
+    frequency table is vocabulary-sized — tiny relative to the
+    corpus — so it is explicitly broadcast.
     """
+    import math
+
+    from crime_data_batch_processing_spark import cachekit
+
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar; one job over parquet row-group stats
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     counts = terms.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = counts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # persisted: the df table feeds BOTH the distinct-df scalar fetch
+    # and the final broadcast join — without the cache the whole
+    # explode→aggregate chain would run twice
+    df = cachekit.track(
+        counts.groupBy("token").agg(F.count(F.lit(1)).alias("df")).persist()
+    )
+    df_values = [
+        r[0] for r in df.select("df").distinct().limit(IDF_TABLE_CAP + 1).collect()
+    ]
+    assert len(df_values) <= IDF_TABLE_CAP, "idf table cap overflow"
+    idf_table = spark.createDataFrame(
+        [
+            (d, math.log((n_docs + 1.0) / (d + 1.0)) + 1.0)
+            for d in df_values
+        ],
+        "df bigint, idf double",
+    )
     return (
         counts.join(F.broadcast(df), "token")
+        .join(F.broadcast(idf_table), "df")
         .select(
             "doc_id",
             "token",
             "tf",
             "df",
-            (
-                F.col("tf")
-                * (
-                    F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
-                    + F.lit(1.0)
-                )
-            ).alias("tfidf"),
+            (F.col("tf") * F.col("idf")).alias("tfidf"),
         )
     )
 
