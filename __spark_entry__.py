@@ -105,6 +105,10 @@ _VERIFY_FIRST = [
     "agg_listagg", "agg_mode", "agg_approx_percentile",
     "text_token_count", "text_quality", "text_lang_id",
     "text_fingerprint", "text_pii_scrub",
+    # (6) new in round 5 but past this round's cap by design (the
+    # r1-stale re-checks above outrank a brand-new key's first row);
+    # round 6 must front-load it with the other never-checked keys.
+    "scan_csv_malformed",
     # keys green in rounds 3-4 on the current generation sort last in
     # dict order — unchanged code, freshest driver evidence.
 ]

@@ -578,6 +578,92 @@ def scan_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_csv_malformed",
+    oracle=f"""
+    SELECT n_nationkey, n_name, n_regionkey, FALSE AS corrupt FROM nation
+    UNION ALL
+    SELECT NULL, 'truncat', NULL, TRUE
+    FROM nation WHERE n_nationkey % {_MALFORMED_MOD} = {_MALFORMED_REM}
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, TRUE
+    FROM nation WHERE n_nationkey % {_MALFORMED_MOD} = {_MALFORMED_REM + 1}
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE corrupt-record CSV ingestion — the CSV sibling of
+    `scan_json_malformed`, exercising BOTH corruption classes CSV
+    actually produces: a type-garbage field (unparseable int → that
+    field nulls, the rest of the row still parses) and an extra
+    column (row parses fully but is still FLAGGED malformed).
+
+    The second class is the subtle one: PERMISSIVE keeps the parsed
+    values AND routes the raw line into `columnNameOfCorruptRecord`,
+    so schema-drift rows (an upstream added a column) are quantifiable
+    without being dropped — at 100 TB that flag's rate is the alarm
+    that catches a silent producer change. Map-only, no shuffle, one
+    pass; the declared schema (no inference read) carries the corrupt
+    column as its last string field, per the CSV source contract.
+    """
+    cdir = f"{scratch_dir('csv_malformed', sf_dir, 'nation')}/lines"
+
+    def _build() -> None:
+        n = load_table(spark, sf_dir, "nation")
+        good = n.select(
+            F.concat_ws(
+                ",",
+                F.col("n_nationkey").cast("string"),
+                "n_name",
+                F.col("n_regionkey").cast("string"),
+            ).alias("value")
+        )
+        bad_type = n.where(
+            F.col("n_nationkey") % _MALFORMED_MOD == _MALFORMED_REM
+        ).select(
+            F.concat(
+                F.lit("X"),
+                F.col("n_nationkey").cast("string"),
+                F.lit(",truncat"),
+            ).alias("value")
+        )
+        extra_col = n.where(
+            F.col("n_nationkey") % _MALFORMED_MOD == _MALFORMED_REM + 1
+        ).select(
+            F.concat_ws(
+                ",",
+                F.col("n_nationkey").cast("string"),
+                "n_name",
+                F.col("n_regionkey").cast("string"),
+                F.lit("EXTRA"),
+            ).alias("value")
+        )
+        good.unionByName(bad_type).unionByName(extra_col).coalesce(
+            1
+        ).write.mode("overwrite").text(cdir)
+
+    build_once(os.path.dirname(cdir), _build)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("corrupt_raw", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_raw")
+        .csv(cdir)
+    )
+    return df.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.col("corrupt_raw").isNotNull().alias("corrupt"),
+    )
+
+
+@query(
     "scan_xml",
     oracle="SELECT * FROM nation",
 )
