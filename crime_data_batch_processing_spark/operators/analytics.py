@@ -497,9 +497,17 @@ def analytics_customer_distribution(
 
 
 #: Q11 adaptation (no partsupp table in the testdata): a part is
-#: "important" when its revenue exceeds IMPORTANT_PPM parts-per-million
-#: of total revenue.
-IMPORTANT_PPM = 200
+#: "important" when its revenue exceeds IMPORTANT_AVG_MULT times the
+#: AVERAGE part revenue. Q11's spec threshold (FRACTION of the total)
+#: is deliberately SF-divided in TPC-H because a fixed fraction goes
+#: vacuous as the part count grows — exactly what round 5's sf0.1
+#: sweep caught with the previous fixed-ppm form (0 rows at sf0.1,
+#: vacuously matching an equally-empty oracle). A multiple of the
+#: average is the scale-invariant statement of "above-average
+#: concentration": non-empty at every test SF (2 / 29 / 252 rows).
+#: 1.5 is a dyadic rational — exactly representable, IEEE-identical
+#: threshold arithmetic in both engines.
+IMPORTANT_AVG_MULT = 1.5
 
 
 @query(
@@ -510,34 +518,43 @@ IMPORTANT_PPM = 200
                {sql_dsum(_REVENUE)} AS revenue
         FROM lineitem GROUP BY l_partkey
     ), total AS (
-        SELECT {sql_dsum(_REVENUE)} AS trev FROM lineitem
+        SELECT {sql_dsum('revenue')} AS trev,
+               CAST(COUNT(*) AS BIGINT) AS np
+        FROM per_part
     )
     SELECT p.l_partkey, p.revenue
     FROM per_part p, total t
-    WHERE p.revenue > t.trev * ({IMPORTANT_PPM} / 1000000.0)
+    WHERE p.revenue * t.np > t.trev * {IMPORTANT_AVG_MULT}
     """,
 )
 def analytics_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: groups kept only if they exceed a fraction of
-    a GLOBAL aggregate — the HAVING-against-scalar-subquery pattern.
+    """TPC-H Q11 shape: groups kept only if they exceed a multiple of
+    the global average — the HAVING-against-scalar-subquery pattern.
 
-    The global total is one single-row aggregate broadcast against the
-    per-group aggregate (never a re-scan per group, never a driver
-    round trip); both aggregates share one scan lineage but aggregate
-    independently, so the plan is two hash aggregates + a broadcast
-    filter. The threshold arithmetic is a fixed IEEE tree over the
-    exact decimal-summed revenues, identical both engines.
+    The global total/count is one single-row aggregate over the
+    per-group frame, broadcast against it (never a re-scan per group,
+    never a driver round trip); the plan is two hash aggregates + a
+    broadcast filter. The comparison is cross-multiplied
+    (revenue·n_parts > mult·total) so no division enters the chain —
+    a fixed IEEE multiply tree over exact decimal-summed revenues,
+    identical in both engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         dsum(F.expr(_REVENUE)).alias("revenue")
     )
-    total = li.agg(dsum(F.expr(_REVENUE)).alias("trev"))
+    # trev re-quantizes the per-part doubles through the exact
+    # decimal accumulator — a plain double SUM would be partition-
+    # order-dependent and drift from the oracle
+    total = per_part.agg(
+        dsum(F.col("revenue")).alias("trev"),
+        F.count(F.lit(1)).alias("np"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(
-            F.col("revenue")
-            > F.col("trev") * (F.lit(IMPORTANT_PPM) / F.lit(1_000_000.0))
+            F.col("revenue") * F.col("np")
+            > F.col("trev") * F.lit(IMPORTANT_AVG_MULT)
         )
         .select("l_partkey", "revenue")
     )
