@@ -55,46 +55,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # machinery has been touched since).  Keys verified green in round 2 at
 # unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
-    # (1) code or oracle CHANGED in round 5 — their prior green rows
-    # prove nothing about the new code: sink_zorder's boundary-scalar
-    # sidecar; sink_pysource's append-merge commit; the clustering
-    # seed-stride degenerate guard; window_sessionize's widened
-    # (user_id << 32) id space (oracle changed identically);
-    # text_tfidf's glibc idf log-table (the JVM/libm 1-ULP drift
-    # surfaced at sf0.1 and was removed from the value chain).
-    "sink_zorder", "sink_pysource", "cluster_assign_incremental",
-    "window_sessionize", "text_tfidf",
-    # (2) NEW in round 5 — no driver row exists.
-    "latest_snapshot_catalog", "sort_keyset", "stream_transform_state",
-    "stream_pysource", "join_dpp",
-    # (3) the round-4 tail — registered and locally strict-verified
-    # in r4 but never driver-checked (fell past the ~50-key cap).
-    "agg_argmax", "text_quality_model", "sink_partition_overwrite",
-    "sample_temperature", "agg_ab_test", "profile_drift",
-    "scan_xml", "json_variant", "agg_gini", "stream_stream_left_join",
-    "analytics_customer_distribution", "analytics_important_parts",
-    "snapshot_as_of", "window_cusum", "stream_pipeline", "agg_mad",
-    "pipeline_train_manifest", "pipeline_media_ingest",
-    "window_daily_kpis",
-    "scan_csv_gzip", "set_union_evolved", "join_null_safe",
-    "sort_paginate", "agg_weighted_median",
-    # (4) last driver-green in ROUND 1 — three testdata generations
-    # ago; their shared machinery (textkit, cachekit, fixtures
-    # locking) changed in r3/r4. The first ~19 fit the cap this
-    # round; the remainder + group (5) roll to round 6.
-    "agg_count_filter", "filter_eq", "filter_compound",
-    "project_lit", "project_expr",
-    "agg_multi", "agg_distinct", "agg_rollup", "agg_grouping_sets",
-    "agg_percentile",
-    "join_inner", "join_outer", "join_semi_anti", "join_broadcast",
-    "join_bucketed",
-    "set_union", "set_intersect_except", "dedup_exact",
-    "map_json_funcs", "sim_search", "pivot_wide", "unpivot_long",
-    "doc_chunks",
-    "scan_source", "scan_csv", "scan_json", "scan_orc", "scan_binary",
-    "scan_catalog",
-    # (5) last driver-green in ROUND 2 (stale generation), highest
-    # traffic first. Rolls to round 6 under the cap.
+    # (1) ZERO driver evidence: scan_csv_malformed landed in the
+    # final round-5 commits after that round's verification sweep
+    # started (the one key with no CORRECTNESS row in any round);
+    # snapshot_expire / snapshot_restore are NEW in round 6 (the
+    # storage-lifecycle pair completing the snapshot family).
+    "scan_csv_malformed", "snapshot_expire", "snapshot_restore",
+    # (2) code CHANGED in round 6: the manifest sink's append commit
+    # is now serialized under an O_EXCL commit lock — its prior green
+    # row predates the new commit path.
+    "sink_pysource",
+    # (3) last driver-green in ROUND 1 — the 13 oldest rows in the
+    # table; their shared machinery (textkit, cachekit, fixtures
+    # locking) has been refactored since.
+    "dedup_exact", "doc_chunks", "map_json_funcs", "pivot_wide",
+    "scan_binary", "scan_catalog", "scan_csv", "scan_json",
+    "scan_orc", "scan_source", "set_intersect_except", "sim_search",
+    "unpivot_long",
+    # (4) last driver-green in ROUND 2 — the next-oldest generation;
+    # all 29 fit this round's cap after the groups above.
     "dedup_minhash", "dedup_simhash", "sort_limit", "topk_per_group",
     "subquery_exists", "subquery_in", "subquery_scalar",
     "latest_snapshot", "sink_partitioned", "pipeline_pretrain",
@@ -105,11 +84,29 @@ _VERIFY_FIRST = [
     "agg_listagg", "agg_mode", "agg_approx_percentile",
     "text_token_count", "text_quality", "text_lang_id",
     "text_fingerprint", "text_pii_scrub",
-    # (6) new in round 5 but past this round's cap by design (the
-    # r1-stale re-checks above outrank a brand-new key's first row);
-    # round 6 must front-load it with the other never-checked keys.
-    "scan_csv_malformed",
-    # keys green in rounds 3-4 on the current generation sort last in
+    # (5) last driver-green in ROUND 3 — the oldest remaining
+    # generation fills whatever cap slots are left (~4 of ~50);
+    # streaming keys first (their shared runner/fold machinery is the
+    # most-touched since r3), the rest roll to round 7.
+    "stream_stateful", "stream_events", "stream_cdc_upsert",
+    "stream_dedup", "stream_rollup_incremental", "stream_session",
+    "stream_static_join", "stream_stream_join",
+    "window_analytic", "window_rank", "window_cume",
+    "window_range_frame", "window_tumbling", "window_sliding",
+    "window_session", "window_funnel", "window_retention",
+    "window_active_users",
+    "analytics_shipping_priority", "analytics_regional_revenue",
+    "analytics_returned_revenue", "analytics_large_orders",
+    "agg_corr", "agg_histogram", "agg_salted",
+    "cdc_upsert", "dedup_clusters", "dedup_clusters_star",
+    "dedup_embedding", "graph_triangles",
+    "join_asof", "join_range_bucketed", "join_salted",
+    "join_skew_aqe", "join_theta",
+    "pipeline_curate", "rollup_hypertable",
+    "sample_hash", "sample_mixture", "sample_stratified",
+    "scan_jdbc", "sim_search_ivf", "sim_search_lsh", "sim_search_sq",
+    "snapshot_diff", "text_decontaminate", "text_repetition",
+    # keys green in rounds 4-5 on the current generation sort last in
     # dict order — unchanged code, freshest driver evidence.
 ]
 

@@ -786,3 +786,246 @@ def snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+#: Retention fixture: five dated runs; run k holds the orders with
+#: o_orderkey % 7 < k — strictly growing, every run's content distinct,
+#: so a survivor set that is off by one run breaks counts AND sums.
+_EXPIRE_RUNS = (
+    ("2026-08-08", 1),
+    ("2026-08-09", 2),
+    ("2026-08-10", 3),
+    ("2026-08-11", 4),
+    ("2026-08-12", 5),
+)
+#: Expire runs strictly older than this date...
+_EXPIRE_CUTOFF = "2026-08-10"
+#: ...but never drop below this many runs (the Iceberg
+#: retain-last floor: age policy alone must not empty a quiet table).
+_EXPIRE_KEEP_LAST = 2
+
+
+def expired_manifest_path(base: str) -> str:
+    """Sidecar recording what an expiry run removed (audit trail)."""
+    return os.path.join(os.path.dirname(base), "_expired_manifest.json")
+
+
+def retention_policy(
+    runs: list[int], cutoff: int, keep_last: int
+) -> tuple[list[int], list[int]]:
+    """(retained, expired) run dates under age-cutoff + count-floor.
+
+    A run survives iff it is at/after the cutoff OR among the newest
+    `keep_last` runs — the floor guarantees a table whose every run
+    is stale never expires itself empty. Pure function over the run
+    LIST (yyyymmdd ints), never run content.
+    """
+    ordered = sorted(runs)
+    keep = {r for r in ordered if r >= cutoff}
+    keep |= set(ordered[-keep_last:]) if keep_last > 0 else set()
+    return sorted(keep), [r for r in ordered if r not in keep]
+
+
+@query(
+    "snapshot_expire",
+    # survivors under the policy are exactly the three runs at/after
+    # the cutoff; the oracle reconstructs their content from source
+    oracle=f"""
+    WITH runs(run_date, k) AS (
+        VALUES (20260810, 3), (20260811, 4), (20260812, 5)
+    )
+    SELECT r.run_date,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o.o_totalprice')} AS sum_price
+    FROM runs r JOIN orders o ON o.o_orderkey % 7 < r.k
+    GROUP BY r.run_date
+    """,
+)
+def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention/expiry — the storage-lifecycle operator the
+    reference's overwrite-forever protocol (O9/O12,
+    /root/reference/spark_ingest_script.py:85-105) never provides:
+    every run appends a dated partition to `_snapshot` and nothing
+    ever deletes one, so a daily 100 TB snapshot table grows without
+    bound. This is the Delta VACUUM / Iceberg `expire_snapshots`
+    shape rebuilt on the same parquet primitives as the rest of the
+    snapshot family (`snapshot_as_of`, `snapshot_diff`).
+
+    Policy: expire runs strictly older than the cutoff date, but
+    ALWAYS retain the newest `_EXPIRE_KEEP_LAST` runs — the age rule
+    reclaims space, the count floor guarantees a quiet table never
+    expires itself empty. Both are evaluated over the run LIST, never
+    run content.
+
+    Scale shape — every step is metadata-proportional, none scans
+    data: (1) enumerate runs via a partition-columns-only scan of the
+    dated table (partition values come from directory names; no data
+    columns are read); (2) pick the expired set driver-side — an
+    orchestration scalar bounded by runs-per-retention-window, not
+    table size; (3) delete exactly the expired `y=/m=/d=` partition
+    directories — O(expired files) filesystem metadata ops, the
+    partition-pruned delete (on an object store this is the
+    table-format's manifest-rewrite + orphan-file delete); (4)
+    publish a sidecar manifest of removed runs, the audit trail an
+    expiry job owes its operators. Readers are never blocked: they
+    either listed a partition before its delete (parquet files remain
+    readable until unlinked) or after (gone from the listing).
+
+    The registered query aggregates the SURVIVING table per run; the
+    oracle reconstructs the survivors' content from the source, so an
+    expiry that removed a keeper, kept an expiree, or tore a
+    partition in half breaks counts or sums.
+    """
+    import json
+    import shutil
+
+    base = scratch_dir("snapexpire", sf_dir, "orders") + "/orders"
+    orders = load_table(spark, sf_dir, "orders")
+
+    def build() -> None:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for exec_date, k in _EXPIRE_RUNS:
+                stamped = stamp_partitions(
+                    orders.filter(F.col("o_orderkey") % 7 < k), exec_date
+                )
+                (
+                    stamped.write.mode("overwrite")
+                    .partitionBy("y", "m", "d")
+                    .parquet(base)
+                )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # (1) run enumeration: partition columns only — resolved from
+        # directory names, no parquet data pages touched
+        runs = sorted(
+            int(r["y"]) * 10000 + int(r["m"]) * 100 + int(r["d"])
+            for r in spark.read.parquet(base)
+            .select("y", "m", "d")
+            .distinct()
+            .collect()
+        )
+        cy, cm, cd = (int(p) for p in _EXPIRE_CUTOFF.split("-"))
+        retained, expired = retention_policy(
+            runs, cy * 10000 + cm * 100 + cd, _EXPIRE_KEEP_LAST
+        )
+        # (3) partition-pruned delete: exactly the expired directories
+        for r in expired:
+            shutil.rmtree(f"{base}/y={r // 10000}/m={r // 100 % 100}/d={r % 100}")
+        with open(expired_manifest_path(base), "w") as f:
+            json.dump({"expired": expired, "retained": retained}, f)
+
+    build_once(os.path.dirname(base), build)
+    snap = spark.read.parquet(base)
+    run_date = (
+        F.col("y").cast("int") * 10000
+        + F.col("m").cast("int") * 100
+        + F.col("d").cast("int")
+    )
+    return (
+        snap.groupBy(run_date.alias("run_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+#: Rollback fixture: a good run, a better run, then a BAD deploy
+#: (every price inflated); restore republishes the good run as the
+#: new latest. Contents are keyed on distinct modulo slices so a
+#: restore that resolved the wrong source run breaks counts, and one
+#: that picked the bad run breaks sums.
+_RESTORE_RUNS = (
+    ("2026-08-10", 4, 0.0),  # o_orderkey % 4 == 0 (quarter)
+    ("2026-08-11", 2, 0.0),  # o_orderkey % 2 == 0 (half) — the target
+    ("2026-08-12", 1, 999.0),  # all rows, prices corrupted
+)
+_RESTORE_TO = "2026-08-11"
+_RESTORE_AS = "2026-08-13"
+
+
+@query(
+    "snapshot_restore",
+    # the restored latest must be run 2's content bit-for-bit
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback — Delta `RESTORE TABLE ... TO VERSION` /
+    Iceberg `rollback_to_snapshot` rebuilt on the dated-partition
+    protocol: after a bad deploy corrupts the latest run, republish a
+    known-good earlier run AS A NEW dated run, so readers of "latest"
+    see the good content again while the full history (including the
+    bad run, for forensics) stays queryable via `snapshot_as_of`.
+
+    Restore-as-new-version rather than delete-the-bad-run is the
+    table-format contract: the rollback itself becomes part of the
+    history (auditable, itself revertible), and concurrent latest
+    readers never observe a gap — they see the bad run until the
+    instant the new partition commits, never an empty table.
+
+    Scale shape: the restore is one partition-pruned read of the
+    source run (O(run size), zero history scanned) piped straight
+    back through the dynamic-partition writer — the same two
+    metadata-bounded primitives every operator in this family uses
+    (`read_latest_snapshot` + `write_snapshot` shape). No driver
+    materialization; rows never leave the executors.
+
+    The registered query reads the restored latest and aggregates per
+    status; the oracle reconstructs the GOOD run's content from
+    source, so a restore that picked the stale run (count mismatch),
+    the corrupted run (sum mismatch), or left the bad run newest
+    (sum mismatch) all hash-fail.
+    """
+    base = scratch_dir("snaprestore", sf_dir, "orders") + "/orders"
+    orders = load_table(spark, sf_dir, "orders")
+
+    def build() -> None:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for exec_date, mod, bad_delta in _RESTORE_RUNS:
+                run = orders.filter(F.col("o_orderkey") % mod == 0)
+                if bad_delta:
+                    run = run.withColumn(
+                        "o_totalprice", F.col("o_totalprice") + bad_delta
+                    )
+                (
+                    stamp_partitions(run, exec_date)
+                    .write.mode("overwrite")
+                    .partitionBy("y", "m", "d")
+                    .parquet(base)
+                )
+            # the rollback: partition-pruned read of the good run,
+            # republished as the new latest dated partition
+            good = read_latest_snapshot(spark, base, _RESTORE_TO)
+            (
+                stamp_partitions(good, _RESTORE_AS)
+                .write.mode("overwrite")
+                .partitionBy("y", "m", "d")
+                .parquet(base)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    build_once(os.path.dirname(base), build)
+    latest = read_latest_snapshot(spark, base, _RESTORE_AS)
+    return (
+        latest.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )

@@ -309,9 +309,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01, surfaced at sf0.1 (df=3847, N=5000 → Spark
     …99194 vs DuckDB …992). Rounding can't close a ULP gap safely
     (a boundary-straddling value flips), so the JVM is removed from
-    the value chain instead: idf is PRECOMPUTED in Python (glibc —
-    the same libm DuckDB calls) over the distinct OBSERVED df values
-    and broadcast-joined. That's the classic log-table technique, and
+    the value chain instead: idf is PRECOMPUTED in Python over the
+    distinct OBSERVED df values and broadcast-joined. Portability
+    caveat: bit-exactness vs the oracle ASSUMES the driver Python's
+    math.log and DuckDB's ln resolve to the SAME libm — true on this
+    target (both glibc), not guaranteed on macOS/musl or a DuckDB
+    build bundling its own math; a platform move must re-check via
+    the sf0.1 strict sweep (tools/strict_sweep.py), which is what
+    caught the original drift. That's the classic log-table technique, and
     it is scale-sane: distinct df values number in the hundreds here
     (capped + overflow-asserted at {IDF_TABLE_CAP}), so the collect
     is a bounded metadata-sized scalar fetch, same class as

@@ -224,26 +224,50 @@ class ManifestParquetWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         import json
         import os
+        import time
 
         files = sorted(
             m.filename for m in messages if m is not None and m.filename
         )
         manifest = os.path.join(self.path, "_manifest.json")
-        if not self.overwrite and os.path.exists(manifest):
-            # append merges the prior committed list — a wholesale
-            # rewrite would silently un-publish earlier writes
-            with open(manifest) as f:
-                prior = json.load(f)["files"]
-            files = sorted(set(prior) | set(files))
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"files": files}, f)
-        # atomic publish: readers either see the old manifest or the
-        # new one, never a half-written file list. On overwrite the
-        # previous generation's data files become unreferenced (and
-        # invisible to manifest_files) rather than being deleted —
-        # the table-format convention (vacuum is a separate concern).
-        os.replace(tmp, manifest)
+        # O_EXCL commit lock: two concurrent append jobs each do a
+        # read-merge-write of the manifest; without serialization both
+        # could read the same prior list and the second os.replace
+        # would silently un-publish the first job's files. The lock
+        # covers the whole read-merge-publish cycle, so concurrent
+        # appends compose. os.replace alone still protects READERS.
+        lock = manifest + ".lock"
+        deadline = time.monotonic() + 60.0
+        while True:
+            try:
+                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"manifest commit lock held >60s: {lock} — a "
+                        "crashed committer left it behind; remove it "
+                        "after verifying no commit is in flight"
+                    )
+                time.sleep(0.05)
+        try:
+            if not self.overwrite and os.path.exists(manifest):
+                # append merges the prior committed list — a wholesale
+                # rewrite would silently un-publish earlier writes
+                with open(manifest) as f:
+                    prior = json.load(f)["files"]
+                files = sorted(set(prior) | set(files))
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"files": files}, f)
+            # atomic publish: readers either see the old manifest or the
+            # new one, never a half-written file list. On overwrite the
+            # previous generation's data files become unreferenced (and
+            # invisible to manifest_files) rather than being deleted —
+            # the table-format convention (vacuum is a separate concern).
+            os.replace(tmp, manifest)
+        finally:
+            os.unlink(lock)
 
     def abort(self, messages) -> None:
         import os

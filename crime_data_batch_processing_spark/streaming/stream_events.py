@@ -1126,7 +1126,18 @@ def _make_record_fold():
     replayable — then folded vectorized (numpy running max, no
     per-row Python loop): an event is a "record" iff its value
     strictly exceeds every earlier value of that user, seeded from
-    state so the property holds across micro-batches."""
+    state.
+
+    Cross-batch scope of that seed: the sort is per-BATCH, so the
+    record property is exact across micro-batches ONLY when batch
+    boundaries respect per-user event-time order (every event in a
+    later batch is at-or-after every event of that user in earlier
+    batches). The registered queries guarantee this trivially —
+    AvailableNow with max_files_per_trigger=None yields a single
+    batch. A future trigger change that splits unordered files into
+    multiple batches (e.g. max_files_per_trigger=1) would silently
+    diverge from the oracle's global event-time fold; re-sort the
+    source files by event time or keep single-batch execution."""
 
     def fold(prev, pdfs):
         import numpy as np

@@ -363,3 +363,50 @@ class TestKeysetPagination:
                 .collect()
             ]
             assert keyset_page == offset_page, f"page {page} diverged"
+
+
+class TestRetentionPolicy:
+    """snapshot_expire's retention rule is a pure function over the
+    run-date list — property-tested against its two invariants."""
+
+    @given(
+        runs=st.lists(
+            st.integers(min_value=20200101, max_value=20301231),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        ),
+        cutoff=st.integers(min_value=20200101, max_value=20301231),
+        keep_last=st.integers(min_value=0, max_value=5),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_partition_and_floor_invariants(self, runs, cutoff, keep_last):
+        from crime_data_batch_processing_spark.operators.sinks import (
+            retention_policy,
+        )
+
+        retained, expired = retention_policy(runs, cutoff, keep_last)
+        # exact partition of the input, both halves sorted
+        assert sorted(retained + expired) == sorted(runs)
+        assert retained == sorted(retained) and expired == sorted(expired)
+        # age rule: nothing at/after the cutoff ever expires
+        assert all(r < cutoff for r in expired)
+        # count floor: the newest keep_last runs always survive
+        assert set(sorted(runs)[len(runs) - min(keep_last, len(runs)):]) <= set(
+            retained
+        )
+        # no over-retention: every retained run is justified by one of
+        # the two rules
+        floor = set(sorted(runs)[len(runs) - min(keep_last, len(runs)):])
+        assert all(r >= cutoff or r in floor for r in retained)
+
+    def test_all_stale_table_keeps_floor(self):
+        from crime_data_batch_processing_spark.operators.sinks import (
+            retention_policy,
+        )
+
+        retained, expired = retention_policy(
+            [20200101, 20200102, 20200103], 20300101, 2
+        )
+        assert retained == [20200102, 20200103]
+        assert expired == [20200101]
