@@ -59,8 +59,11 @@ _VERIFY_FIRST = [
     # final round-5 commits after that round's verification sweep
     # started (the one key with no CORRECTNESS row in any round);
     # snapshot_expire / snapshot_restore are NEW in round 6 (the
-    # storage-lifecycle pair completing the snapshot family).
+    # storage-lifecycle pair completing the snapshot family), as are
+    # profile_observe (single-pass observe() QC metrics) and
+    # stream_file_sink (exactly-once streaming parquet sink).
     "scan_csv_malformed", "snapshot_expire", "snapshot_restore",
+    "profile_observe", "stream_file_sink",
     # (2) code CHANGED in round 6: the manifest sink's append commit
     # is now serialized under an O_EXCL commit lock — its prior green
     # row predates the new commit path.

@@ -263,3 +263,101 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("l1_bp div 2").alias("tv_bp"),
         (F.expr("l1_bp div 2") >= DRIFT_ALERT_BP).alias("drifted"),
     )
+
+
+@query(
+    "profile_observe",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_nonpositive_price,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_bad_status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS sum_price,
+           epoch_us(MIN(o_orderdate)) AS min_ts_us,
+           epoch_us(MAX(o_orderdate)) AS max_ts_us
+    FROM orders
+    """,
+)
+def profile_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline QC metrics via `Dataset.observe` — the
+    zero-extra-scan monitoring primitive `quality_expectations`'
+    docstring costs at one scan per table: `observe` attaches the
+    metric aggregates to a job the pipeline ALREADY runs (here the
+    snapshot write, stood in by a noop-format write), so at 100 TB
+    the quality counters are free — collected by the same tasks that
+    write the data, no second read of anything.
+
+    This is Spark's CollectMetrics operator: each task folds the
+    metric expressions over the rows it streams through, the driver
+    merges the partials, and `Observation.get` blocks until the
+    action completes. Constraints encoded here: every expression must
+    be an aggregate, distinct aggregates are not allowed, and the
+    metrics see exactly the rows the action materialized — making
+    this the audit trail for WHAT a write actually wrote (a filter
+    pushed below the observe point would be invisible; the observe
+    sits directly on the written frame).
+
+    Metrics chosen as a write-gate row: row count, two violation
+    counters (nonpositive price, out-of-domain status), the exact
+    decimal price total, and the event-time span as epoch
+    microseconds (integer — no timestamp-formatting parity risk).
+    The returned single-row frame is driver-built from the observed
+    values — a bounded orchestration scalar, same class as
+    `scan_zone_map`'s manifest fetch. The oracle recomputes the same
+    aggregates from source, so a metrics pass that dropped or
+    double-counted rows during the write hash-fails.
+    """
+    from pyspark.sql import Observation
+
+    from crime_data_batch_processing_spark.functions.exact import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("write_qc")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_nonpositive_price"),
+        F.coalesce(
+            F.sum(
+                F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_bad_status"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.unix_micros(F.min("o_orderdate").cast("timestamp")).alias(
+            "min_ts_us"
+        ),
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias(
+            "max_ts_us"
+        ),
+    )
+    # the job the metrics ride on: the pipeline's own write (noop
+    # format = full materialization, no output cost)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_nonpositive_price"],
+                m["n_bad_status"],
+                m["sum_price"],
+                m["min_ts_us"],
+                m["max_ts_us"],
+            )
+        ],
+        "n_rows bigint, n_nonpositive_price bigint, n_bad_status bigint,"
+        " sum_price double, min_ts_us bigint, max_ts_us bigint",
+    )

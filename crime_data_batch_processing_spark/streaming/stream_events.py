@@ -1380,3 +1380,77 @@ def stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+@query(
+    "stream_file_sink",
+    oracle=f"""
+    SELECT event_type,
+           epoch_us(date_trunc('day', ts)) AS day_us,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming PARQUET sink — the durable-storage leg
+    the streaming family's memory sinks stand in for: `writeStream
+    .format("parquet")` commits each micro-batch's files to a
+    `_spark_metadata` transaction log, and a batch read of the
+    directory lists files THROUGH that log, so readers see only
+    committed files — uncommitted/orphaned task output is invisible
+    (the same manifest-read discipline as `sink_pysource`, but
+    provided natively by FileStreamSink).
+
+    The exactly-once claim is exercised, not asserted: the build runs
+    the AvailableNow stream TWICE against the SAME checkpoint. The
+    second run finds every source offset already committed and writes
+    nothing — a restart after success is a no-op, never a duplicate
+    batch of files. A batch read then aggregates the sink's contents
+    per (event_type, day); the oracle computes the same from the
+    source table, so any lost, duplicated, or re-emitted file breaks
+    counts and sums.
+
+    Scale shape: the sink appends raw (filtered/normalized) events —
+    the unbounded-append pattern a 100 TB event lake uses (aggregation
+    happens downstream, here in the read-back query); per-batch commit
+    cost is one metadata-log entry regardless of data volume, and the
+    dated-partition + compaction + retention lifecycle the batch sink
+    family provides applies unchanged on top.
+    """
+    from crime_data_batch_processing_spark.fixtures import (
+        build_once,
+        scratch_dir,
+    )
+
+    base = scratch_dir("streamfilesink", sf_dir, "events")
+    out = f"{base}/out"
+    ckpt = f"{base}/ckpt"
+
+    def build() -> None:
+        for _ in range(2):  # second run must be an exactly-once no-op
+            q = (
+                streaming_events(
+                    spark, _stream_src(sf_dir), max_files_per_trigger=None
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    build_once(base, build)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )

@@ -785,3 +785,49 @@ def test_snapshot_restore_is_pruned_and_preserves_history(spark, sf_dir):
     # history intact: good, bad, and restored runs all present
     for day in (10, 11, 12, 13):
         assert os.path.isdir(f"{base}/y=2026/m=8/d={day}"), day
+
+
+def test_observe_metrics_ride_the_write_plan(spark, sf_dir):
+    """profile_observe's claim is zero-extra-scan: the metrics must be
+    a CollectMetrics node inside the written frame's own plan (folded
+    by the writing tasks), not a second aggregation job."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from crime_data_batch_processing_spark.plans import physical_plan
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("plan_probe")
+    observed = orders.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    assert "CollectMetrics" in physical_plan(observed)
+    # and the registered query returns exactly one bounded metrics row
+    df = registry.QUERIES["profile_observe"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] > 0
+
+
+def test_stream_file_sink_commits_through_metadata_log(spark, sf_dir):
+    """The streaming parquet sink must publish through FileStreamSink's
+    _spark_metadata transaction log (readers list committed files only),
+    and the double-run build must be an exactly-once no-op: the sink's
+    row count equals the source's exactly — never doubled."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from crime_data_batch_processing_spark.fixtures import scratch_dir
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    df = registry.QUERIES["stream_file_sink"](spark, sf_dir)
+    # the batch read resolves files through the sink's transaction
+    # log, not a raw directory listing
+    assert "MetadataLogFileIndex" in physical_plan(df)
+    sink_events = df.agg(F.sum("n_events")).first()[0]
+    src_events = load_table(spark, sf_dir, "events").count()
+    assert sink_events == src_events, "duplicate or lost micro-batch"
+
+    base = scratch_dir("streamfilesink", sf_dir, "events")
+    assert os.path.isdir(f"{base}/out/_spark_metadata")
