@@ -65,9 +65,13 @@ _VERIFY_FIRST = [
     "scan_csv_malformed", "snapshot_expire", "snapshot_restore",
     "profile_observe", "stream_file_sink",
     # (2) code CHANGED in round 6: the manifest sink's append commit
-    # is now serialized under an O_EXCL commit lock — its prior green
-    # row predates the new commit path.
-    "sink_pysource",
+    # is now serialized under a self-healing O_EXCL commit lock, and
+    # the snapshot writers' partitionOverwriteMode toggles were
+    # factored into one shared context manager — prior green rows
+    # predate the new code paths. (latest_snapshot, also touched, is
+    # already in group (4) below.)
+    "sink_pysource", "latest_snapshot_catalog",
+    "sink_partition_overwrite", "snapshot_as_of",
     # (3) last driver-green in ROUND 1 — the 13 oldest rows in the
     # table; their shared machinery (textkit, cachekit, fixtures
     # locking) has been refactored since.

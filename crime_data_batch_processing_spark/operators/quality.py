@@ -265,6 +265,46 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def observed_orders(spark: SparkSession, sf_dir: str):
+    """(Observation, observed frame) that `profile_observe` writes —
+    exposed as the unit the plan test pins: the metric aggregates must
+    be a CollectMetrics node ON this frame (folded by the writing
+    tasks), never a second aggregation job over the table."""
+    from pyspark.sql import Observation
+
+    from crime_data_batch_processing_spark.functions.exact import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("write_qc")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_nonpositive_price"),
+        F.coalesce(
+            F.sum(
+                F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_bad_status"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.unix_micros(F.min("o_orderdate").cast("timestamp")).alias(
+            "min_ts_us"
+        ),
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias(
+            "max_ts_us"
+        ),
+    )
+    return obs, observed
+
+
 @query(
     "profile_observe",
     oracle="""
@@ -311,38 +351,7 @@ def profile_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates from source, so a metrics pass that dropped or
     double-counted rows during the write hash-fails.
     """
-    from pyspark.sql import Observation
-
-    from crime_data_batch_processing_spark.functions.exact import dsum
-
-    orders = load_table(spark, sf_dir, "orders")
-    obs = Observation("write_qc")
-    observed = orders.observe(
-        obs,
-        F.count(F.lit(1)).alias("n_rows"),
-        F.coalesce(
-            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("n_nonpositive_price"),
-        F.coalesce(
-            F.sum(
-                F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
-                .otherwise(0)
-            ),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("n_bad_status"),
-        dsum("o_totalprice").alias("sum_price"),
-        F.unix_micros(F.min("o_orderdate").cast("timestamp")).alias(
-            "min_ts_us"
-        ),
-        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias(
-            "max_ts_us"
-        ),
-    )
+    obs, observed = observed_orders(spark, sf_dir)
     # the job the metrics ride on: the pipeline's own write (noop
     # format = full materialization, no output cost)
     observed.write.format("noop").mode("overwrite").save()

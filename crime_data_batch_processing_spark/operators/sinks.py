@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +37,21 @@ from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.crime_schema import stamp_partitions
 from crime_data_batch_processing_spark.sources.tables import load_table
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Scoped `partitionOverwriteMode=dynamic` — the conf is
+    session-global, so every writer that needs dynamic semantics must
+    restore the caller's (static-by-default) mode or silently change
+    the overwrite behavior of every later write in the session."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def write_snapshot(df: DataFrame, base_path: str, exec_date: str) -> str:
@@ -133,12 +149,8 @@ def latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The conf is session-shared — restore it so later writes in the
     # same session keep their expected (static) overwrite semantics.
     stamped = stamp_partitions(orders, "2026-08-13")
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with dynamic_partition_overwrite(spark):
         stamped.write.mode("overwrite").partitionBy("y", "m", "d").parquet(base)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     latest = read_latest_snapshot(spark, base, "2026-08-13")
     return (
         latest.groupBy("o_orderstatus")
@@ -195,16 +207,10 @@ def latest_snapshot_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot(
             orders.filter(F.col("o_orderstatus") == "F"), snap, "2026-08-12"
         )
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with dynamic_partition_overwrite(spark):
             stamp_partitions(orders, "2026-08-13").write.mode(
                 "overwrite"
             ).partitionBy("y", "m", "d").parquet(snap)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     build_once(base, build)
     paths["stale"] = f"{snap}/y=2026/m=8/d=12"
@@ -681,14 +687,8 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         restated = o.where(F.col("o_year") == OVERWRITE_YEAR).withColumn(
             "o_totalprice", F.col("o_totalprice") + PRICE_CORRECTION
         )
-        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with dynamic_partition_overwrite(spark):
             restated.write.partitionBy("o_year").mode("overwrite").parquet(tbl)
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", old_mode
-            )
 
     build_once(base, build)
     return (
@@ -744,11 +744,7 @@ def snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
     def build() -> None:
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with dynamic_partition_overwrite(spark):
             for exec_date, statuses in _ASOF_RUNS:
                 stamped = stamp_partitions(
                     orders.filter(F.col("o_orderstatus").isin(*statuses)),
@@ -759,8 +755,6 @@ def snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .partitionBy("y", "m", "d")
                     .parquet(base)
                 )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     build_once(os.path.dirname(base), build)
     snap = spark.read.parquet(base)
@@ -883,11 +877,7 @@ def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
     def build() -> None:
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with dynamic_partition_overwrite(spark):
             for exec_date, k in _EXPIRE_RUNS:
                 stamped = stamp_partitions(
                     orders.filter(F.col("o_orderkey") % 7 < k), exec_date
@@ -897,8 +887,6 @@ def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .partitionBy("y", "m", "d")
                     .parquet(base)
                 )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         # (1) run enumeration: partition columns only — resolved from
         # directory names, no parquet data pages touched
         runs = sorted(
@@ -991,11 +979,7 @@ def snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
     def build() -> None:
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with dynamic_partition_overwrite(spark):
             for exec_date, mod, bad_delta in _RESTORE_RUNS:
                 run = orders.filter(F.col("o_orderkey") % mod == 0)
                 if bad_delta:
@@ -1017,8 +1001,6 @@ def snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .partitionBy("y", "m", "d")
                 .parquet(base)
             )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     build_once(os.path.dirname(base), build)
     latest = read_latest_snapshot(spark, base, _RESTORE_AS)

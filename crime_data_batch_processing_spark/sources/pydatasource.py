@@ -236,18 +236,37 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         # would silently un-publish the first job's files. The lock
         # covers the whole read-merge-publish cycle, so concurrent
         # appends compose. os.replace alone still protects READERS.
+        # Self-healing: the critical section is milliseconds (one read
+        # + one rename), so a lock older than STALE_COMMIT_LOCK_S can
+        # only be an orphan from a committer killed before its
+        # finally-unlink; it is broken with the same same-inode guard
+        # fixtures.build_once uses, so one crash never wedges every
+        # future commit to the path behind a manual unlink.
+        from crime_data_batch_processing_spark.fixtures import (
+            _break_if_still_stale,
+        )
+
+        STALE_COMMIT_LOCK_S = 60.0
         lock = manifest + ".lock"
-        deadline = time.monotonic() + 60.0
+        deadline = time.monotonic() + 120.0
         while True:
             try:
                 os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
                 break
             except FileExistsError:
+                try:
+                    st = os.stat(lock)
+                except FileNotFoundError:
+                    continue  # holder just finished: re-elect
+                if time.time() - st.st_mtime > STALE_COMMIT_LOCK_S:
+                    _break_if_still_stale(lock, st)
+                    continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
-                        f"manifest commit lock held >60s: {lock} — a "
-                        "crashed committer left it behind; remove it "
-                        "after verifying no commit is in flight"
+                        f"manifest commit lock still live after 120s: "
+                        f"{lock} — another commit appears wedged "
+                        "mid-critical-section; investigate before "
+                        "removing the lock"
                     )
                 time.sleep(0.05)
         try:

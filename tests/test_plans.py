@@ -712,13 +712,20 @@ def test_sort_keyset_is_pushed_filter_plus_top_k(spark, sf_dir):
     assert has_pushed_filters(df), (
         "the compound keyset predicate must reach the scan"
     )
-    # assert the offset absence DIRECTLY, independent of which limit
-    # operator renders it (GlobalLimit / CollectLimit /
-    # TakeOrderedAndProject all print a non-zero "offset=N" when an
-    # offset survives into the physical plan)
+    # assert the offset absence DIRECTLY, covering BOTH rendering
+    # forms: TakeOrderedAndProject prints "offset=N", while
+    # CollectLimit/GlobalLimit print it positionally as the second
+    # argument ("CollectLimit <limit>, <offset>") — empirically
+    # df.offset(2).limit(4) plans as "CollectLimit 6, 2" with no
+    # "offset=" literal, so the keyword regex alone misses that path
     import re
 
-    offsets = set(re.findall(r"offset=(\d+)", plan.lower()))
+    lplan = plan.lower()
+    offsets = set(re.findall(r"offset=(\d+)", lplan))
+    offsets |= {
+        m.group(2)
+        for m in re.finditer(r"(collectlimit|globallimit) \d+, (\d+)", lplan)
+    }
     assert offsets <= {"0"}, f"offset-bearing page scan: {offsets}\n{plan}"
 
 
@@ -775,9 +782,15 @@ def test_snapshot_restore_is_pruned_and_preserves_history(spark, sf_dir):
     from crime_data_batch_processing_spark.fixtures import scratch_dir
     from crime_data_batch_processing_spark.plans import physical_plan
 
+    import re
+
     df = registry.QUERIES["snapshot_restore"](spark, sf_dir)
     plan = physical_plan(df)
-    assert "PartitionFilters" in plan and "13" in plan, (
+    # assert the actual pruning predicate (d = 13) inside the scan's
+    # PartitionFilters — independent substring checks would pass on an
+    # unpruned plan whose '13' is an unrelated expression id
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and re.search(r"\bd#?\d* = 13\b", m.group(1)), (
         f"the latest read must prune to the restore day:\n{plan}"
     )
 
@@ -790,17 +803,21 @@ def test_snapshot_restore_is_pruned_and_preserves_history(spark, sf_dir):
 def test_observe_metrics_ride_the_write_plan(spark, sf_dir):
     """profile_observe's claim is zero-extra-scan: the metrics must be
     a CollectMetrics node inside the written frame's own plan (folded
-    by the writing tasks), not a second aggregation job."""
-    from pyspark.sql import Observation
-    from pyspark.sql import functions as F
-
+    by the writing tasks), not a second aggregation job. Pinned on the
+    SAME `observed_orders` unit the operator writes — a regression to
+    a separate metrics job would strip CollectMetrics from this frame
+    and fail here."""
+    from crime_data_batch_processing_spark.operators.quality import (
+        observed_orders,
+    )
     from crime_data_batch_processing_spark.plans import physical_plan
-    from crime_data_batch_processing_spark.sources.tables import load_table
 
-    orders = load_table(spark, sf_dir, "orders")
-    obs = Observation("plan_probe")
-    observed = orders.observe(obs, F.count(F.lit(1)).alias("n_rows"))
-    assert "CollectMetrics" in physical_plan(observed)
+    _, observed = observed_orders(spark, sf_dir)
+    plan = physical_plan(observed)
+    assert "CollectMetrics" in plan
+    # all six metrics fold in the one node; no aggregate/shuffle of
+    # their own anywhere in the written frame's plan
+    assert "HashAggregate" not in plan and "Exchange" not in plan, plan
     # and the registered query returns exactly one bounded metrics row
     df = registry.QUERIES["profile_observe"](spark, sf_dir)
     rows = df.collect()

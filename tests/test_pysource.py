@@ -133,3 +133,55 @@ def test_stream_reader_offset_protocol(tmp_path):
     # replay of a committed range returns exactly that slice
     replay = list(r.readBetweenOffsets({"row": 3}, {"row": 7}))
     assert [x[0] for x in replay] == [3, 4, 5, 6]
+
+
+def test_sink_commit_breaks_orphaned_lock(tmp_path):
+    """A committer killed before its finally-unlink must not wedge
+    every future commit: a lock older than the stale threshold is
+    broken (same-inode guarded) and the commit proceeds."""
+    import os
+
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        manifest_files,
+    )
+
+    path = str(tmp_path / "sink3")
+    os.makedirs(path)
+    lock = os.path.join(path, "_manifest.json.lock")
+    open(lock, "w").close()
+    old = os.stat(lock).st_mtime - 3600
+    os.utime(lock, (old, old))  # orphan: created an hour ago, no holder
+
+    w = ManifestParquetWriter(path, overwrite=False)
+    w.commit([_write_one(w, 2)])
+    assert len(manifest_files(path)) == 1
+    assert not os.path.exists(lock), "commit must release the lock"
+
+
+def test_sink_commit_live_lock_blocks_until_released(tmp_path):
+    """A FRESH lock (live committer) is honored: the second committer
+    waits rather than breaking it, and proceeds once released."""
+    import os
+    import threading
+    import time
+
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        ManifestParquetWriter,
+        manifest_files,
+    )
+
+    path = str(tmp_path / "sink4")
+    os.makedirs(path)
+    lock = os.path.join(path, "_manifest.json.lock")
+    open(lock, "w").close()  # fresh mtime = live holder
+
+    w = ManifestParquetWriter(path, overwrite=False)
+    msg = _write_one(w, 2)
+    t = threading.Thread(target=lambda: w.commit([msg]))
+    t.start()
+    time.sleep(0.3)
+    assert t.is_alive(), "fresh lock must block the commit"
+    os.unlink(lock)  # holder releases
+    t.join(timeout=10)
+    assert not t.is_alive() and len(manifest_files(path)) == 1
