@@ -60,10 +60,12 @@ _VERIFY_FIRST = [
     # started (the one key with no CORRECTNESS row in any round);
     # snapshot_expire / snapshot_restore are NEW in round 6 (the
     # storage-lifecycle pair completing the snapshot family), as are
-    # profile_observe (single-pass observe() QC metrics) and
-    # stream_file_sink (exactly-once streaming parquet sink).
+    # profile_observe (single-pass observe() QC metrics),
+    # stream_file_sink (exactly-once streaming parquet sink), and
+    # stream_sink_pysource (Python streaming sink — the fourth leg of
+    # the extension-point family).
     "scan_csv_malformed", "snapshot_expire", "snapshot_restore",
-    "profile_observe", "stream_file_sink",
+    "profile_observe", "stream_file_sink", "stream_sink_pysource",
     # (2) code CHANGED in round 6: the manifest sink's append commit
     # is now serialized under a self-healing O_EXCL commit lock, and
     # the snapshot writers' partitionOverwriteMode toggles were

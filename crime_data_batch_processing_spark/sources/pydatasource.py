@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -196,6 +197,26 @@ class FileCommit(WriterCommitMessage):
     n_rows: int
 
 
+def _write_arrow_task(path: str, iterator) -> FileCommit:
+    """One task's Arrow batches -> one uuid-named parquet file (shared
+    by the batch and streaming writers). An empty task writes NO file;
+    its no-op commit message (empty filename) is filtered at commit."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = list(iterator)
+    name = f"data-{uuid.uuid4().hex}.parquet"
+    os.makedirs(path, exist_ok=True)
+    if not batches:
+        return FileCommit("", 0)
+    table = pa.Table.from_batches(batches)
+    pq.write_table(table, os.path.join(path, name))
+    return FileCommit(name, table.num_rows)
+
+
 class ManifestParquetWriter(DataSourceArrowWriter):
     """Per-task Arrow->parquet writer; commit publishes the manifest."""
 
@@ -204,22 +225,7 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
-        import os
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        batches = list(iterator)
-        name = f"data-{uuid.uuid4().hex}.parquet"
-        os.makedirs(self.path, exist_ok=True)
-        if not batches:
-            # empty task writes NO file; its no-op commit message
-            # (empty filename) is filtered out at commit time
-            return FileCommit("", 0)
-        table = pa.Table.from_batches(batches)
-        pq.write_table(table, os.path.join(self.path, name))
-        return FileCommit(name, table.num_rows)
+        return _write_arrow_task(self.path, iterator)
 
     def commit(self, messages) -> None:
         import json
@@ -299,8 +305,58 @@ class ManifestParquetWriter(DataSourceArrowWriter):
                     pass
 
 
+class ManifestParquetStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming half of the manifest sink: per-MICRO-BATCH commit.
+
+    Tasks write uuid-named parquet files exactly like the batch
+    writer; `commit(messages, batchId)` then publishes that batch's
+    file list atomically as `_batch_<id>.json`. Per-batch logs need
+    no read-merge-write (each batch owns its own log file — no commit
+    lock required, unlike the batch writer's shared manifest), and a
+    RETRIED batch idempotently overwrites its own log: the re-run's
+    files win, the failed attempt's files are never listed, so
+    readers (stream_manifest_files = union of batch logs) see each
+    batch exactly once. Exactly-once across RESTARTS comes from the
+    engine: Spark replays only batches whose offsets are checkpointed
+    but uncommitted, and skips batches this sink already committed
+    (the batchId handshake this class implements).
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator):
+        return _write_arrow_task(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        files = sorted(
+            m.filename for m in messages if m is not None and m.filename
+        )
+        log = os.path.join(self.path, f"_batch_{batchId}.json")
+        tmp = log + ".tmp"
+        os.makedirs(self.path, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"batch": batchId, "files": files}, f)
+        os.replace(tmp, log)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.filename:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except FileNotFoundError:
+                    pass
+
+
 class ManifestParquetSink(DataSource):
-    """`format("manifest_parquet")` — registered per-session."""
+    """`format("manifest_parquet")` — registered per-session; serves
+    BOTH the batch writer (atomic shared manifest) and the streaming
+    writer (per-batch commit logs)."""
 
     @classmethod
     def name(cls) -> str:
@@ -308,6 +364,9 @@ class ManifestParquetSink(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return ManifestParquetWriter(self.options["path"], overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return ManifestParquetStreamWriter(self.options["path"])
 
 
 def manifest_files(path: str) -> list[str]:
@@ -318,6 +377,26 @@ def manifest_files(path: str) -> list[str]:
 
     with open(os.path.join(path, "_manifest.json")) as f:
         return [os.path.join(path, n) for n in json.load(f)["files"]]
+
+
+def stream_manifest_files(path: str) -> list[str]:
+    """Committed files of the STREAMING sink: the union of every
+    per-batch commit log, in batch order. Data files not named by any
+    log (failed-attempt leftovers, zombies) are invisible."""
+    import glob
+    import json
+    import os
+
+    out: list[str] = []
+    for log in sorted(
+        glob.glob(os.path.join(path, "_batch_*.json")),
+        key=lambda p: int(os.path.basename(p)[7:-5]),
+    ):
+        with open(log) as f:
+            out.extend(
+                os.path.join(path, n) for n in json.load(f)["files"]
+            )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1454,3 +1454,99 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         )
     )
+
+
+@query(
+    "stream_sink_pysource",
+    oracle=f"""
+    SELECT user_id % 8 AS user_bucket,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_sink_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom streaming SINK through the Python Data Source API — the
+    fourth and final leg of the extension-point family (`scan_pysource`
+    batch read, `sink_pysource` batch write, `stream_pysource`
+    streaming read): a connector implementing the per-micro-batch
+    commit protocol (`DataSourceStreamArrowWriter.commit(messages,
+    batchId)`) that a Kafka/Iceberg-shaped streaming sink implements.
+
+    Protocol properties exercised, not asserted:
+    - PER-BATCH ATOMIC COMMIT: the source is split into four files and
+      rate-limited to one per trigger, so four separate micro-batches
+      each flow tasks -> Arrow parquet files -> one atomic
+      `_batch_<id>.json` publish.
+    - EXACTLY-ONCE ACROSS RESTARTS: the build runs the AvailableNow
+      stream TWICE against one checkpoint; the rerun finds all offsets
+      committed and adds no batch log and no files (the batchId
+      handshake between engine checkpoint and sink commit).
+    - COMMIT-LOG VISIBILITY: the fixture plants a zombie parquet file
+      in the sink directory that no commit log names; readers resolve
+      files through `stream_manifest_files` (union of batch logs), so
+      the orphan is invisible — a reader trusting the directory
+      listing would double-count and hash-fail against the oracle.
+
+    Scale: tasks stream Arrow batches straight to parquet (no per-row
+    Python); each micro-batch's commit is one driver-side log rename
+    regardless of data volume — the same O(1)-per-commit shape as the
+    native FileStreamSink (`stream_file_sink`), here fully owned by
+    user code, which is the point of the extension API.
+    """
+    from crime_data_batch_processing_spark.fixtures import (
+        build_once,
+        scratch_dir,
+    )
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        ManifestParquetSink,
+        stream_manifest_files,
+    )
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    base = scratch_dir("streampysink", sf_dir, "events")
+    src = f"{base}/src"
+    out = f"{base}/out"
+    ckpt = f"{base}/ckpt"
+    schema = "event_id bigint, user_id bigint, event_type string, value double"
+
+    def build() -> None:
+        import shutil as sh
+
+        spark.dataSource.register(ManifestParquetSink)
+        # four source files so maxFilesPerTrigger=1 drives four
+        # separate micro-batch commits through the sink protocol
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        for _ in range(2):  # second run: exactly-once no-op rerun
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .writeStream.format("manifest_parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        # zombie: a valid parquet file no batch log ever committed —
+        # must stay invisible to manifest-resolved readers
+        committed = stream_manifest_files(out)
+        sh.copyfile(committed[0], f"{out}/data-zombie.parquet")
+
+    build_once(base, build)
+    back = spark.read.parquet(*stream_manifest_files(out))
+    return (
+        back.groupBy((F.col("user_id") % 8).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )

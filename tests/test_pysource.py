@@ -185,3 +185,72 @@ def test_sink_commit_live_lock_blocks_until_released(tmp_path):
     os.unlink(lock)  # holder releases
     t.join(timeout=10)
     assert not t.is_alive() and len(manifest_files(path)) == 1
+
+
+def test_stream_sink_per_batch_commit_protocol(tmp_path):
+    """The streaming writer's per-batch commit logs: each batchId owns
+    one atomic log; a retried batch idempotently overwrites its own
+    log (re-run's files win); readers union logs in batch order and
+    never see files no log names."""
+    import os
+
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        ManifestParquetStreamWriter,
+        stream_manifest_files,
+    )
+
+    path = str(tmp_path / "ssink")
+    w = ManifestParquetStreamWriter(path)
+    m0 = _write_one(w, 3)
+    w.commit([m0, None], batchId=0)
+    m1a = _write_one(w, 2)
+    w.commit([m1a], batchId=1)
+    # batch 1 retried after a failure: new attempt's files replace the
+    # old attempt's in the log
+    m1b = _write_one(w, 2)
+    w.commit([m1b], batchId=1)
+
+    files = stream_manifest_files(path)
+    names = [os.path.basename(f) for f in files]
+    assert names == [m0.filename, m1b.filename], names
+    assert m1a.filename not in names, "failed attempt must be unlisted"
+    # the failed attempt's data file may linger on disk — readers must
+    # not see it, which is exactly why directory listings are banned
+    assert os.path.exists(os.path.join(path, m1a.filename))
+
+
+def test_stream_sink_abort_removes_batch_files(tmp_path):
+    import os
+
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        ManifestParquetStreamWriter,
+        stream_manifest_files,
+    )
+
+    path = str(tmp_path / "ssink2")
+    w = ManifestParquetStreamWriter(path)
+    msg = _write_one(w, 4)
+    w.abort([msg, None], batchId=0)
+    assert not os.path.exists(os.path.join(path, msg.filename))
+    assert stream_manifest_files(path) == []
+
+
+def test_stream_sink_log_order_is_numeric_not_lexical(tmp_path):
+    """Batch 10's log must sort after batch 2's — lexical sorting of
+    _batch_*.json would interleave file order once batchId hits two
+    digits."""
+    import os
+
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        ManifestParquetStreamWriter,
+        stream_manifest_files,
+    )
+
+    path = str(tmp_path / "ssink3")
+    w = ManifestParquetStreamWriter(path)
+    msgs = {}
+    for bid in (2, 10, 1):
+        msgs[bid] = _write_one(w, 1)
+        w.commit([msgs[bid]], batchId=bid)
+    names = [os.path.basename(f) for f in stream_manifest_files(path)]
+    assert names == [msgs[1].filename, msgs[2].filename, msgs[10].filename]

@@ -368,3 +368,39 @@ def test_left_outer_join_null_emission_across_restart(
     assert second.get(3) is None and 3 in second, second
     assert second.get(0) == 1 and 2 in second, second  # append-only history
     assert 5 not in second, second           # tail click stays buffered
+
+
+def test_stream_sink_pysource_four_batches_and_zombie_invisible(spark):
+    """End-to-end over the Python streaming sink: the rate-limited
+    source must have driven MULTIPLE per-batch commits (one log per
+    micro-batch), the rerun build must have added none beyond the
+    first run's, and the planted zombie file must be invisible to
+    manifest-resolved readers while present on disk."""
+    from crime_data_batch_processing_spark import registry
+    from crime_data_batch_processing_spark.fixtures import scratch_dir
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        stream_manifest_files,
+    )
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = registry.QUERIES["stream_sink_pysource"](spark, sf_dir)
+    out = scratch_dir("streampysink", sf_dir, "events") + "/out"
+
+    logs = sorted(glob.glob(f"{out}/_batch_*.json"))
+    n_src_files = len(
+        glob.glob(
+            scratch_dir("streampysink", sf_dir, "events") + "/src/*.parquet"
+        )
+    )
+    assert len(logs) == n_src_files >= 2, (
+        "maxFilesPerTrigger=1 must produce one commit log per source "
+        f"file; got {len(logs)} logs for {n_src_files} files"
+    )
+
+    committed = stream_manifest_files(out)
+    assert f"{out}/data-zombie.parquet" not in committed
+    assert os.path.exists(f"{out}/data-zombie.parquet")
+    # no lost/duplicated rows across batches and across the rerun
+    total = df.agg({"n_events": "sum"}).first()[0]
+    assert total == load_table(spark, sf_dir, "events").count()
