@@ -66,6 +66,9 @@ _VERIFY_FIRST = [
     # the extension-point family).
     "scan_csv_malformed", "snapshot_expire", "snapshot_restore",
     "profile_observe", "stream_file_sink", "stream_sink_pysource",
+    # plus text_lm_score (quantized bigram-LM perplexity-filter) and
+    # analytics_market_share (TPC-H Q8), also new in round 6.
+    "text_lm_score", "analytics_market_share",
     # (2) code CHANGED in round 6: the manifest sink's append commit
     # is now serialized under a self-healing O_EXCL commit lock, and
     # the snapshot writers' partitionOverwriteMode toggles were

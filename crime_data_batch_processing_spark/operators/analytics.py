@@ -558,3 +558,106 @@ def analytics_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", "revenue")
     )
+
+
+#: Q8 parameters: target supplier nation inside the customer region's
+#: market, one part type, a two-year window. NATION_12 is the pair
+#: already proven populated at every sf (analytics_nation_volume).
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_12"
+MKT_TYPE = "ECONOMY"
+
+
+@query(
+    "analytics_market_share",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM(CAST(CASE WHEN sn.n_name = '{MKT_NATION}'
+                              THEN {_REVENUE} ELSE 0 END
+                         AS DECIMAL(28,6))) AS DOUBLE)
+           / CAST(SUM(CAST({_REVENUE} AS DECIMAL(28,6))) AS DOUBLE)
+               AS mkt_share,
+           {sql_dsum(_REVENUE)} AS total_volume
+    FROM region
+    JOIN nation cn  ON cn.n_regionkey = r_regionkey
+    JOIN customer   ON c_nationkey = cn.n_nationkey
+    JOIN orders     ON o_custkey = c_custkey
+    JOIN lineitem   ON l_orderkey = o_orderkey
+    JOIN part       ON p_partkey = l_partkey
+    JOIN supplier   ON s_suppkey = l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s_nationkey
+    WHERE r_name = '{MKT_REGION}'
+      AND p_type = '{MKT_TYPE}'
+      AND EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share inside a region's
+    market for one part type, per year — the eight-table snowflake
+    with TWO roles for the nation dim (customer side fixes the
+    market's region; supplier side labels whose volume it is) and a
+    conditional-over-total ratio readout.
+
+    Scale shape: the widest join in the analytics family, and still
+    one pass — every dim filter (region name, part type) sits on its
+    scan before its join; nation×2/region/supplier are broadcast
+    (bounded dims); the orders⋈lineitem spine is the only shuffled
+    fact join and the year predicate prunes it first. The share is
+    numerator/denominator of two decimal-exact sums folded in the
+    SAME aggregate (a CASE inside one dsum, not a second scan or a
+    self-join), then ONE IEEE division of identical doubles on both
+    engines — the `davg` bit-exactness pattern; Q8's classic
+    formulation as two aggregates over a subquery collapses into it.
+    """
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MKT_REGION
+    )
+    cnation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    snation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("sn_name"),
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == MKT_TYPE
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    ).filter(F.col("o_year").isin(1995, 1996))
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = F.expr(_REVENUE)
+    return (
+        customer.join(
+            F.broadcast(
+                cnation.join(
+                    F.broadcast(region),
+                    F.col("cn_region") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(snation), F.col("sn_key") == F.col("s_nationkey")
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(
+                    F.when(F.col("sn_name") == MKT_NATION, rev).otherwise(0.0)
+                )
+                / dsum(rev)
+            ).alias("mkt_share"),
+            dsum(rev).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )

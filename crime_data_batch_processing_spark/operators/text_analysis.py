@@ -621,3 +621,108 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.cast("bigint").alias("quality_score"),
         (logit >= QM_THRESHOLD).alias("keep"),
     )
+
+
+#: Probability quantum for the bigram LM: scores are integer counts of
+#: millionths, so the whole likelihood chain is exact cross-engine.
+LM_Q = 1_000_000
+
+
+@query(
+    "text_lm_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id, t[i + 1] AS ctx, t[i + 1] || ' ' || t[i + 2] AS gram
+        FROM tok, unnest(range(len(t) - 1)) AS u(i)
+    ), cb AS (
+        SELECT ctx, gram, COUNT(*) AS c_bi FROM g GROUP BY ctx, gram
+    ), cu AS (
+        SELECT ctx, CAST(SUM(c_bi) AS BIGINT) AS c_uni FROM cb GROUP BY ctx
+    ), q AS (
+        SELECT cb.gram, ({LM_Q} * cb.c_bi) // cu.c_uni AS q
+        FROM cb JOIN cu ON cu.ctx = cb.ctx
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(q.q) AS BIGINT) AS lm_score
+    FROM g JOIN q ON q.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model likelihood per document —
+    the PERPLEXITY-FILTER shape of pretraining-data curation (KenLM
+    scoring in CCNet/RefinedWeb pipelines): train counts on the corpus
+    itself, score every document by how typical its token transitions
+    are. Low scorers are boilerplate/garbled candidates; the signal
+    complements `text_quality`'s surface heuristics and
+    `text_quality_model`'s logit with actual sequence statistics.
+
+    Exactness design: the conditional probability P(w2|w1) is
+    quantized to integer millionths via integer division
+    (({LM_Q} * c_bigram) div c_context — no float, no log, no libm),
+    so per-doc score = SUM of exact integers, bit-equal cross-engine
+    by construction. The standard log-prob form would reintroduce the
+    JVM-vs-libm ULP drift `text_tfidf` had to engineer out; the
+    quantized-likelihood form monotonically preserves the ranking the
+    filter consumes.
+
+    Scale shape: one explode of per-doc (ctx, gram) struct arrays
+    (array built ONCE per row and the frame persisted before the
+    explode — textkit's generator-reevaluation rule); bigram counts =
+    one hash aggregate; context counts fold FROM the bigram table
+    (vocabulary-sized input, not a second corpus pass); the
+    gram→score join keys on the bigram string — vocabulary-sized
+    build side here (broadcast), key-partitioned shuffle join at
+    100 TB, exactly the `text_tfidf` df-join shape. Documents with
+    fewer than two tokens have no transitions and no row (both
+    engines).
+    """
+    from crime_data_batch_processing_spark import cachekit
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    n = F.size("t")
+    pairs = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i + 1).alias("ctx"),
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i + 1),
+                F.element_at(F.col("t"), i + 2),
+            ).alias("gram"),
+        ),
+    )
+    # persist the frame HOLDING the computed array BEFORE exploding:
+    # projection collapse would otherwise inline the transform() into
+    # the generator and re-evaluate it per OUTPUT row (~n_tokens x
+    # blowup — textkit's documented rule)
+    with_pairs = cachekit.track(
+        toks.select(
+            "doc_id",
+            F.when(n >= 2, pairs)
+            .otherwise(
+                F.array().cast("array<struct<ctx:string,gram:string>>")
+            )
+            .alias("pairs"),
+        ).persist()
+    )
+    g = with_pairs.select(
+        "doc_id", F.explode("pairs").alias("p")
+    ).select("doc_id", "p.ctx", "p.gram")
+    cb = g.groupBy("ctx", "gram").agg(F.count(F.lit(1)).alias("c_bi"))
+    cu = cb.groupBy("ctx").agg(F.sum("c_bi").alias("c_uni"))
+    q = cb.join(cu, "ctx").select(
+        "gram", F.expr(f"({LM_Q} * c_bi) div c_uni").alias("q")
+    )
+    return (
+        g.join(F.broadcast(q), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("lm_score"),
+        )
+    )

@@ -410,3 +410,69 @@ class TestRetentionPolicy:
         )
         assert retained == [20200102, 20200103]
         assert expired == [20200101]
+
+
+class TestBigramLmScore:
+    """text_lm_score's quantized-likelihood algebra vs an independent
+    pure-Python reference on arbitrary corpora."""
+
+    @staticmethod
+    def _reference(corpus):
+        from collections import Counter
+
+        c_bi, c_uni = Counter(), Counter()
+        for toks in corpus:
+            for a, b in zip(toks, toks[1:]):
+                c_bi[(a, b)] += 1
+                c_uni[a] += 1
+        out = {}
+        for doc_id, toks in enumerate(corpus):
+            grams = list(zip(toks, toks[1:]))
+            if not grams:
+                continue
+            score = sum(
+                (1_000_000 * c_bi[g]) // c_uni[g[0]] for g in grams
+            )
+            out[doc_id] = (len(grams), score)
+        return out
+
+    @given(
+        corpus=st.lists(
+            st.lists(
+                st.sampled_from("a b c d aa bb".split()),
+                min_size=0,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=6, deadline=None)
+    def test_engine_matches_reference(self, spark, corpus):
+        from crime_data_batch_processing_spark import cachekit
+        from crime_data_batch_processing_spark.operators.text_analysis import (
+            text_lm_score,
+        )
+
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                [
+                    (i, " ".join(toks), "en", "test", len(" ".join(toks)))
+                    for i, toks in enumerate(corpus)
+                ],
+                "doc_id bigint, text string, lang string, source string,"
+                " n_chars bigint",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, "documents.parquet")
+            )
+            try:
+                got = {
+                    r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+                    for r in text_lm_score(spark, d).collect()
+                }
+            finally:
+                cachekit.release_all()
+        assert got == self._reference(corpus)
