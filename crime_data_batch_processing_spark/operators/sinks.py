@@ -993,7 +993,18 @@ def snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .parquet(base)
                 )
             # the rollback: partition-pruned read of the good run,
-            # republished as the new latest dated partition
+            # republished as the new latest dated partition.
+            # SAFETY: this reads from `base` and overwrites the SAME
+            # `base` in one job — safe only under dynamic
+            # partitionOverwriteMode (the overwrite touches just the
+            # new _RESTORE_AS partition); under static mode the write
+            # would first DELETE the whole table, including the good
+            # partition being read. Guard against a refactor moving
+            # this outside the context manager above.
+            assert (
+                spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+                == "dynamic"
+            ), "snapshot_restore rollback requires dynamic overwrite mode"
             good = read_latest_snapshot(spark, base, _RESTORE_TO)
             (
                 stamp_partitions(good, _RESTORE_AS)

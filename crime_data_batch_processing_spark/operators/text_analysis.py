@@ -674,11 +674,12 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode — textkit's generator-reevaluation rule); bigram counts =
     one hash aggregate; context counts fold FROM the bigram table
     (vocabulary-sized input, not a second corpus pass); the
-    gram→score join keys on the bigram string — vocabulary-sized
-    build side here (broadcast), key-partitioned shuffle join at
-    100 TB, exactly the `text_tfidf` df-join shape. Documents with
-    fewer than two tokens have no transitions and no row (both
-    engines).
+    gram→score join keys on the bigram string — the join strategy is
+    left to AQE/size thresholds (no forced broadcast hint): a small
+    vocabulary auto-broadcasts, a 100 TB-corpus vocabulary falls back
+    to a key-partitioned shuffle join instead of OOMing the driver —
+    exactly the `text_tfidf` df-join shape. Documents with fewer than
+    two tokens have no transitions and no row (both engines).
     """
     from crime_data_batch_processing_spark import cachekit
 
@@ -719,7 +720,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gram", F.expr(f"({LM_Q} * c_bi) div c_uni").alias("q")
     )
     return (
-        g.join(F.broadcast(q), "gram")
+        g.join(q, "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

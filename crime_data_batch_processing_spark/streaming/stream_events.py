@@ -1343,9 +1343,9 @@ def stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     SimpleDataSourceStreamReader reads on the driver — right for
     control-plane-sized streams and for demonstrating the protocol;
-    the partition-based DataSourceStreamReader distributes range
-    reads across executors with the same offset contract
-    (documented in sources/pydatasource.py).
+    the executor-distributed partition-based variant with the same
+    offset contract is `stream_pysource_partitioned`
+    (sources/pydatasource.py:PartitionedParquetStreamReader).
     """
     from crime_data_batch_processing_spark.sources.pydatasource import (
         ChunkedParquetStreamSource,
@@ -1362,6 +1362,81 @@ def stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("sum_value"),
     )
     name = "cdbp_stream_pysource"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    ckpt = _scratch_ckpt()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+@query(
+    "stream_pysource_partitioned",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_pysource_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTOR-DISTRIBUTED streaming Python source — the scale leg of
+    the extension-point family that `stream_pysource`'s
+    SimpleDataSourceStreamReader deliberately is not: there the driver
+    itself reads every row (fine for control-plane streams, the named
+    scale-killer for a Kafka-shaped feed); here the driver only PLANS
+    — `latestOffset()` advances the {{"row": n}} cursor one chunk per
+    trigger and `partitions(start, end)` splits each micro-batch's
+    offset range into row-range InputPartitions — while `read()` runs
+    inside Spark tasks on executors, each reading only the row groups
+    overlapping its range and yielding Arrow record batches
+    (sources/pydatasource.py:PartitionedParquetStreamReader).
+
+    Per micro-batch the plan has TASKS(=4) source partitions, so
+    ingest parallelism scales with executors, not driver cores —
+    tests/test_streaming.py asserts >1 distinct
+    `spark_partition_id()` per batch actually materialized. The
+    downstream aggregate (per-type count + exact sum + min/max
+    event_id) proves NO row was lost or double-read across the
+    4 batches x 4 tasks grid: any dropped/duplicated range shifts a
+    count, an endpoint, or the exact-decimal sum.
+
+    The reference has no streaming at all (daily Airflow batch,
+    /root/reference/da-capstone-emr-airflow.py:94); this is the
+    protocol a production connector implements on Spark.
+    """
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        PartitionedEventsStreamSource,
+    )
+
+    spark.dataSource.register(PartitionedEventsStreamSource)
+    src = (
+        spark.readStream.format("chunked_events_partitioned")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    name = "cdbp_stream_pysource_partitioned"
     for q in spark.streams.active:
         if q.name == name:
             q.stop()

@@ -370,7 +370,9 @@ def test_left_outer_join_null_emission_across_restart(
     assert 5 not in second, second           # tail click stays buffered
 
 
-def test_stream_sink_pysource_four_batches_and_zombie_invisible(spark):
+def test_stream_sink_pysource_four_batches_and_zombie_invisible(
+    spark, sf_dir
+):
     """End-to-end over the Python streaming sink: the rate-limited
     source must have driven MULTIPLE per-batch commits (one log per
     micro-batch), the rerun build must have added none beyond the
@@ -383,7 +385,6 @@ def test_stream_sink_pysource_four_batches_and_zombie_invisible(spark):
     )
     from crime_data_batch_processing_spark.sources.tables import load_table
 
-    sf_dir = "/root/testdata/sf0.001"
     df = registry.QUERIES["stream_sink_pysource"](spark, sf_dir)
     out = scratch_dir("streampysink", sf_dir, "events") + "/out"
 
@@ -404,3 +405,70 @@ def test_stream_sink_pysource_four_batches_and_zombie_invisible(spark):
     # no lost/duplicated rows across batches and across the rerun
     total = df.agg({"n_events": "sum"}).first()[0]
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_partitioned_stream_source_reads_in_parallel_tasks(
+    spark, sf_dir, tmp_path
+):
+    """The partition-based DataSourceStreamReader must (a) split each
+    micro-batch into multiple InputPartitions at planning time and
+    (b) actually materialize rows from multiple Spark tasks per batch
+    — i.e., reads run on executors, not the driver (the scale
+    property `stream_pysource`'s simple reader deliberately lacks)."""
+    from pyspark.sql import functions as F
+
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        PartitionedEventsStreamSource,
+        PartitionedParquetStreamReader,
+        RowRangePartition,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    # (a) planning contract, driver-side: one trigger's offset range
+    # splits into TASKS row-range partitions covering it exactly
+    rdr = PartitionedParquetStreamReader(path)
+    end = rdr.latestOffset()
+    parts = rdr.partitions({"row": 0}, end)
+    assert len(parts) == rdr.TASKS > 1
+    assert parts[0].lo == 0 and parts[-1].hi == end["row"]
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi == b.lo, "ranges must tile without gap/overlap"
+    assert isinstance(parts[0], RowRangePartition)
+    # empty/inverted ranges (restart fast-forward) plan zero tasks
+    assert rdr.partitions(end, end) == []
+    assert rdr.partitions(end, {"row": 0}) == []
+
+    # (b) execution: stamp each ingested row with its task's partition
+    # id; every micro-batch must have rows from >1 distinct task
+    spark.dataSource.register(PartitionedEventsStreamSource)
+    src = (
+        spark.readStream.format("chunked_events_partitioned")
+        .option("path", path)
+        .load()
+        .select(F.spark_partition_id().alias("pid"), "event_id")
+    )
+    batches: dict[int, set[int]] = {}
+
+    def sink(batch_df, batch_id: int) -> None:
+        pids = {r.pid for r in batch_df.select("pid").distinct().collect()}
+        if pids:
+            batches[batch_id] = pids
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    assert len(batches) >= PartitionedParquetStreamReader.CHUNKS
+    for batch_id, pids in batches.items():
+        assert len(pids) > 1, (
+            f"micro-batch {batch_id} read from a single task: {pids} — "
+            "reads are not executor-distributed"
+        )
