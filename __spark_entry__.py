@@ -55,51 +55,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # machinery has been touched since).  Keys verified green in round 2 at
 # unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
-    # (1) ZERO driver evidence: scan_csv_malformed landed in the
-    # final round-5 commits after that round's verification sweep
-    # started (the one key with no CORRECTNESS row in any round);
-    # snapshot_expire / snapshot_restore are NEW in round 6 (the
-    # storage-lifecycle pair completing the snapshot family), as are
-    # profile_observe (single-pass observe() QC metrics),
-    # stream_file_sink (exactly-once streaming parquet sink), and
-    # stream_sink_pysource (Python streaming sink — the fourth leg of
-    # the extension-point family).
-    "scan_csv_malformed", "snapshot_expire", "snapshot_restore",
-    "profile_observe", "stream_file_sink", "stream_sink_pysource",
-    # plus text_lm_score (quantized bigram-LM perplexity-filter) and
-    # analytics_market_share (TPC-H Q8), also new in round 6.
-    "text_lm_score", "analytics_market_share",
-    # (2) code CHANGED in round 6: the manifest sink's append commit
-    # is now serialized under a self-healing O_EXCL commit lock, and
-    # the snapshot writers' partitionOverwriteMode toggles were
-    # factored into one shared context manager — prior green rows
-    # predate the new code paths. (latest_snapshot, also touched, is
-    # already in group (4) below.)
-    "sink_pysource", "latest_snapshot_catalog",
-    "sink_partition_overwrite", "snapshot_as_of",
-    # (3) last driver-green in ROUND 1 — the 13 oldest rows in the
-    # table; their shared machinery (textkit, cachekit, fixtures
-    # locking) has been refactored since.
-    "dedup_exact", "doc_chunks", "map_json_funcs", "pivot_wide",
-    "scan_binary", "scan_catalog", "scan_csv", "scan_json",
-    "scan_orc", "scan_source", "set_intersect_except", "sim_search",
-    "unpivot_long",
-    # (4) last driver-green in ROUND 2 — the next-oldest generation;
-    # all 29 fit this round's cap after the groups above.
-    "dedup_minhash", "dedup_simhash", "sort_limit", "topk_per_group",
-    "subquery_exists", "subquery_in", "subquery_scalar",
-    "latest_snapshot", "sink_partitioned", "pipeline_pretrain",
-    "multimodal_cols", "multimodal_thumbnail", "pack_sequences",
-    "udf_scalar", "udaf_grouped",
-    "string_funcs", "math_funcs", "date_parts", "cond_funcs",
-    "array_explode", "array_funcs",
-    "agg_listagg", "agg_mode", "agg_approx_percentile",
-    "text_token_count", "text_quality", "text_lang_id",
-    "text_fingerprint", "text_pii_scrub",
-    # (5) last driver-green in ROUND 3 — the oldest remaining
-    # generation fills whatever cap slots are left (~4 of ~50);
-    # streaming keys first (their shared runner/fold machinery is the
-    # most-touched since r3), the rest roll to round 7.
+    # (1) NEW in round 7 — zero driver evidence: the
+    # executor-distributed partition-based streaming Python source,
+    # the TPC-H Q17/Q20 decorrelation shapes, and BM25 lexical
+    # retrieval.
+    "stream_pysource_partitioned", "analytics_small_qty_revenue",
+    "analytics_part_promotion", "text_bm25",
+    # (2) code CHANGED in round 7: text_lm_score's gram-score join
+    # strategy is now AQE-decided (forced broadcast hint dropped) —
+    # its r6 green row predates the new plan.
+    "text_lm_score",
+    # (3) last driver-green in ROUND 2 — the 4 oldest rows in the
+    # table (they sat at positions 51-54 of the r6 rotation and
+    # missed the exactly-50 cap).
+    "text_quality", "text_lang_id", "text_fingerprint",
+    "text_pii_scrub",
+    # (4) last driver-green in ROUND 3 — the final stale generation.
+    # Streaming first (their shared runner/pydatasource machinery was
+    # touched again this round), then windows/analytics/joins/ANN.
+    # 41 of the 47 fit the ~50 cap; the spill-overs in group (5)
+    # have stable dedicated machinery untouched since r3.
     "stream_stateful", "stream_events", "stream_cdc_upsert",
     "stream_dedup", "stream_rollup_incremental", "stream_session",
     "stream_static_join", "stream_stream_join",
@@ -110,16 +85,21 @@ _VERIFY_FIRST = [
     "analytics_shipping_priority", "analytics_regional_revenue",
     "analytics_returned_revenue", "analytics_large_orders",
     "agg_corr", "agg_histogram", "agg_salted",
-    "cdc_upsert", "dedup_clusters", "dedup_clusters_star",
-    "dedup_embedding", "graph_triangles",
+    "dedup_clusters", "dedup_clusters_star", "dedup_embedding",
     "join_asof", "join_range_bucketed", "join_salted",
     "join_skew_aqe", "join_theta",
-    "pipeline_curate", "rollup_hypertable",
     "sample_hash", "sample_mixture", "sample_stratified",
-    "scan_jdbc", "sim_search_ivf", "sim_search_lsh", "sim_search_sq",
-    "snapshot_diff", "text_decontaminate", "text_repetition",
-    # keys green in rounds 4-5 on the current generation sort last in
-    # dict order — unchanged code, freshest driver evidence.
+    "sim_search_ivf", "sim_search_lsh", "sim_search_sq",
+    "text_decontaminate", "text_repetition",
+    # (5) r3-stale keys expected to spill past the ~50 cap (round-8
+    # front-load), then the round-7 hardening-only changes whose r6
+    # rows remain value-accurate (commit-lock ownership check, the
+    # snapshot_restore mode assert — both covered by pytest).
+    "graph_triangles", "scan_jdbc", "snapshot_diff", "cdc_upsert",
+    "rollup_hypertable", "pipeline_curate",
+    "snapshot_restore", "sink_pysource", "stream_sink_pysource",
+    # keys green in rounds 4-6 on current code sort last in dict
+    # order — unchanged code, freshest driver evidence.
 ]
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
+from crime_data_batch_processing_spark.functions.exact import dcol, dsum, sql_dsum
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -660,4 +660,174 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(rev).alias("total_volume"),
         )
         .orderBy("o_year")
+    )
+
+
+#: Q17 parameters: one brand's small-quantity orders. Brand#13 + the
+#: size cap is populated at every generated sf (probed before landing).
+SQ_BRAND = "Brand#13"
+SQ_MAX_SIZE = 25
+
+
+@query(
+    "analytics_small_qty_revenue",
+    oracle=f"""
+    WITH pavg AS (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sq,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+             AND p.p_brand = '{SQ_BRAND}' AND p.p_size <= {SQ_MAX_SIZE}
+    JOIN pavg a ON a.l_partkey = l.l_partkey
+    WHERE CAST(5 * a.cnt AS DECIMAL(14,0))
+          * CAST(l.l_quantity AS DECIMAL(12,6)) < a.sq
+    """,
+)
+def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost if small-quantity orders
+    (below 20% of the part's own average order quantity) moved to a
+    cheaper channel — the CORRELATED SCALAR-AVG THRESHOLD idiom:
+    `l_quantity < (SELECT 0.2*AVG(l_quantity) WHERE l_partkey = p)`.
+
+    Decorrelation discipline (same as `analytics_large_orders`): the
+    per-part average is ONE grouped pre-aggregate over lineitem joined
+    back on the part key — never a per-row re-execution of the inner
+    query. Spark's partial aggregation combines the per-part sums
+    map-side before the single shuffle; the brand/size-filtered probe
+    side joins against the broadcast part dim first, so only matching
+    parts reach the threshold join.
+
+    Exactness: the 0.2×avg comparison is restated multiplicatively —
+    `5 · cnt · qty < sum_qty` — in bounded-width DECIMALs on BOTH
+    engines, so the threshold never touches a division or an IEEE
+    rounding; widths are chosen to stay under both engines' 38-digit
+    cap ((14,0)×(12,6) → (27,6) product vs the (38,6) sum). The final
+    `avg_yearly` is one identical double division (/7.0) of the
+    decimal-exact revenue sum — the `davg` pattern.
+
+    Reference parity: the reference's engine answers only its one
+    COUNT query (/root/reference/spark_process_script.py:37); this is
+    a capability extension named by SURVEY.md §2.3.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == SQ_BRAND) & (F.col("p_size") <= SQ_MAX_SIZE)
+    ).select("p_partkey")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pavg = lineitem.groupBy("l_partkey").agg(
+        F.sum(dcol("l_quantity")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    probe = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    return (
+        probe.join(F.broadcast(part), probe.l_partkey == part.p_partkey)
+        .join(pavg, "l_partkey")
+        .filter(
+            (F.col("cnt") * 5).cast("decimal(14,0)")
+            * F.col("l_quantity").cast("double").cast("decimal(12,6)")
+            < F.col("sq")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
+        )
+    )
+
+
+#: Q20 parameters: parts by name pattern, one ship year, and the
+#: "dominant supplier" threshold (shipped more than half the part's
+#: total) standing in for TPC-H's partsupp.ps_availqty/2 — the
+#: testdata has no partsupp table.
+PROMO_NAME_PAT = "%widget%"
+PROMO_YEAR_LO = "1997-01-01"
+PROMO_YEAR_HI = "1998-01-01"
+
+
+@query(
+    "analytics_part_promotion",
+    oracle=f"""
+    WITH sp AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(28,6))) AS q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{PROMO_YEAR_LO} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{PROMO_YEAR_HI} 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+        SELECT l_partkey, SUM(q) AS tq FROM sp GROUP BY l_partkey
+    )
+    SELECT s.s_name, n.n_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_nationkey % 2 = 0
+      AND s.s_suppkey IN (
+          SELECT sp.l_suppkey
+          FROM sp
+          JOIN tot ON tot.l_partkey = sp.l_partkey
+          JOIN part p ON p.p_partkey = sp.l_partkey
+                     AND p.p_name LIKE '{PROMO_NAME_PAT}'
+          WHERE 2 * CAST(sp.q AS DECIMAL(18,6)) > tot.tq
+      )
+    ORDER BY s.s_name, s.s_acctbal
+    """,
+)
+def analytics_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers worth a promotion offer — the
+    DOUBLE-NESTED SEMI-JOIN WITH AGGREGATE THRESHOLD idiom: suppliers
+    (filtered by nation) semi-joined to the set of (part, supplier)
+    pairs whose shipped quantity in the window exceeds an
+    aggregate-derived threshold, itself restricted to a name-pattern
+    part set. The testdata has no partsupp, so the availqty/2
+    threshold is restated on lineitem itself: a supplier qualifies if
+    it shipped MORE THAN HALF of the part's total windowed quantity
+    (the "dominant supplier" reading — same plan shape, same
+    decorrelation problem).
+
+    Plan discipline: both aggregates are grouped pre-aggregates — the
+    per-(part,supplier) sums feed a SECOND fold to per-part totals
+    (vocabulary-sized input, not a second corpus scan), joined back
+    and threshold-filtered; the qualifying supplier keys then drive a
+    LEFT SEMI join against the broadcast-sized supplier⋈nation dim.
+    No correlated re-execution anywhere; the ship-date window is
+    pushed to the parquet scan. The half-share comparison is
+    2·q > tq in bounded DECIMALs ((18,6) doubles to (20ish,6), well
+    under the 38 cap) — exact in both engines, no division.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= PROMO_YEAR_LO)
+        & (F.col("l_shipdate") < PROMO_YEAR_HI)
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(PROMO_NAME_PAT.replace("%", "%"))
+    ).select("p_partkey")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_nationkey") % 2 == 0
+    )
+    sp = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dcol("l_quantity")).alias("q")
+    )
+    tot = sp.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    qualifying = (
+        sp.join(F.broadcast(part), sp.l_partkey == part.p_partkey)
+        .join(tot, "l_partkey")
+        .filter(F.col("q").cast("decimal(18,6)") * 2 > F.col("tq"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            qualifying,
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy("s_name", "s_acctbal")
     )

@@ -727,3 +727,183 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q").alias("lm_score"),
         )
     )
+
+
+#: BM25 parameters (Robertson/Sparck-Jones defaults) and the derived
+#: constants spelled as LITERALS so the Spark expressions and the
+#: oracle SQL parse the identical doubles (1.2+1.0 == 2.2 and
+#: 1.0-0.75 == 0.25 hold exactly in IEEE, asserted in tests).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K1P1 = 2.2  # k1 + 1
+BM25_1MB = 0.25  # 1 - b
+#: Every doc_id ≡ 0 (mod stride) becomes a retrieval query; its
+#: distinct ≥4-char tokens are the query terms.
+BM25_QUERY_STRIDE = 250
+BM25_TOP_K = 10
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT doc_id, dl, token, COUNT(*) AS tf
+        FROM tf GROUP BY 1, 2, 3
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                   / COUNT(*) AS avgdl
+        FROM documents
+    ), df AS (
+        SELECT token, COUNT(*) AS df FROM counts GROUP BY 1
+    ), idf AS (
+        SELECT d.df,
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
+                        / (d.df + 0.5)) AS idf
+        FROM (SELECT DISTINCT df FROM df) d CROSS JOIN stats s
+    ), qterms AS (
+        SELECT DISTINCT t.doc_id AS query_id, t.token
+        FROM tf t
+        WHERE t.doc_id % {BM25_QUERY_STRIDE} = 0 AND len(t.token) >= 4
+    ), scored AS (
+        SELECT q.query_id, c.doc_id,
+               COUNT(*) AS n_terms,
+               CAST(SUM(CAST(
+                   i.idf * ((CAST(c.tf AS DOUBLE) * {BM25_K1P1})
+                            / (CAST(c.tf AS DOUBLE)
+                               + {BM25_K1} * ({BM25_1MB}
+                                  + {BM25_B} * (CAST(c.dl AS DOUBLE)
+                                                / s.avgdl))))
+                   AS DECIMAL(28,6))) AS DOUBLE) AS score
+        FROM counts c
+        JOIN qterms q ON q.token = c.token
+        JOIN df d ON d.token = c.token
+        JOIN idf i ON i.df = d.df
+        CROSS JOIN stats s
+        GROUP BY q.query_id, c.doc_id
+    )
+    SELECT query_id, doc_id, n_terms, score, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {BM25_TOP_K}
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents per query — the
+    retrieval half of decontamination/eval tooling that
+    `text_decontaminate`'s membership probe stops short of, and the
+    lexical sibling of the `sim_search` embedding ladder.
+
+    score(q,d) = Σ_t idf(df_t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)),
+    k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)) — the
+    Robertson-Sparck-Jones formulation Lucene uses.
+
+    Bit-exactness: reuses `text_tfidf`'s glibc-log discipline
+    verbatim — idf is precomputed in PYTHON over the bounded distinct
+    observed df values (capped + overflow-asserted at IDF_TABLE_CAP)
+    and broadcast, so the JVM's 1-ULP-divergent Math.log never enters
+    the value chain. Every other op in the per-term score is a plain
+    IEEE +,·,/ with the SAME parenthesization and the SAME parsed
+    literals on both engines (2.2/0.25 spelled as literals because
+    1.2+1.0 and 1.0-0.75 happen to be exact; avgdl is one exact-int
+    division both sides), so per-term scores are bit-identical and
+    the per-(query,doc) fold is the order-independent decimal dsum.
+
+    Scale shape — term-at-a-time retrieval: corpus tf table (one
+    explode + one aggregate, dl carried as a group key so no
+    doc-length join), df/idf tables vocabulary-sized and broadcast;
+    the posting join keys on token against the query-term table —
+    stride-derived here for oracle reproducibility, standing in for
+    an external bounded query workload; its join strategy is left to
+    AQE (a bounded query set auto-broadcasts; a corpus-scale one
+    key-partitions instead of OOMing — the `text_lm_score` lesson).
+    Top-k per query is one window with a total-order tiebreak.
+    """
+    import math
+
+    from crime_data_batch_processing_spark import cachekit
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs, sum_dl = (
+        docs.select(tokens("text").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("t")).alias("s"),
+        )
+        .first()
+    )
+    avgdl = sum_dl / n_docs  # exact ints < 2^53 → one IEEE division
+
+    terms = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("dl"),
+        F.explode(tokens("text")).alias("token"),
+    )
+    # persisted: feeds the df aggregate AND the posting join
+    counts = cachekit.track(
+        terms.groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dft = cachekit.track(
+        counts.groupBy("token").agg(F.count(F.lit(1)).alias("df")).persist()
+    )
+    df_values = [
+        r[0]
+        for r in dft.select("df").distinct().limit(IDF_TABLE_CAP + 1).collect()
+    ]
+    assert len(df_values) <= IDF_TABLE_CAP, "idf table cap overflow"
+    idf_table = spark.createDataFrame(
+        [
+            (d, math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+            for d in df_values
+        ],
+        "df bigint, idf double",
+    )
+
+    qterms = (
+        counts.filter(
+            (F.col("doc_id") % BM25_QUERY_STRIDE == 0)
+            & (F.length("token") >= 4)
+        )
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+
+    tfD = F.col("tf").cast("double")
+    dlD = F.col("dl").cast("double")
+    term_score = F.col("idf") * (
+        (tfD * F.lit(BM25_K1P1))
+        / (
+            tfD
+            + F.lit(BM25_K1)
+            * (F.lit(BM25_1MB) + F.lit(BM25_B) * (dlD / F.lit(avgdl)))
+        )
+    )
+    scored = (
+        counts.join(qterms, "token")
+        .join(F.broadcast(dft), "token")
+        .join(F.broadcast(idf_table), "df")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(term_score.cast("double").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "n_terms", "score", "rank")
+    )

@@ -550,3 +550,115 @@ class TestIncrementalDedup:
         for r in rows:
             if r.verdict != "unique":
                 assert r.dup_of is not None and r.dup_of != r.doc_id, r
+
+
+class TestBM25:
+    def test_literal_identities(self):
+        """The SQL literals 2.2/0.25 must equal the Python-derived
+        constants exactly (the docstring's bit-exactness claim)."""
+        from crime_data_batch_processing_spark.operators.text_analysis import (
+            BM25_1MB,
+            BM25_B,
+            BM25_K1,
+            BM25_K1P1,
+        )
+
+        assert BM25_K1 + 1.0 == BM25_K1P1
+        assert 1.0 - BM25_B == BM25_1MB
+
+    def test_topk_shape_and_rank_order(self, spark, sf_dir):
+        """Each query returns at most TOP_K rows with dense ranks
+        1..k and non-increasing scores. (Self-retrieval at rank 1 is
+        NOT asserted: BM25's length normalization legitimately ranks
+        a shorter doc sharing the terms above the longer query doc.)"""
+        from crime_data_batch_processing_spark import registry
+        from crime_data_batch_processing_spark.operators.text_analysis import (
+            BM25_QUERY_STRIDE,
+            BM25_TOP_K,
+        )
+
+        rows = registry.QUERIES["text_bm25"](spark, sf_dir).collect()
+        assert rows, "no queries scored"
+        by_query: dict[int, list] = {}
+        for r in rows:
+            by_query.setdefault(r.query_id, []).append(r)
+        for qid, group in by_query.items():
+            assert qid % BM25_QUERY_STRIDE == 0
+            ranks = sorted(r.rank for r in group)
+            assert ranks == list(range(1, len(group) + 1))
+            assert len(group) <= BM25_TOP_K
+            ordered = sorted(group, key=lambda r: r.rank)
+            for a, b in zip(ordered, ordered[1:]):
+                assert a.score >= b.score
+            for r in group:
+                assert r.n_terms >= 1
+
+    def test_matches_pure_python_reference(self, spark, sf_dir):
+        """Full independent replay: BM25 recomputed in plain Python
+        (collections + math + Decimal per-term rounding mirroring
+        dsum) must produce the identical top-k doc ordering AND
+        6dp-equal scores for every query."""
+        import math
+        from collections import Counter
+        from decimal import Decimal
+
+        import pyarrow.parquet as pq
+
+        from crime_data_batch_processing_spark import registry
+        from crime_data_batch_processing_spark.operators.text_analysis import (
+            BM25_1MB,
+            BM25_B,
+            BM25_K1,
+            BM25_K1P1,
+            BM25_QUERY_STRIDE,
+            BM25_TOP_K,
+        )
+
+        tab = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        docs = dict(
+            zip(tab.column("doc_id").to_pylist(), tab.column("text").to_pylist())
+        )
+        toks = {d: t.split(" ") for d, t in docs.items()}
+        n_docs = len(docs)
+        avgdl = sum(len(t) for t in toks.values()) / n_docs
+        tf = {d: Counter(t) for d, t in toks.items()}
+        df = Counter()
+        for c in tf.values():
+            df.update(c.keys())
+
+        def score(qterms, d):
+            c, dl, s = tf[d], len(toks[d]), Decimal(0)
+            for t in qterms:
+                if t not in c:
+                    continue
+                idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                v = idf * (
+                    (c[t] * BM25_K1P1)
+                    / (c[t] + BM25_K1 * (BM25_1MB + BM25_B * (dl / avgdl)))
+                )
+                s += Decimal(v).quantize(Decimal("0.000001"))
+            return float(s)
+
+        expected = {}
+        for qid in (d for d in docs if d % BM25_QUERY_STRIDE == 0):
+            qterms = {t for t in toks[qid] if len(t) >= 4}
+            scored = [
+                (d, score(qterms, d))
+                for d in docs
+                if any(t in tf[d] for t in qterms)
+            ]
+            scored.sort(key=lambda x: (-x[1], x[0]))
+            expected[qid] = scored[:BM25_TOP_K]
+
+        rows = registry.QUERIES["text_bm25"](spark, sf_dir).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, []).append(r)
+        assert set(got) == set(expected)
+        for qid in expected:
+            g = sorted(got[qid], key=lambda r: r.rank)
+            assert [r.doc_id for r in g] == [d for d, _ in expected[qid]], qid
+            for r, (_, s) in zip(g, expected[qid]):
+                assert abs(r.score - s) < 1e-9, (qid, r.doc_id, r.score, s)

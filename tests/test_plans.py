@@ -848,3 +848,42 @@ def test_stream_file_sink_commits_through_metadata_log(spark, sf_dir):
 
     base = scratch_dir("streamfilesink", sf_dir, "events")
     assert os.path.isdir(f"{base}/out/_spark_metadata")
+
+
+def test_small_qty_revenue_decorrelates_to_one_aggregate(spark, sf_dir):
+    """Q17's correlated 0.2*AVG threshold must plan as ONE grouped
+    pre-aggregate over lineitem joined back (plus the final global
+    fold) — never a per-row re-execution of the inner query — with
+    the brand/size part filter broadcast against the probe side."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        physical_plan,
+        uses_broadcast_join,
+    )
+
+    df = registry.QUERIES["analytics_small_qty_revenue"](spark, sf_dir)
+    plan = physical_plan(df)
+    # partial+final of the per-part aggregate and of the global sum:
+    # at most 4 HashAggregates, not one per probe row
+    assert count_nodes(df, "HashAggregate") <= 4, plan
+    assert uses_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_part_promotion_semi_join_and_single_fact_scan(spark, sf_dir):
+    """Q20's nested IN must plan as a LEFT SEMI join driven by the
+    pre-aggregated qualifying keys; the per-part total folds FROM the
+    per-(part,supplier) aggregate (vocabulary-sized), and the
+    ship-date window is pushed to the lineitem scan."""
+    from crime_data_batch_processing_spark.plans import (
+        has_pushed_filters,
+        physical_plan,
+        uses_broadcast_join,
+    )
+
+    df = registry.QUERIES["analytics_part_promotion"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert uses_broadcast_join(df), plan
+    assert has_pushed_filters(df), plan
+    assert "CartesianProduct" not in plan, plan
