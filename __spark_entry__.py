@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     # retrieval.
     "stream_pysource_partitioned", "analytics_small_qty_revenue",
     "analytics_part_promotion", "text_bm25",
+    "analytics_disjunctive_revenue", "analytics_sleeping_customers",
     # (2) code CHANGED in round 7: text_lm_score's gram-score join
     # strategy is now AQE-decided (forced broadcast hint dropped) —
     # its r6 green row predates the new plan.
@@ -90,11 +91,11 @@ _VERIFY_FIRST = [
     "join_skew_aqe", "join_theta",
     "sample_hash", "sample_mixture", "sample_stratified",
     "sim_search_ivf", "sim_search_lsh", "sim_search_sq",
-    "text_decontaminate", "text_repetition",
     # (5) r3-stale keys expected to spill past the ~50 cap (round-8
     # front-load), then the round-7 hardening-only changes whose r6
     # rows remain value-accurate (commit-lock ownership check, the
     # snapshot_restore mode assert — both covered by pytest).
+    "text_decontaminate", "text_repetition",
     "graph_triangles", "scan_jdbc", "snapshot_diff", "cdc_upsert",
     "rollup_hypertable", "pipeline_curate",
     "snapshot_restore", "sink_pysource", "stream_sink_pysource",

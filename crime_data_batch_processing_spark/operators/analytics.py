@@ -831,3 +831,150 @@ def analytics_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name", "s_acctbal")
         .orderBy("s_name", "s_acctbal")
     )
+
+
+#: Q19 branch parameters: three (brand, max size, quantity window)
+#: disjuncts — every branch proven populated at every generated sf.
+DISJ_BRANCHES = (
+    ("Brand#12", 15, 1, 11),
+    ("Brand#23", 20, 10, 20),
+    ("Brand#3", 25, 20, 30),
+)
+
+
+def _disj_sql() -> str:
+    return " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {sz}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, sz, qlo, qhi in DISJ_BRANCHES
+    )
+
+
+@query(
+    "analytics_disjunctive_revenue",
+    oracle=f"""
+    SELECT COUNT(*) AS n_items,
+           {sql_dsum(_REVENUE)} AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE {_disj_sql()}
+    """,
+)
+def analytics_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue over an OR-of-ANDs
+    predicate spanning BOTH join sides — the disjunctive-predicate
+    stress test: three (brand, size-range, quantity-window) branches
+    OR'd together, each mixing part columns and lineitem columns.
+
+    Why this shape matters at 100 TB: a naive planner treats the
+    disjunction as a join condition and falls into a nested loop.
+    Catalyst instead extracts the conjunctive equi-key
+    (p_partkey = l_partkey) for a hash join and evaluates the
+    disjunction as a post-join filter; additionally, the
+    per-side implications of the OR (p_brand IN (...) with its size
+    bounds on the part scan, the union quantity window on lineitem)
+    are derivable via CNF conversion. The plan test asserts the join
+    stays hash/broadcast (no BroadcastNestedLoopJoin, no
+    CartesianProduct) — the property that survives scale-up.
+
+    Exactness: COUNT + decimal-exact dsum of the discount revenue;
+    BETWEEN bounds are integers against integer-valued doubles, so
+    branch membership is exact in both engines.
+    """
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disj = None
+    for b, sz, qlo, qhi in DISJ_BRANCHES:
+        branch = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, sz)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        disj = branch if disj is None else (disj | branch)
+    return (
+        lineitem.join(
+            F.broadcast(part),
+            (F.col("p_partkey") == F.col("l_partkey")) & disj,
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.expr(_REVENUE)).alias("revenue"),
+        )
+    )
+
+
+#: Q22 parameters: the "country code" pool and the recency cutoff
+#: that defines a sleeping customer (no order on/after it). The
+#: testdata's every customer has SOME order, so TPC-H's "never
+#: ordered" anti-join is restated as "no recent order" — same plan
+#: shape (anti-join against a filtered orders scan), non-vacuous at
+#: every generated sf.
+SLEEP_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+SLEEP_CUTOFF = "2000-06-01"
+
+
+@query(
+    "analytics_sleeping_customers",
+    oracle=f"""
+    WITH pool AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        WHERE c_nationkey IN {SLEEP_NATIONS}
+          AND c_acctbal > 0
+    ), thr AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS t
+        FROM pool
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           {sql_dsum('c_acctbal')} AS total_acctbal
+    FROM pool, thr
+    WHERE c_acctbal > thr.t
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '{SLEEP_CUTOFF} 00:00:00'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def analytics_sleeping_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers gone quiet — the
+    GLOBAL-AVG SCALAR THRESHOLD + ANTI-JOIN composition closing out
+    the decorrelation family (Q17 per-group scalar, Q20 nested
+    semi-join, Q21 double quantifier, Q22 global scalar + NOT
+    EXISTS): positive-balance customers in a nation pool whose
+    balance exceeds the pool's average and who placed no order since
+    the cutoff.
+
+    Plan discipline: the scalar average is ONE single-row aggregate
+    broadcast back over the pool (never a re-scan per row — the
+    `analytics_important_parts` pattern); NOT EXISTS becomes a LEFT
+    ANTI join whose right side is the orders scan with the recency
+    predicate PUSHED DOWN (the anti-join sees only recent orders,
+    a fraction of the fact at any scale); final fold is a tiny
+    per-nation aggregate. Threshold exactness: davg's decimal-exact
+    sum over one IEEE division — identical doubles both engines, so
+    the > cut is bit-deterministic.
+    """
+    pool = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*SLEEP_NATIONS) & (F.col("c_acctbal") > 0)
+    )
+    thr = pool.agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("t")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= f"{SLEEP_CUTOFF} 00:00:00"
+    ).select("o_custkey")
+    return (
+        pool.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

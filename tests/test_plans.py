@@ -887,3 +887,39 @@ def test_part_promotion_semi_join_and_single_fact_scan(spark, sf_dir):
     assert uses_broadcast_join(df), plan
     assert has_pushed_filters(df), plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_disjunctive_join_stays_hash_not_nested_loop(spark, sf_dir):
+    """Q19's OR-of-ANDs spanning both join sides must NOT degrade the
+    join: Catalyst extracts the conjunctive equi-key for a
+    hash/broadcast join and evaluates the disjunction as a filter."""
+    from crime_data_batch_processing_spark.plans import (
+        physical_plan,
+        uses_broadcast_join,
+    )
+
+    df = registry.QUERIES["analytics_disjunctive_revenue"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert uses_broadcast_join(df), plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sleeping_customers_anti_join_with_pushed_recency(spark, sf_dir):
+    """Q22's NOT EXISTS must plan as a LEFT ANTI join whose orders
+    side carries the recency predicate into the scan, and the scalar
+    average must be one single-row aggregate (broadcast), never a
+    per-row re-scan."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        physical_plan,
+    )
+
+    df = registry.QUERIES["analytics_sleeping_customers"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "o_orderdate" in plan and "PushedFilters" in plan, plan
+    # pool aggregate (partial+final), threshold single-row aggregate
+    # (partial+final), final per-nation fold (partial+final) ≤ 6 —
+    # never one aggregate per customer row
+    assert count_nodes(df, "HashAggregate") <= 6, plan
