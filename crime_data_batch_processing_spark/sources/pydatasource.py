@@ -531,11 +531,15 @@ class PartitionedParquetStreamReader(DataSourceStreamReader):
     batches. No row is read on the driver.
 
     Restart note: the cursor is in-memory, so a restarted query's
-    first `latestOffset()` can trail the checkpointed start;
-    `partitions()` fast-forwards the cursor and returns [] for such
-    inverted/empty ranges, so a restart under-plans (empty batches)
-    rather than re-reads. A production connector derives the tail
-    from the source of truth and never hits this.
+    first `latestOffset()` can trail the checkpointed start, making
+    the engine plan an INVERTED range (end < start); `partitions()`
+    returns [] for it, fast-forwards the cursor, and records the
+    stranded start as a served high-water mark — every later batch's
+    range is clipped to begin at the HWM, so rows behind it are never
+    planned twice even though the inverted batch regressed the offset
+    log. Net effect: a restart under-plans (empty batches) rather
+    than re-reads. A production connector derives the tail from the
+    source of truth (e.g. broker end offsets) and never hits this.
     """
 
     CHUNKS = 4  # micro-batches to serve the file in
@@ -545,6 +549,7 @@ class PartitionedParquetStreamReader(DataSourceStreamReader):
         self.path = path
         self._total: int | None = None
         self._planned = 0
+        self._served_hwm = 0
 
     def _rows(self) -> int:
         import pyarrow.parquet as pq
@@ -565,12 +570,20 @@ class PartitionedParquetStreamReader(DataSourceStreamReader):
         return {"row": self._planned}
 
     def partitions(self, start: dict, end: dict):
-        lo, hi = start["row"], end["row"]
+        # clip to the served high-water mark: after a restart the
+        # engine can log an inverted batch (end behind the
+        # checkpointed start) and then plan a later range that
+        # re-covers rows already served before the restart — rows
+        # behind the HWM must never be planned twice
+        lo = max(start["row"], self._served_hwm)
+        hi = end["row"]
         # fast-forward the rate-limit cursor past a checkpointed
         # start the fresh in-memory cursor hasn't caught up to yet
         self._planned = max(self._planned, hi, lo)
         if hi <= lo:
+            self._served_hwm = max(self._served_hwm, lo)
             return []
+        self._served_hwm = max(self._served_hwm, hi)
         import math
 
         stride = math.ceil((hi - lo) / self.TASKS)

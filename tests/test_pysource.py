@@ -254,3 +254,98 @@ def test_stream_sink_log_order_is_numeric_not_lexical(tmp_path):
         w.commit([msgs[bid]], batchId=bid)
     names = [os.path.basename(f) for f in stream_manifest_files(path)]
     assert names == [msgs[1].filename, msgs[2].filename, msgs[10].filename]
+
+
+def test_partitioned_stream_reader_row_group_slicing(tmp_path):
+    """The executor-side read() must return EXACTLY rows [lo, hi)
+    across row-group boundaries — only overlapping row groups touched,
+    partial overlaps sliced, no row lost or doubled when a partition
+    straddles several groups or starts/ends mid-group."""
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        PartitionedParquetStreamReader,
+        RowRangePartition,
+    )
+
+    path = str(tmp_path / "events.parquet")
+    table = pa.table(
+        {
+            "event_id": list(range(100)),
+            "event_type": ["a"] * 100,
+            "value": [float(i) for i in range(100)],
+        }
+    )
+    pq.write_table(table, path, row_group_size=30)  # groups: 30/30/30/10
+
+    r = PartitionedParquetStreamReader(path)
+
+    def ids(lo, hi):
+        out = []
+        for batch in r.read(RowRangePartition(lo, hi)):
+            out.extend(batch.column(0).to_pylist())
+        return out
+
+    assert ids(0, 100) == list(range(100))        # whole file
+    assert ids(10, 20) == list(range(10, 20))     # inside one group
+    assert ids(25, 65) == list(range(25, 65))     # straddles two edges
+    assert ids(30, 60) == list(range(30, 60))     # exactly one group
+    assert ids(95, 100) == list(range(95, 100))   # tail group
+    assert ids(60, 60) == []                      # empty range
+
+    # full micro-batch grid: union of all partitions over all offsets
+    # reproduces every row exactly once
+    got = []
+    start = r.initialOffset()
+    for _ in range(r.CHUNKS):
+        end = r.latestOffset()
+        for p in r.partitions(start, end):
+            got.extend(ids(p.lo, p.hi))
+        start = end
+    assert got == list(range(100))
+
+
+def test_partitioned_stream_reader_restart_never_replans_served_rows(
+    tmp_path,
+):
+    """Restart regression scenario: the engine logs an inverted batch
+    (end behind the checkpointed start) because the fresh reader's
+    rate-limit cursor trails, then plans a later range that re-covers
+    rows served before the restart. The served high-water mark must
+    clip that range so no row is planned twice."""
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        PartitionedParquetStreamReader,
+    )
+
+    path = str(tmp_path / "events.parquet")
+    table = pa.table(
+        {
+            "event_id": list(range(100)),
+            "event_type": ["a"] * 100,
+            "value": [float(i) for i in range(100)],
+        }
+    )
+    pq.write_table(table, path)
+
+    # pre-restart instance served [0, 75)
+    r1 = PartitionedParquetStreamReader(path)
+    start = r1.initialOffset()
+    for _ in range(3):
+        end = r1.latestOffset()
+        assert r1.partitions(start, end)
+        start = end
+    assert start == {"row": 75}
+
+    # fresh instance = restarted query; its first latestOffset (25)
+    # trails the checkpointed start (75) → inverted batch
+    r2 = PartitionedParquetStreamReader(path)
+    inverted_end = r2.latestOffset()
+    assert inverted_end == {"row": 25}
+    assert r2.partitions({"row": 75}, inverted_end) == []
+    # the engine's offset log regressed to 25; the next planned range
+    # re-covers [25, 100) — the HWM must clip it to [75, 100)
+    nxt = r2.latestOffset()
+    parts = r2.partitions(inverted_end, nxt)
+    covered = [(p.lo, p.hi) for p in parts]
+    assert covered and covered[0][0] == 75, covered
+    assert covered[-1][1] == nxt["row"]
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi == b.lo
