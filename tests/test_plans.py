@@ -903,6 +903,11 @@ def test_disjunctive_join_stays_hash_not_nested_loop(spark, sf_dir):
     assert uses_broadcast_join(df), plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # Catalyst derives each side's implication of the OR and pushes it
+    # into that side's scan: the lineitem scan gets the union quantity
+    # windows, the part scan the brand/size disjunction
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan, plan
+    assert "Or(Or(And(EqualTo(p_brand" in plan, plan
 
 
 def test_sleeping_customers_anti_join_with_pushed_recency(spark, sf_dir):
