@@ -700,7 +700,10 @@ def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     query. Spark's partial aggregation combines the per-part sums
     map-side before the single shuffle; the brand/size-filtered probe
     side joins against the broadcast part dim first, so only matching
-    parts reach the threshold join.
+    parts reach the threshold join — and the pre-aggregate itself is
+    restricted by the same broadcast part set (LEFT SEMI before the
+    groupBy), so the corpus-scale shuffle carries only surviving
+    parts' sums (values identical on every part the query consults).
 
     Exactness: the 0.2×avg comparison is restated multiplicatively —
     `5 · cnt · qty < sum_qty` — in bounded-width DECIMALs on BOTH
@@ -718,9 +721,23 @@ def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == SQ_BRAND) & (F.col("p_size") <= SQ_MAX_SIZE)
     ).select("p_partkey")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    pavg = lineitem.groupBy("l_partkey").agg(
-        F.sum(dcol("l_quantity")).alias("sq"),
-        F.count(F.lit(1)).alias("cnt"),
+    # the threshold is only ever consulted for parts surviving the
+    # brand/size filter, so pre-restrict the corpus-scale aggregate
+    # with a broadcast semi-join — per-part sums for surviving parts
+    # are unchanged (the oracle aggregates ALL parts; values agree on
+    # every part the query reads), while the shuffle shrinks by the
+    # part-filter selectivity (~25x here) at any scale
+    pavg = (
+        lineitem.join(
+            F.broadcast(part),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dcol("l_quantity")).alias("sq"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
     )
     probe = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
     return (
@@ -802,7 +819,7 @@ def analytics_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < PROMO_YEAR_HI)
     )
     part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").like(PROMO_NAME_PAT.replace("%", "%"))
+        F.col("p_name").like(PROMO_NAME_PAT)
     ).select("p_partkey")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(

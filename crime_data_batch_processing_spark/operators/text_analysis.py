@@ -831,27 +831,30 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crime_data_batch_processing_spark import cachekit
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs, sum_dl = (
-        docs.select(tokens("text").alias("t"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.size("t")).alias("s"),
-        )
-        .first()
-    )
-    avgdl = sum_dl / n_docs  # exact ints < 2^53 → one IEEE division
-
     terms = docs.select(
         "doc_id",
         F.size(tokens("text")).alias("dl"),
         F.explode(tokens("text")).alias("token"),
     )
-    # persisted: feeds the df aggregate AND the posting join
+    # persisted: feeds the corpus stats, the df aggregate AND the
+    # posting join — ONE tokenize pass over the corpus total
     counts = cachekit.track(
         terms.groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()
     )
+    # corpus stats fold FROM the persisted tf table (dl rides along
+    # as a group key, so one distinct over doc-count rows — never a
+    # second corpus-sized tokenize scan; split("") yields [""], so
+    # every document, even empty text, has ≥1 counts row and the
+    # doc count matches COUNT(*) over documents)
+    n_docs, sum_dl = (
+        counts.select("doc_id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .first()
+    )
+    avgdl = sum_dl / n_docs  # exact ints < 2^53 → one IEEE division
     dft = cachekit.track(
         counts.groupBy("token").agg(F.count(F.lit(1)).alias("df")).persist()
     )

@@ -518,38 +518,43 @@ class PartitionedParquetStreamReader(DataSourceStreamReader):
     """Serve a parquet file as offset-ranged micro-batches whose reads
     are DISTRIBUTED across executor tasks.
 
-    Driver side: `latestOffset()` advances a rate-limit cursor one
-    chunk per trigger (the admission-control idiom for serving a
-    bounded source as multiple batches — a live connector would
-    return the external system's real tail instead);
-    `partitions(start, end)` splits the planned range into TASKS
-    row-range partitions. Executor side: `read(partition)` opens the
-    file, reads ONLY the row groups overlapping its [lo, hi) range
-    (bounded per-task I/O when the file has many row groups — the
-    same statistics-era pruning the batch RowGroupParquetReader
-    does), slices exactly to the range, and yields Arrow record
-    batches. No row is read on the driver.
+    Driver side: `latestOffset()` reports the available tail;
+    `partitions(start, end)` splits each micro-batch's offset range
+    into TASKS row-range partitions — a PURE function of
+    (start, end), which is what makes crash-replay deterministic (the
+    engine re-plans an uncommitted batch from its WAL'd offsets on a
+    FRESH reader instance; any instance-local adjustment here would
+    replay a different row set than the first attempt). Executor
+    side: `read(partition)` opens the file, reads ONLY the row groups
+    overlapping its [lo, hi) range (bounded per-task I/O when the
+    file has many row groups — the same statistics-era pruning the
+    batch RowGroupParquetReader does), slices exactly to the range,
+    and yields Arrow record batches. No row is read on the driver.
 
-    Restart note: the cursor is in-memory, so a restarted query's
-    first `latestOffset()` can trail the checkpointed start, making
-    the engine plan an INVERTED range (end < start); `partitions()`
-    returns [] for it, fast-forwards the cursor, and records the
-    stranded start as a served high-water mark — every later batch's
-    range is clipped to begin at the HWM, so rows behind it are never
-    planned twice even though the inverted batch regressed the offset
-    log. Net effect: a restart under-plans (empty batches) rather
-    than re-reads. A production connector derives the tail from the
-    source of truth (e.g. broker end offsets) and never hits this.
+    Rate limiting and restarts: serving a bounded file as MULTIPLE
+    micro-batches needs a cursor, and an in-memory cursor is a
+    correctness trap — a restarted query's fresh instance would
+    report a tail BEHIND the checkpointed offset, the engine would
+    log that regressed offset, and a later crash-replay would
+    re-serve rows earlier batches already committed. So the cursor is
+    DURABLE: pass `cursor_dir` (a directory owned by the query,
+    created alongside its checkpoint — the stream-identity option a
+    real connector keys its bookkeeping on, like a Kafka group.id)
+    and `commit(end)` persists each committed offset there;
+    `latestOffset()` never reports below the persisted floor, so the
+    offset log can never regress. Without `cursor_dir` the reader is
+    STATELESS: the tail is the file end and the whole file arrives as
+    one multi-task batch — trivially restart-safe.
     """
 
-    CHUNKS = 4  # micro-batches to serve the file in
+    CHUNKS = 4  # micro-batches to serve the file in (with a cursor)
     TASKS = 4  # parallel read tasks per micro-batch
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, cursor_dir: str | None = None) -> None:
         self.path = path
+        self.cursor_dir = cursor_dir
         self._total: int | None = None
         self._planned = 0
-        self._served_hwm = 0
 
     def _rows(self) -> int:
         import pyarrow.parquet as pq
@@ -558,6 +563,18 @@ class PartitionedParquetStreamReader(DataSourceStreamReader):
             self._total = pq.read_metadata(self.path).num_rows
         return self._total
 
+    def _committed_floor(self) -> int:
+        import json
+        import os
+
+        if not self.cursor_dir:
+            return 0
+        try:
+            with open(os.path.join(self.cursor_dir, "offset.json")) as f:
+                return json.load(f)["row"]
+        except (FileNotFoundError, ValueError):
+            return 0
+
     def initialOffset(self) -> dict:
         return {"row": 0}
 
@@ -565,25 +582,19 @@ class PartitionedParquetStreamReader(DataSourceStreamReader):
         import math
 
         total = self._rows()
+        if not self.cursor_dir:
+            return {"row": total}  # stateless: the real tail
         step = math.ceil(total / self.CHUNKS)
-        self._planned = min(self._planned + step, total)
+        base = max(self._planned, self._committed_floor())
+        self._planned = min(base + step, total)
         return {"row": self._planned}
 
     def partitions(self, start: dict, end: dict):
-        # clip to the served high-water mark: after a restart the
-        # engine can log an inverted batch (end behind the
-        # checkpointed start) and then plan a later range that
-        # re-covers rows already served before the restart — rows
-        # behind the HWM must never be planned twice
-        lo = max(start["row"], self._served_hwm)
-        hi = end["row"]
-        # fast-forward the rate-limit cursor past a checkpointed
-        # start the fresh in-memory cursor hasn't caught up to yet
-        self._planned = max(self._planned, hi, lo)
+        # PURE in (start, end): replay of a WAL'd batch on a fresh
+        # instance must plan the identical row set
+        lo, hi = start["row"], end["row"]
         if hi <= lo:
-            self._served_hwm = max(self._served_hwm, lo)
             return []
-        self._served_hwm = max(self._served_hwm, hi)
         import math
 
         stride = math.ceil((hi - lo) / self.TASKS)
@@ -613,7 +624,22 @@ class PartitionedParquetStreamReader(DataSourceStreamReader):
             yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass  # nothing external to acknowledge for a static file
+        # Durable source-side bookkeeping: persist the committed
+        # offset so a restarted instance's latestOffset never reports
+        # behind it. Atomic publish (tmp + rename); monotone guard so
+        # an out-of-order commit cannot move the floor backwards.
+        import json
+        import os
+
+        if not self.cursor_dir:
+            return
+        if end["row"] <= self._committed_floor():
+            return
+        os.makedirs(self.cursor_dir, exist_ok=True)
+        tmp = os.path.join(self.cursor_dir, "offset.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"row": end["row"]}, f)
+        os.replace(tmp, os.path.join(self.cursor_dir, "offset.json"))
 
 
 class PartitionedEventsStreamSource(DataSource):
@@ -628,4 +654,6 @@ class PartitionedEventsStreamSource(DataSource):
         return "event_id bigint, event_type string, value double"
 
     def streamReader(self, schema):
-        return PartitionedParquetStreamReader(self.options["path"])
+        return PartitionedParquetStreamReader(
+            self.options["path"], self.options.get("cursor_dir")
+        )

@@ -1416,6 +1416,13 @@ def stream_pysource_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 batches x 4 tasks grid: any dropped/duplicated range shifts a
     count, an endpoint, or the exact-decimal sum.
 
+    The `cursor_dir` option is the source's DURABLE rate-limit
+    bookkeeping (commit() persists each committed offset; the tail
+    never regresses across restarts — the correctness trap an
+    in-memory cursor has). It lives alongside the checkpoint and
+    shares its lifecycle; without it the source serves the whole
+    file as one (still multi-task) batch.
+
     The reference has no streaming at all (daily Airflow batch,
     /root/reference/da-capstone-emr-airflow.py:94); this is the
     protocol a production connector implements on Spark.
@@ -1425,9 +1432,11 @@ def stream_pysource_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.dataSource.register(PartitionedEventsStreamSource)
+    ckpt = _scratch_ckpt()
     src = (
         spark.readStream.format("chunked_events_partitioned")
         .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("cursor_dir", ckpt + "_cursor")
         .load()
     )
     agg = src.groupBy("event_type").agg(
@@ -1440,7 +1449,6 @@ def stream_pysource_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    ckpt = _scratch_ckpt()
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -1454,6 +1462,7 @@ def stream_pysource_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(ckpt + "_cursor", ignore_errors=True)
     return spark.table(name)
 
 

@@ -303,14 +303,13 @@ def test_partitioned_stream_reader_row_group_slicing(tmp_path):
     assert got == list(range(100))
 
 
-def test_partitioned_stream_reader_restart_never_replans_served_rows(
-    tmp_path,
-):
-    """Restart regression scenario: the engine logs an inverted batch
-    (end behind the checkpointed start) because the fresh reader's
-    rate-limit cursor trails, then plans a later range that re-covers
-    rows served before the restart. The served high-water mark must
-    clip that range so no row is planned twice."""
+def test_partitioned_stream_reader_durable_cursor_restart(tmp_path):
+    """The durable cursor must make restarts safe BY CONSTRUCTION:
+    a fresh instance sharing the cursor_dir reports a tail at (or
+    past) the persisted committed offset — the offset log can never
+    regress — while partitions(start, end) stays a PURE function of
+    its arguments so a crash-replay of a WAL'd batch on yet another
+    fresh instance plans the identical row set."""
     from crime_data_batch_processing_spark.sources.pydatasource import (
         PartitionedParquetStreamReader,
     )
@@ -324,28 +323,60 @@ def test_partitioned_stream_reader_restart_never_replans_served_rows(
         }
     )
     pq.write_table(table, path)
+    cursor = str(tmp_path / "cursor")
 
-    # pre-restart instance served [0, 75)
-    r1 = PartitionedParquetStreamReader(path)
+    # run A: serve and COMMIT [0, 50), then plan-but-crash (50, 75)
+    r1 = PartitionedParquetStreamReader(path, cursor)
     start = r1.initialOffset()
-    for _ in range(3):
+    for _ in range(2):
         end = r1.latestOffset()
         assert r1.partitions(start, end)
+        r1.commit(end)
         start = end
-    assert start == {"row": 75}
+    assert start == {"row": 50}
+    wal_end = r1.latestOffset()          # planned, never committed
+    first_plan = [(p.lo, p.hi) for p in r1.partitions(start, wal_end)]
 
-    # fresh instance = restarted query; its first latestOffset (25)
-    # trails the checkpointed start (75) → inverted batch
-    r2 = PartitionedParquetStreamReader(path)
-    inverted_end = r2.latestOffset()
-    assert inverted_end == {"row": 25}
-    assert r2.partitions({"row": 75}, inverted_end) == []
-    # the engine's offset log regressed to 25; the next planned range
-    # re-covers [25, 100) — the HWM must clip it to [75, 100)
-    nxt = r2.latestOffset()
-    parts = r2.partitions(inverted_end, nxt)
-    covered = [(p.lo, p.hi) for p in parts]
-    assert covered and covered[0][0] == 75, covered
-    assert covered[-1][1] == nxt["row"]
-    for a, b in zip(parts, parts[1:]):
-        assert a.hi == b.lo
+    # crash-replay: a FRESH instance re-plans the WAL'd batch — must
+    # produce the identical row set (purity), not a clipped/shifted one
+    r2 = PartitionedParquetStreamReader(path, cursor)
+    replay = [(p.lo, p.hi) for p in r2.partitions(start, wal_end)]
+    assert replay == first_plan
+
+    # clean restart: the fresh instance's tail starts from the
+    # persisted committed floor — never behind it (no inverted batch,
+    # no offset-log regression, no re-serving of committed rows)
+    r3 = PartitionedParquetStreamReader(path, cursor)
+    tail = r3.latestOffset()
+    assert tail["row"] > 50
+    assert all(p.lo >= 50 for p in r3.partitions({"row": 50}, tail))
+
+    # commit monotone guard: a stale commit cannot move the floor back
+    r3.commit({"row": 10})
+    assert PartitionedParquetStreamReader(path, cursor)._committed_floor() >= 50
+
+
+def test_partitioned_stream_reader_stateless_without_cursor(tmp_path):
+    """Without cursor_dir the reader is stateless: the tail is the
+    file end (restart-trivially-safe), served as ONE multi-task
+    batch; commit() is a no-op."""
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        PartitionedParquetStreamReader,
+    )
+
+    path = str(tmp_path / "events.parquet")
+    table = pa.table(
+        {
+            "event_id": list(range(40)),
+            "event_type": ["a"] * 40,
+            "value": [float(i) for i in range(40)],
+        }
+    )
+    pq.write_table(table, path)
+    r = PartitionedParquetStreamReader(path)
+    assert r.latestOffset() == {"row": 40}
+    assert r.latestOffset() == {"row": 40}  # no cursor advance
+    parts = r.partitions({"row": 0}, {"row": 40})
+    assert len(parts) == r.TASKS
+    r.commit({"row": 40})  # no-op, no cursor file anywhere
+    assert not list(tmp_path.glob("**/offset.json"))

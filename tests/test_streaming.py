@@ -427,7 +427,7 @@ def test_partitioned_stream_source_reads_in_parallel_tasks(
 
     # (a) planning contract, driver-side: one trigger's offset range
     # splits into TASKS row-range partitions covering it exactly
-    rdr = PartitionedParquetStreamReader(path)
+    rdr = PartitionedParquetStreamReader(path, str(tmp_path / "cur0"))
     end = rdr.latestOffset()
     parts = rdr.partitions({"row": 0}, end)
     assert len(parts) == rdr.TASKS > 1
@@ -435,7 +435,7 @@ def test_partitioned_stream_source_reads_in_parallel_tasks(
     for a, b in zip(parts, parts[1:]):
         assert a.hi == b.lo, "ranges must tile without gap/overlap"
     assert isinstance(parts[0], RowRangePartition)
-    # empty/inverted ranges (restart fast-forward) plan zero tasks
+    # empty/inverted ranges plan zero tasks
     assert rdr.partitions(end, end) == []
     assert rdr.partitions(end, {"row": 0}) == []
 
@@ -445,6 +445,7 @@ def test_partitioned_stream_source_reads_in_parallel_tasks(
     src = (
         spark.readStream.format("chunked_events_partitioned")
         .option("path", path)
+        .option("cursor_dir", str(tmp_path / "cur1"))
         .load()
         .select(F.spark_partition_id().alias("pid"), "event_id")
     )
