@@ -57,11 +57,15 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_FIRST = [
     # (1) NEW in round 7 — zero driver evidence: the
     # executor-distributed partition-based streaming Python source,
-    # the TPC-H Q17/Q20 decorrelation shapes, and BM25 lexical
-    # retrieval.
+    # the TPC-H Q17/Q20 decorrelation shapes, BM25 lexical
+    # retrieval, and the Q2/Q12/Q14/Q15/Q16 completion of the
+    # composed analytics family.
     "stream_pysource_partitioned", "analytics_small_qty_revenue",
     "analytics_part_promotion", "text_bm25",
     "analytics_disjunctive_revenue", "analytics_sleeping_customers",
+    "analytics_min_cost_supplier", "analytics_late_shipments",
+    "analytics_promo_share", "analytics_top_supplier",
+    "analytics_supplier_variety",
     # (2) code CHANGED in round 7: text_lm_score's gram-score join
     # strategy is now AQE-decided (forced broadcast hint dropped) —
     # its r6 green row predates the new plan.

@@ -995,3 +995,389 @@ def analytics_sleeping_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+#: Q12 parameters: the late-shipment threshold (days past order date)
+#: and the ship-year window — both proven populated at every sf.
+Q12_LATE_DAYS = 60
+Q12_YEAR_LO = "1996-01-01"
+Q12_YEAR_HI = "1997-01-01"
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "analytics_late_shipments",
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN
+                         ('{HIGH_PRIORITIES[0]}', '{HIGH_PRIORITIES[1]}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN
+                         ('{HIGH_PRIORITIES[0]}', '{HIGH_PRIORITIES[1]}')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+      AND l_shipdate >= TIMESTAMP '{Q12_YEAR_LO} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{Q12_YEAR_HI} 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def analytics_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: order-priority mix of LATE shipments per line
+    status — the CONDITIONAL TWO-WAY COUNT idiom (one pass, two CASE
+    counters) over a join predicate that COMPARES COLUMNS FROM BOTH
+    SIDES (`l_shipdate > o_orderdate + 60 days`). The testdata has no
+    l_shipmode/l_commitdate, so the category is l_linestatus and
+    "late" is restated against the order date — same plan shape.
+
+    Scale shape: the ship-year window is a single-side predicate, so
+    it pushes to the lineitem parquet scan and prunes BEFORE the
+    shuffle; the cross-side lateness predicate cannot push (it needs
+    both tables) and correctly stays a post-join filter on the one
+    equi-join. Both priority counters fold in the SAME grouped
+    aggregate — one pass, map-side partials, never two scans. Counts
+    are exact longs (BIGINT-cast in the oracle: DuckDB SUM(int) is
+    HUGEINT, which its pandas bridge would narrow to float64).
+
+    Reference parity: the reference's one query counts rows per group
+    (/root/reference/spark_process_script.py:37); this is the
+    capability extension named by SURVEY.md §2.3.
+    """
+    high = F.col("o_orderpriority").isin(*HIGH_PRIORITIES)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= f"{Q12_YEAR_LO} 00:00:00")
+            & (F.col("l_shipdate") < f"{Q12_YEAR_HI} 00:00:00")
+        )
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+#: Q14 parameters: the promo part type (an exact category in the
+#: generated p_type domain — six values, no prefixes) and one ship
+#: month, proven populated at every sf.
+PROMO_TYPE = "PROMO"
+PROMO_MONTH_LO = "1996-03-01"
+PROMO_MONTH_HI = "1996-04-01"
+
+
+@query(
+    "analytics_promo_share",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(CASE WHEN p_type = '{PROMO_TYPE}'
+                          THEN {_REVENUE} ELSE 0 END
+                          AS DECIMAL(28,6))) AS DOUBLE)
+           / CAST(SUM(CAST({_REVENUE} AS DECIMAL(28,6))) AS DOUBLE)
+           * 100.0 AS promo_share,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '{PROMO_MONTH_LO} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{PROMO_MONTH_HI} 00:00:00'
+    """,
+)
+def analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one month's revenue from promo
+    parts — the CASE-RATIO readout (conditional sum over total sum,
+    scaled to percent) that `analytics_market_share` uses per-group,
+    here as a single global aggregate.
+
+    Scale shape: the month window pushes to the lineitem scan
+    (~1/80th of the fact survives before the join); part is the
+    broadcast dim; numerator and denominator fold in ONE aggregate (a
+    CASE inside the same dsum — never two scans or a self-join). Both
+    sums are decimal-exact, then exactly one IEEE division and one
+    multiply of identical doubles on both engines — bit-deterministic
+    without any float accumulation order dependence.
+    """
+    rev = F.expr(_REVENUE)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= f"{PROMO_MONTH_LO} 00:00:00")
+        & (F.col("l_shipdate") < f"{PROMO_MONTH_HI} 00:00:00")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .agg(
+            (
+                dsum(
+                    F.when(F.col("p_type") == PROMO_TYPE, rev).otherwise(0.0)
+                )
+                / dsum(rev)
+                * 100.0
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+#: Q15 parameters: the top-supplier revenue quarter.
+TOPSUPP_LO = "1996-01-01"
+TOPSUPP_HI = "1996-04-01"
+
+
+@query(
+    "analytics_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_dsum(_REVENUE)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{TOPSUPP_LO} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{TOPSUPP_HI} 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue
+    — the AGGREGATE-OVER-AGGREGATE scalar idiom (the classic CREATE
+    VIEW revenue / WHERE total_revenue = (SELECT MAX(...) FROM view)
+    formulation), keeping ALL ties like the spec's equality predicate.
+
+    Plan discipline: the revenue view is ONE grouped pre-aggregate of
+    the window-pruned lineitem scan; the scalar max is a single-row
+    aggregate of that (supplier-cardinality) frame broadcast back over
+    it — never a window over an unpartitioned sort (which would funnel
+    every supplier row through one task at scale) and never a re-scan.
+    The equality join on the revenue value is exact: both sides are
+    the SAME decimal-exact double values, so max-equality is
+    bit-deterministic in both engines. The supplier dim joins
+    broadcast to the one surviving row group.
+    """
+    rev = F.expr(_REVENUE)
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= f"{TOPSUPP_LO} 00:00:00")
+        & (F.col("l_shipdate") < f"{TOPSUPP_HI} 00:00:00")
+    )
+    revenue = lineitem.groupBy(
+        F.col("l_suppkey").alias("supplier_no")
+    ).agg(dsum(rev).alias("total_revenue"))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(
+            F.broadcast(supplier),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+#: Q16 parameters: the excluded brand/type, the size list, and the
+#: "complaints" stand-in (the testdata has no s_comment — low account
+#: balance marks the excluded suppliers; threshold chosen so the
+#: exclusion set is non-empty from sf0.01 up).
+VARIETY_EXCL_BRAND = "Brand#45"
+VARIETY_EXCL_TYPE = "PROMO"
+VARIETY_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+VARIETY_BAL_CUT = 500.0
+
+
+@query(
+    "analytics_supplier_variety",
+    oracle=f"""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> '{VARIETY_EXCL_BRAND}'
+      AND p_type <> '{VARIETY_EXCL_TYPE}'
+      AND p_size IN {VARIETY_SIZES}
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < {VARIETY_BAL_CUT}
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def analytics_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    (brand, type, size) bucket, excluding one brand/type, a size list,
+    and a "complaints" supplier set — the COUNT-DISTINCT-PER-GROUP +
+    NOT-IN idiom. The testdata has no partsupp, so the part–supplier
+    relation is lineitem's (l_partkey, l_suppkey) pairs; no s_comment,
+    so the excluded set is low-balance suppliers.
+
+    Scale shape: the part predicate (brand/type/size-list) joins
+    broadcast FIRST, cutting the fact by the size-list selectivity
+    (8/50) before any shuffle; NOT IN becomes a LEFT ANTI join against
+    the tiny filtered supplier set (broadcast — and safe for NOT IN
+    semantics here because s_suppkey is a non-null key column). The
+    distinct count is Spark's two-phase distinct aggregate: partial
+    dedup of (group, suppkey) map-side, then one shuffle on the group
+    key — never a driver-side distinct. Count BIGINT-cast on the
+    oracle side as usual.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != VARIETY_EXCL_BRAND)
+        & (F.col("p_type") != VARIETY_EXCL_TYPE)
+        & F.col("p_size").isin(*VARIETY_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complaints = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < VARIETY_BAL_CUT
+    ).select("s_suppkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+#: Q2 parameters: one part size/type and the supplier region. The
+#: partsupp stand-in derives (part, supplier, cost) from lineitem:
+#: supplycost := MIN(l_extendedprice) over the pair's lines (MIN of
+#: doubles is selection, not accumulation — bit-exact cross-engine
+#: with no decimal detour).
+MINCOST_SIZE = 15
+MINCOST_TYPE = "STANDARD"
+MINCOST_REGION = "EUROPE"
+
+
+@query(
+    "analytics_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{MINCOST_REGION}'
+    ), best AS (
+        SELECT ps.l_partkey, MIN(ps.supplycost) AS min_cost
+        FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey
+        GROUP BY ps.l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+    FROM ps
+    JOIN eu   ON eu.s_suppkey = ps.l_suppkey
+    JOIN best ON best.l_partkey = ps.l_partkey
+             AND ps.supplycost = best.min_cost
+    JOIN part ON p_partkey = ps.l_partkey
+    WHERE p_size = {MINCOST_SIZE} AND p_type = '{MINCOST_TYPE}'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+)
+def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part of one size/type, the
+    minimum-cost supplier within one region — the CORRELATED MIN
+    SUBQUERY idiom (`ps_supplycost = (SELECT MIN(ps_supplycost) ...
+    WHERE same part, region suppliers)`), keeping all ties. The
+    testdata has no partsupp: the pair relation and its cost come
+    from lineitem (supplycost := MIN price over the pair's lines).
+
+    Decorrelation discipline (the family's standard): the per-part
+    regional minimum is ONE grouped aggregate joined back on
+    (partkey, cost-equality) — never a per-part re-execution. The
+    corpus-scale pair aggregate is pre-restricted by BOTH broadcast
+    semi-joins (the size/type part set, ~1/300 selectivity, and the
+    region's supplier set, 1/5) before its shuffle — value-preserving
+    because the query only ever consults pairs passing both filters
+    (the oracle aggregates all pairs, then applies the same filters
+    via joins; surviving pairs' MINs agree because MIN commutes with
+    the row filter on the pair's OWN group). Cost equality on doubles
+    is exact: MIN is selection of an input value, both engines pick
+    the identical bit pattern.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == MINCOST_SIZE)
+        & (F.col("p_type") == MINCOST_TYPE)
+    ).select("p_partkey", "p_name")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MINCOST_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(eu.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supplycost"))
+    )
+    best = ps.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        ps.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "supplycost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )

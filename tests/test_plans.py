@@ -928,3 +928,107 @@ def test_sleeping_customers_anti_join_with_pushed_recency(spark, sf_dir):
     # (partial+final), final per-nation fold (partial+final) ≤ 6 —
     # never one aggregate per customer row
     assert count_nodes(df, "HashAggregate") <= 6, plan
+
+
+def test_late_shipments_pushes_window_keeps_equi_join(spark, sf_dir):
+    """Q12's single-side ship-year window must push to the lineitem
+    scan; the cross-side lateness predicate (l_shipdate vs
+    o_orderdate+60d) cannot push and must stay a filter on the ONE
+    equi-join — never a nested loop; both CASE counters fold in one
+    grouped aggregate (partial+final = 2)."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        has_pushed_filters,
+        physical_plan,
+    )
+
+    df = registry.QUERIES["analytics_late_shipments"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_pushed_filters(df), plan
+    assert "l_shipdate" in plan, plan
+    assert count_nodes(df, "HashAggregate") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_promo_share_single_aggregate_single_scan(spark, sf_dir):
+    """Q14's ratio must fold numerator and denominator in ONE
+    aggregate over ONE month-pruned scan (CASE inside the sum), with
+    the part dim broadcast — never two scans or a self-join."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        has_pushed_filters,
+        physical_plan,
+        uses_broadcast_join,
+    )
+
+    df = registry.QUERIES["analytics_promo_share"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert uses_broadcast_join(df), plan
+    assert has_pushed_filters(df), plan
+    # one global aggregate, partial+final
+    assert count_nodes(df, "HashAggregate") <= 2, plan
+    # exactly one lineitem scan feeds it
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_top_supplier_scalar_max_not_global_window(spark, sf_dir):
+    """Q15's MAX-of-view threshold must be a single-row aggregate
+    broadcast back over the revenue view — never a window over an
+    unpartitioned sort (which funnels every supplier through one
+    task) and never a re-scan of lineitem per comparison."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        physical_plan,
+        uses_broadcast_join,
+    )
+
+    df = registry.QUERIES["analytics_top_supplier"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert uses_broadcast_join(df), plan
+    # revenue view (partial+final, statically planned on BOTH consumer
+    # branches — AQE reuses the exchange at runtime) + scalar max
+    # (partial+final) = 6; the bound is O(1), never one per supplier
+    assert count_nodes(df, "HashAggregate") <= 6, plan
+    assert plan.count("lineitem.parquet") <= 2, plan
+
+
+def test_supplier_variety_anti_join_broadcast_part_first(spark, sf_dir):
+    """Q16's NOT IN must plan as LEFT ANTI against the broadcast
+    filtered supplier set, with the brand/type/size-list part
+    predicate applied via a broadcast join BEFORE the distinct-count
+    shuffle; the distinct count stays Spark's two-phase distinct
+    aggregate, never a driver-side distinct."""
+    from crime_data_batch_processing_spark.plans import (
+        physical_plan,
+        uses_broadcast_join,
+    )
+
+    df = registry.QUERIES["analytics_supplier_variety"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert uses_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_min_cost_supplier_semi_restricted_pre_aggregate(spark, sf_dir):
+    """Q2's correlated MIN must decorrelate to one grouped aggregate
+    joined back on (part, cost-equality); the corpus-scale pair
+    aggregate must be pre-restricted by BOTH broadcast semi-joins
+    (part set, region supplier set) BEFORE its shuffle."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        physical_plan,
+        uses_broadcast_join,
+    )
+
+    df = registry.QUERIES["analytics_min_cost_supplier"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("LeftSemi") >= 2, plan
+    assert uses_broadcast_join(df), plan
+    # pair aggregate (partial+final, statically planned on BOTH
+    # consumer branches — AQE reuses the exchange at runtime) +
+    # per-part min (partial+final) = 6; O(1), never one per part
+    assert count_nodes(df, "HashAggregate") <= 6, plan
+    assert "CartesianProduct" not in plan, plan
