@@ -1125,3 +1125,99 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Shannon-entropy log tables are bounded metadata: distinct
+#: per-(user,type) counts and distinct per-user totals each number in
+#: the dozens at any sf (the count DOMAIN grows ~log with data volume,
+#: not linearly). Cap + assert like text_tfidf's idf table.
+ENTROPY_TABLE_CAP = 100_000
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ), u AS (
+        SELECT user_id,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               COUNT(*) AS n_types,
+               CAST(SUM(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,6)))
+                    AS DOUBLE) AS s
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           ln(CAST(n_events AS DOUBLE)) - s / n_events AS entropy
+    FROM u
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity / domain-mix diagnostic (a user hammering one
+    event type scores 0; uniform use of k types scores ln k). The same
+    shape scores corpus domain balance in curation pipelines
+    (`text_domain_mix` reports shares; entropy collapses them to one
+    comparable scalar per key).
+
+    Identity used: H = ln(n) − (Σ c·ln c)/n over the group's counts —
+    two hash aggregates (per-(user,type) counts, then the per-user
+    fold), never a per-row p·ln p pass over raw events.
+
+    Bit-exactness: ln over the observed INTEGER count/total domains
+    comes from Python-glibc log tables broadcast-joined
+    (`text_tfidf`'s table discipline — the JVM's 1-ULP-divergent
+    Math.log never enters the value chain; same same-libm caveat).
+    The Σ c·ln c fold is decimal-exact (dsum of identical doubles →
+    identical scale-6 quanta both engines); the readout is then one
+    IEEE division and one subtraction of identical doubles. Both
+    collects are capped metadata-sized scalar fetches (count DOMAINS,
+    not keys — dozens of distinct values at any corpus size).
+    """
+    import math
+
+    from crime_data_batch_processing_spark import cachekit
+    from crime_data_batch_processing_spark.functions.exact import dcol
+
+    events = load_table(spark, sf_dir, "events")
+    counts = cachekit.track(
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    c_values = [
+        r[0]
+        for r in counts.select("c").distinct()
+        .limit(ENTROPY_TABLE_CAP + 1).collect()
+    ]
+    assert len(c_values) <= ENTROPY_TABLE_CAP, "entropy log-table overflow"
+    log_c = spark.createDataFrame(
+        [(c, math.log(float(c))) for c in c_values], "c bigint, ln_c double"
+    )
+    per_user = cachekit.track(
+        counts.join(F.broadcast(log_c), "c")
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(dcol(F.col("c") * F.col("ln_c"))).cast("double").alias("s"),
+        )
+        .persist()
+    )
+    n_values = [
+        r[0]
+        for r in per_user.select("n_events").distinct()
+        .limit(ENTROPY_TABLE_CAP + 1).collect()
+    ]
+    assert len(n_values) <= ENTROPY_TABLE_CAP, "entropy log-table overflow"
+    log_n = spark.createDataFrame(
+        [(n, math.log(float(n))) for n in n_values],
+        "n_events bigint, ln_n double",
+    )
+    return per_user.join(F.broadcast(log_n), "n_events").select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (F.col("ln_n") - F.col("s") / F.col("n_events")).alias("entropy"),
+    )

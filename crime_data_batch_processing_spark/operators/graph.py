@@ -226,3 +226,99 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rank_scaled"),
         (F.col("r").cast("double") / float(PR_SCALE)).alias("rank"),
     )
+
+
+#: Multi-source BFS: hop-distance from the even-doc_id seed set,
+#: bounded sweeps. Integer distances + MIN folds make every frontier a
+#: pure integer function of the graph — bit-identical across engines,
+#: partitionings, and runs.
+BFS_HOPS = 3
+BFS_SEED_MOD = 2
+
+
+def _sql_bfs() -> str:
+    its = []
+    prev = "r0"
+    for i in range(1, BFS_HOPS + 1):
+        its.append(f"""
+    r{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.v AS node, r.dist + 1 AS dist
+            FROM und e JOIN {prev} r ON r.node = e.u
+        ) f GROUP BY node
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH raw_pairs AS (
+        {_SQL_PAIR_BASE}
+    ), eb AS (
+        SELECT doc_a AS u, doc_b AS v FROM raw_pairs
+        WHERE jaccard >= {JACCARD_THRESHOLD} AND doc_a <> doc_b
+    ), und AS (
+        SELECT u, v FROM eb UNION SELECT v, u FROM eb
+    ), r0 AS (
+        SELECT DISTINCT u AS node, 0 AS dist FROM und
+        WHERE u % {BFS_SEED_MOD} = 0
+    ), {', '.join(its)}
+    SELECT node AS doc_id, CAST(dist AS BIGINT) AS dist FROM {prev}
+    """
+
+
+@query("graph_bfs", oracle=_sql_bfs())
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup graph: minimum hop distance
+    from the seed set (even doc_ids) within BFS_HOPS sweeps — the
+    bounded-iteration traversal primitive (label propagation, contagion
+    radius, "how far does this duplication family reach from the
+    curated seed corpus").
+
+    Scale pattern (same family as `graph_pagerank` and the large-star
+    clustering): each sweep is ONE join (frontier × edges) + ONE
+    MIN-fold hash aggregate keyed on the reached node — contributions
+    partial-aggregate map-side before the shuffle, and the frontier
+    never exceeds the reachable node set (monotone saturation; no
+    exponential path blowup because the MIN fold collapses per node
+    every sweep). `localCheckpoint` truncates lineage per sweep so the
+    plan stays O(1) deep instead of growing a 2^hops join tree.
+    Distances are small integers with MIN folds — no floats anywhere,
+    so the full fixpoint is bit-replayable by the oracle's unrolled
+    CTE chain.
+
+    Reference parity: the reference has no graph notion
+    (/root/reference/spark_process_script.py answers one flat COUNT);
+    this extends the engine's near-dup graph family named by
+    SURVEY.md §2.3.
+    """
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    und = (
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.col("node") % BFS_SEED_MOD == 0)
+        .withColumn("dist", F.lit(0))
+    )
+    for _ in range(BFS_HOPS):
+        hop = und.join(
+            frontier.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        frontier = (
+            frontier.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return frontier.select(
+        F.col("node").alias("doc_id"), F.col("dist").cast("long").alias("dist")
+    )

@@ -1032,3 +1032,24 @@ def test_min_cost_supplier_semi_restricted_pre_aggregate(spark, sf_dir):
     # per-part min (partial+final) = 6; O(1), never one per part
     assert count_nodes(df, "HashAggregate") <= 6, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_entropy_broadcast_log_tables_over_persisted_fold(spark, sf_dir):
+    """agg_entropy's ln values must join as broadcast metadata tables
+    over the PERSISTED per-user fold — the corpus-touching work is the
+    two cached aggregates, never re-run per consumer and never a
+    per-row p·ln p pass (no Python eval anywhere: global plan test)."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        physical_plan,
+        uses_broadcast_join,
+    )
+
+    df = registry.QUERIES["agg_entropy"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert uses_broadcast_join(df), plan
+    assert "InMemoryTableScan" in plan, plan
+    # two corpus aggregates (counts, per-user fold), partial+final,
+    # statically visible across cached-lineage branches — a small
+    # constant, never one aggregate per user/row
+    assert count_nodes(df, "HashAggregate") <= 8, plan

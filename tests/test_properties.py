@@ -476,3 +476,82 @@ class TestBigramLmScore:
             finally:
                 cachekit.release_all()
         assert got == self._reference(corpus)
+
+
+def test_bfs_distances_are_valid_hop_counts(spark, sf_dir):
+    """Every BFS output distance must be consistent with the graph:
+    seeds at 0, every non-seed's dist = 1 + min over neighbors' dists
+    (within the hop bound), nothing beyond BFS_HOPS, and the result
+    keyed uniquely per node."""
+    from crime_data_batch_processing_spark.operators.graph import (
+        BFS_HOPS,
+        BFS_SEED_MOD,
+        graph_bfs,
+    )
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    dist = {
+        r["doc_id"]: r["dist"] for r in graph_bfs(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, sf_dir)
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .collect()
+    ]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert dist, "vacuous BFS result"
+    assert all(0 <= d <= BFS_HOPS for d in dist.values())
+    for n, d in dist.items():
+        if d == 0:
+            assert n % BFS_SEED_MOD == 0
+        else:
+            assert n % BFS_SEED_MOD != 0
+            best = min(
+                (dist.get(m) for m in adj[n] if m in dist and dist[m] < d),
+                default=None,
+            )
+            assert best == d - 1, (n, d, best)
+    # reference BFS agrees exactly
+    frontier = {n for n in adj if n % BFS_SEED_MOD == 0}
+    ref = {n: 0 for n in frontier}
+    for h in range(1, BFS_HOPS + 1):
+        frontier = {
+            m for n in frontier for m in adj[n] if m not in ref
+        }
+        ref.update({m: h for m in frontier})
+    assert ref == dist
+
+
+def test_entropy_bounds_and_exact_identity(spark, sf_dir):
+    """Per-user entropy must sit in [0, ln(n_types)] and reproduce the
+    pure-Python H = ln(n) - sum(c*ln c)/n over the same counts."""
+    import math
+
+    from crime_data_batch_processing_spark.operators.aggregates import (
+        agg_entropy,
+    )
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    rows = agg_entropy(spark, sf_dir).collect()
+    assert rows, "vacuous entropy result"
+    counts: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .count()
+        .collect()
+    ):
+        counts.setdefault(r["user_id"], []).append(r["count"])
+    for r in rows:
+        cs = counts[r["user_id"]]
+        n = sum(cs)
+        assert r["n_events"] == n and r["n_types"] == len(cs)
+        expect = math.log(n) - sum(c * math.log(c) for c in cs) / n
+        assert abs(r["entropy"] - expect) < 5e-7, (r, expect)
+        assert -1e-12 <= r["entropy"] <= math.log(len(cs)) + 1e-9
