@@ -1381,3 +1381,243 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
     )
+
+
+#: Q9 parameters: the part-name family whose profit is reported. The
+#: partsupp stand-in derives unit supply cost from lineitem in INTEGER
+#: CENTS: unitcost_cents := MIN(round(price·100) floor-div qty) over
+#: the pair's lines. Pure integer algebra — the float-division form
+#: (MIN(price/qty)) produced non-terminating decimals that landed
+#: within an ULP of the DECIMAL(28,6) half-boundary, where Spark's
+#: shortest-string and DuckDB's binary-expansion double→decimal casts
+#: disagree (caught by the sf0.001/sf0.1 strict sweeps; sf0.01 passed
+#: by luck — the same class of drift text_tfidf's log table fixed).
+PROFIT_NAME_PAT = "%gear%"
+
+
+@query(
+    "analytics_nation_profit",
+    oracle=f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   // CAST(l_quantity AS BIGINT)) AS unitcost_cents
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT n_name AS nation,
+           EXTRACT(year FROM o_orderdate) AS o_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)'
+                     ' - CAST(ps.unitcost_cents'
+                     ' * CAST(l.l_quantity AS BIGINT) AS DOUBLE) / 100.0')}
+               AS profit
+    FROM lineitem l
+    JOIN part     ON p_partkey = l.l_partkey
+                 AND p_name LIKE '{PROFIT_NAME_PAT}'
+    JOIN supplier ON s_suppkey = l.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l.l_orderkey
+    JOIN ps       ON ps.l_partkey = l.l_partkey
+                 AND ps.l_suppkey = l.l_suppkey
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    ORDER BY n_name, o_year
+    """,
+)
+def analytics_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product family per supplier nation
+    and order year — the LINE-LEVEL COST ATTRIBUTION idiom (revenue
+    minus `ps_supplycost · l_quantity`, grouped by the supplier's
+    nation and the order's year). The testdata has no partsupp, so
+    unit cost is the pair's cheapest observed unit price, derived in
+    integer cents (see the parameter note above on WHY integer: the
+    IEEE-division form drifted a final ULP at the decimal cast).
+
+    Scale shape: the cost table is ONE grouped pre-aggregate over
+    lineitem — pre-restricted by a broadcast semi-join on the
+    name-filtered part set (value-preserving: the query only consults
+    pairs of surviving parts, and MIN commutes with filtering the
+    pair's own group) — joined back on the pair key; part (name
+    pattern), supplier, and nation broadcast; orders⋈lineitem is the
+    one large fact join. Exactness: unit cost is integer cents
+    (round-to-cents is unambiguous — prices carry 2-decimal content,
+    so price·100 sits within 1e-9 of an integer, never near a tie;
+    floor-div of positive BIGINTs agrees between Spark's `div` and
+    DuckDB's `//`); the cents·qty product stays integer (≤5e8, no
+    overflow), one exact /100.0 division and the subtraction are IEEE
+    ops on identical doubles; the per-group fold is decimal-exact
+    dsum of summands with terminating ≤4-decimal content.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(PROFIT_NAME_PAT)
+    ).select("p_partkey")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        lineitem.join(
+            F.broadcast(part),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(
+                F.expr(
+                    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                    " div CAST(l_quantity AS BIGINT)"
+                )
+            ).alias("unitcost_cents")
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    profit_expr = (
+        F.expr(_REVENUE)
+        - (
+            F.col("unitcost_cents") * F.col("l_quantity").cast("bigint")
+        ).cast("double")
+        / 100.0
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .join(
+            F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(dsum(profit_expr).alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+#: Q4 parameters: the order-date quarter; "late line" reuses the Q21
+#: lateness threshold (l_shipdate > o_orderdate + LATE_DAYS, the
+#: testdata's stand-in for commitdate < receiptdate).
+PRIO_QTR_LO = "1996-07-01"
+PRIO_QTR_HI = "1996-10-01"
+
+
+@query(
+    "analytics_priority_orders",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{PRIO_QTR_LO} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{PRIO_QTR_HI} 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def analytics_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that had at least one late
+    line in a quarter — the CORRELATED EXISTS WITH CROSS-SIDE
+    INEQUALITY idiom: the inner predicate compares an inner column to
+    an OUTER column (`l_shipdate > o_orderdate + 60 days`), so the
+    decorrelation must carry the inequality into the semi-join
+    condition, not just the key.
+
+    Plan discipline: LEFT SEMI join on the order key with the
+    lateness inequality as a residual join condition — each order is
+    emitted at most once however many late lines it has (EXISTS
+    semantics for free, no post-join distinct); the quarter window
+    pushes to the orders scan, cutting the probe side ~20× before
+    the join. One grouped count after. Counts are exact longs
+    (COUNT(*) is BIGINT in both engines).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= f"{PRIO_QTR_LO} 00:00:00")
+        & (F.col("o_orderdate") < f"{PRIO_QTR_HI} 00:00:00")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            lineitem,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+#: Q6 parameters: ship year, discount band, quantity cap. The 0.05 /
+#: 0.07 literals are spelled identically in Spark and SQL — both
+#: parsers bind the same doubles, so the BETWEEN cut is
+#: bit-deterministic.
+FC_YEAR_LO = "1996-01-01"
+FC_YEAR_HI = "1997-01-01"
+FC_DISC_LO = "0.05"
+FC_DISC_HI = "0.07"
+FC_QTY_CAP = 24
+
+
+@query(
+    "analytics_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue_delta,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{FC_YEAR_LO} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{FC_YEAR_HI} 00:00:00'
+      AND l_discount BETWEEN {FC_DISC_LO} AND {FC_DISC_HI}
+      AND l_quantity < {FC_QTY_CAP}
+    """,
+)
+def analytics_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue gained if mid-band discounts on small
+    orders had not been granted — the FULLY-PUSHED SINGLE-SCAN
+    AGGREGATE: every predicate is a single-column comparison, so the
+    entire WHERE clause reaches the parquet reader as pushed filters
+    and the plan is scan → one partial+final aggregate. No joins, no
+    shuffle beyond the single-row final fold.
+
+    At 100 TB this is the shape that proves the scan path: with
+    min/max row-group statistics the ship-year window skips ~6/7 of
+    the row groups outright; the aggregate itself is
+    whole-stage-codegen'd JVM arithmetic with a decimal-exact fold.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= f"{FC_YEAR_LO} 00:00:00")
+            & (F.col("l_shipdate") < f"{FC_YEAR_HI} 00:00:00")
+            & (F.col("l_discount") >= float(FC_DISC_LO))
+            & (F.col("l_discount") <= float(FC_DISC_HI))
+            & (F.col("l_quantity") < FC_QTY_CAP)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

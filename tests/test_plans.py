@@ -1053,3 +1053,63 @@ def test_entropy_broadcast_log_tables_over_persisted_fold(spark, sf_dir):
     # statically visible across cached-lineage branches — a small
     # constant, never one aggregate per user/row
     assert count_nodes(df, "HashAggregate") <= 8, plan
+
+
+def test_nation_profit_semi_restricted_cost_table(spark, sf_dir):
+    """Q9's cost table must be ONE pair-grouped pre-aggregate,
+    semi-restricted by the broadcast name-filtered part set BEFORE its
+    shuffle; dims broadcast; never a per-row cost re-derivation."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        physical_plan,
+        uses_broadcast_join,
+    )
+
+    df = registry.QUERIES["analytics_nation_profit"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert uses_broadcast_join(df), plan
+    # pair-cost aggregate (partial+final) + final profit fold
+    # (partial+final) — O(1), never per pair-row
+    assert count_nodes(df, "HashAggregate") <= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_priority_orders_exists_is_semi_join_with_residual(spark, sf_dir):
+    """Q4's correlated EXISTS (inner column vs OUTER column inequality)
+    must decorrelate to a LEFT SEMI join carrying the inequality as a
+    residual join condition — one emission per order, no post-join
+    distinct; the quarter window pushes to the orders scan."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        has_pushed_filters,
+        physical_plan,
+    )
+
+    df = registry.QUERIES["analytics_priority_orders"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert has_pushed_filters(df), plan
+    assert count_nodes(df, "HashAggregate") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_forecast_revenue_fully_pushed_single_scan(spark, sf_dir):
+    """Q6 is the scan-path proof: every predicate is single-column, so
+    the ENTIRE where clause reaches the parquet reader; the plan is
+    scan -> partial aggregate -> single-row final. One scan, one
+    exchange, zero joins."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        has_pushed_filters,
+        physical_plan,
+        scan_read_schema,
+    )
+
+    df = registry.QUERIES["analytics_forecast_revenue"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert has_pushed_filters(df), plan
+    assert "l_discount" in plan.split("PushedFilters")[1][:400], plan
+    assert len(scan_read_schema(df)) == 1, plan
+    assert count_nodes(df, "HashAggregate") <= 2, plan
+    assert "Join" not in plan, plan
