@@ -1534,7 +1534,8 @@ def analytics_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: orders per priority that had at least one late
     line in a quarter — the CORRELATED EXISTS WITH CROSS-SIDE
     INEQUALITY idiom: the inner predicate compares an inner column to
-    an OUTER column (`l_shipdate > o_orderdate + 60 days`), so the
+    an OUTER column (`l_shipdate > o_orderdate + 90 days` — Q21's
+    LATE_DAYS threshold, not Q12's 60), so the
     decorrelation must carry the inequality into the semi-join
     condition, not just the key.
 

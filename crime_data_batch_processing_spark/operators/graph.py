@@ -31,25 +31,58 @@ from crime_data_batch_processing_spark.operators.llm_dedup import (
 )
 from crime_data_batch_processing_spark.registry import query
 
+#: Shared oracle prelude: exact-Jaccard directed pairs (`dpairs`) and
+#: the symmetric undirected edge set (`und`) every graph oracle builds
+#: on. ONE definition — a change to edge semantics (threshold, self-
+#: loop filtering) lands in every oracle and its Spark twin together.
+_SQL_UND_BASE = f"""raw_pairs AS (
+        {_SQL_PAIR_BASE}
+    ), dpairs AS (
+        SELECT doc_a AS u, doc_b AS v FROM raw_pairs
+        WHERE jaccard >= {JACCARD_THRESHOLD} AND doc_a <> doc_b
+    ), und AS (
+        SELECT u, v FROM dpairs UNION SELECT v, u FROM dpairs
+    )"""
+
+
+def _und_edges(spark, sf_dir, *, checkpoint_pairs=False):
+    """Directed near-dup pairs and the undirected edge set — the Spark
+    twin of `_SQL_UND_BASE`, shared by every graph operator.
+
+    `und` is always checkpointed: each consumer fans multiple branches
+    off it, and without truncation every branch re-runs the whole
+    shingle shuffle. `checkpoint_pairs` additionally materializes the
+    directed pairs for consumers (triangles) that branch off BOTH
+    frames.
+    """
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    if checkpoint_pairs:
+        pairs = pairs.localCheckpoint(eager=True)
+    und = (
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return pairs, und
+
 
 @query(
     "graph_triangles",
     oracle=f"""
-    WITH raw_pairs AS (
-        {_SQL_PAIR_BASE}
-    ), e AS (
-        SELECT doc_a AS u, doc_b AS v FROM raw_pairs
-        WHERE jaccard >= {JACCARD_THRESHOLD} AND doc_a <> doc_b
-    ), und AS (
-        SELECT u, v FROM e UNION SELECT v, u FROM e
-    ), deg AS (
+    WITH {_SQL_UND_BASE}, deg AS (
         SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u
     ), oriented AS (
         SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
                     THEN e.u ELSE e.v END AS s,
                CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v)
                     THEN e.v ELSE e.u END AS t
-        FROM e JOIN deg da ON da.node = e.u
+        FROM dpairs e JOIN deg da ON da.node = e.u
                JOIN deg db ON db.node = e.v
     ), wedges AS (
         SELECT a.s AS x, a.t AS y, b.t AS z
@@ -77,19 +110,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches (degrees, orientation, wedges via a self-join, closing
     # edges) — without truncation each branch re-runs the whole
     # shingle shuffle (same rationale as connected_components_star)
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .localCheckpoint(eager=True)
-    )
-    und = (
-        pairs.unionByName(
-            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    pairs, und = _und_edges(spark, sf_dir, checkpoint_pairs=True)
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     e = (
         pairs.join(
@@ -151,14 +172,7 @@ def _sql_pagerank() -> str:
     )""")
         prev = f"it{i}"
     return f"""
-    WITH raw_pairs AS (
-        {_SQL_PAIR_BASE}
-    ), ep AS (
-        SELECT doc_a AS u, doc_b AS v FROM raw_pairs
-        WHERE jaccard >= {JACCARD_THRESHOLD} AND doc_a <> doc_b
-    ), und AS (
-        SELECT u, v FROM ep UNION SELECT v, u FROM ep
-    ), deg AS (
+    WITH {_SQL_UND_BASE}, deg AS (
         SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u
     ), rank0 AS (
         SELECT node, {PR_SCALE}::BIGINT AS r FROM deg
@@ -186,18 +200,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     values, where Spark's `div` and DuckDB's `//` agree — making the
     full 3-sweep fixpoint value-replayable by the oracle.
     """
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    )
-    und = (
-        pairs.unionByName(
-            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    _, und = _und_edges(spark, sf_dir)
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -251,14 +254,7 @@ def _sql_bfs() -> str:
     )""")
         prev = f"r{i}"
     return f"""
-    WITH raw_pairs AS (
-        {_SQL_PAIR_BASE}
-    ), eb AS (
-        SELECT doc_a AS u, doc_b AS v FROM raw_pairs
-        WHERE jaccard >= {JACCARD_THRESHOLD} AND doc_a <> doc_b
-    ), und AS (
-        SELECT u, v FROM eb UNION SELECT v, u FROM eb
-    ), r0 AS (
+    WITH {_SQL_UND_BASE}, r0 AS (
         SELECT DISTINCT u AS node, 0 AS dist FROM und
         WHERE u % {BFS_SEED_MOD} = 0
     ), {', '.join(its)}
@@ -291,18 +287,7 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this extends the engine's near-dup graph family named by
     SURVEY.md §2.3.
     """
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    )
-    und = (
-        pairs.unionByName(
-            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    _, und = _und_edges(spark, sf_dir)
     frontier = (
         und.select(F.col("u").alias("node"))
         .distinct()

@@ -554,4 +554,7 @@ def test_entropy_bounds_and_exact_identity(spark, sf_dir):
         assert r["n_events"] == n and r["n_types"] == len(cs)
         expect = math.log(n) - sum(c * math.log(c) for c in cs) / n
         assert abs(r["entropy"] - expect) < 5e-7, (r, expect)
-        assert -1e-12 <= r["entropy"] <= math.log(len(cs)) + 1e-9
+        # bound slack must cover the same decimal(28,6) quantization
+        # the identity assert above tolerates: a single-type user's
+        # true H=0 can come back as low as -5e-7/n after rounding
+        assert -5e-7 <= r["entropy"] <= math.log(len(cs)) + 5e-7
