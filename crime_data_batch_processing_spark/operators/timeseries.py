@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from crime_data_batch_processing_spark.fixtures import build_once, scratch_dir
 from crime_data_batch_processing_spark.functions.exact import (
+    davg,
     dsum,
     dsum_merge,
     sql_davg,
@@ -525,6 +526,144 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_us",
         "n_events",
         F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ffill"),
+    )
+
+
+@query(
+    "window_interpolate",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+               COUNT(*)::BIGINT AS n_events,
+               {sql_davg('value')} AS avg_value
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, MIN(hour_us) AS lo, MAX(hour_us) AS hi
+        FROM hourly GROUP BY 1
+    ), grid AS (
+        SELECT b.event_type, b.lo + {HOUR_US} * u.i AS hour_us
+        FROM bounds b,
+             unnest(range((b.hi - b.lo) // {HOUR_US} + 1)) AS u(i)
+    ), joined AS (
+        SELECT g.event_type, g.hour_us,
+               COALESCE(h.n_events, 0)::BIGINT AS n_events,
+               h.avg_value
+        FROM grid g LEFT JOIN hourly h USING (event_type, hour_us)
+    ), spanned AS (
+        SELECT event_type, hour_us, n_events, avg_value,
+               LAST_VALUE(avg_value IGNORE NULLS) OVER wp AS pv,
+               LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN hour_us END
+                          IGNORE NULLS) OVER wp AS ph,
+               FIRST_VALUE(avg_value IGNORE NULLS) OVER wn AS nv,
+               FIRST_VALUE(CASE WHEN avg_value IS NOT NULL THEN hour_us END
+                           IGNORE NULLS) OVER wn AS nh
+        FROM joined
+        WINDOW wp AS (PARTITION BY event_type ORDER BY hour_us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY hour_us
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hour_us, n_events,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                ELSE pv + (nv - pv)
+                     * (CAST(hour_us - ph AS DOUBLE)
+                        / CAST(nh - ph AS DOUBLE))
+           END AS value_interp,
+           avg_value IS NOT NULL AS observed
+    FROM spanned
+    """,
+)
+def window_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling by LINEAR INTERPOLATION: densify each
+    event type's hourly series and fill missing hours with the
+    time-weighted line between the surrounding observations — the
+    hypertable `interpolate()` sibling of `window_gap_fill`'s locf
+    (carry-forward reads a sensor's last value as still true; a rate
+    or price series wants the trend line instead).
+
+    Shape: identical dense-grid build (hourly aggregate → per-type
+    bounds → `sequence`-explode grid → left join), then TWO frame
+    specs over the SAME (partition, order): a backward running
+    `last(ignorenulls)` for the previous observation (value + hour)
+    and a forward `first(ignorenulls)` for the next. Spark plans both
+    under ONE window shuffle — the frames differ, the partitioning
+    does not. The grid spans first..last OBSERVED hour per type, so a
+    gap row always has both neighbors; observed rows pass through
+    untouched (`observed` flags them).
+
+    Bit-exactness: neighbor values are davg outputs (identical
+    doubles both engines); hour arithmetic is exact int64
+    microseconds; the interpolation is a fixed parse tree —
+    pv + (nv − pv) · ((hour−ph)/(nh−ph)) — of IEEE ops on identical
+    inputs, spelled with the same parenthesization in both engines
+    (neither fuses a*b+c into FMA), so every filled value matches
+    bit-for-bit. No accumulation anywhere → no decimal detour needed
+    beyond the davg the hourly table already does.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg("value").alias("avg_value"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(HOUR_US))
+        ).alias("hour_us"),
+    )
+    joined = grid.join(hourly, ["event_type", "hour_us"], "left").select(
+        "event_type",
+        "hour_us",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("avg_value").isNotNull(), F.col("hour_us"))
+    pv = F.last("avg_value", ignorenulls=True).over(wp)
+    ph = F.last(obs_hour, ignorenulls=True).over(wp)
+    nv = F.first("avg_value", ignorenulls=True).over(wn)
+    nh = F.first(obs_hour, ignorenulls=True).over(wn)
+    ratio = (F.col("hour_us") - F.col("ph")).cast("double") / (
+        F.col("nh") - F.col("ph")
+    ).cast("double")
+    return (
+        joined.select(
+            "event_type",
+            "hour_us",
+            "n_events",
+            "avg_value",
+            pv.alias("pv"),
+            ph.alias("ph"),
+            nv.alias("nv"),
+            nh.alias("nh"),
+        )
+        .select(
+            "event_type",
+            "hour_us",
+            "n_events",
+            F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+            .otherwise(
+                F.col("pv") + (F.col("nv") - F.col("pv")) * ratio
+            )
+            .alias("value_interp"),
+            F.col("avg_value").isNotNull().alias("observed"),
+        )
     )
 
 

@@ -1113,3 +1113,22 @@ def test_forecast_revenue_fully_pushed_single_scan(spark, sf_dir):
     assert len(scan_read_schema(df)) == 1, plan
     assert count_nodes(df, "HashAggregate") <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_interpolate_single_window_shuffle(spark, sf_dir):
+    """window_interpolate's backward (prev observation) and forward
+    (next observation) frame specs share one (partition, order) —
+    Spark must merge them into ONE Window operator over ONE window
+    exchange, never two sort+shuffle passes; the per-type bounds side
+    broadcasts into the grid join."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        physical_plan,
+    )
+
+    df = registry.QUERIES["window_interpolate"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_nodes(df, "Window") == 1, plan
+    # hourly aggregate + the window's partitioning — nothing else
+    assert count_nodes(df, "Exchange") <= 2, plan
+    assert "BroadcastExchange" in plan, plan
