@@ -395,3 +395,94 @@ def pipeline_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("byte_len").alias("total_bytes"),
         F.sum("thumb_sum").alias("thumb_checksum"),
     )
+
+
+#: Frame-sampling stand-in parameters: payloads are treated as a
+#: container of fixed FRAME_BYTES "frames"; every EVERY_N-th frame is
+#: sampled, at most MAX_FRAMES per asset (the uniform-stride sampling
+#: a video curation pipeline runs before captioning/embedding).
+FRAME_BYTES = 32
+EVERY_N = 4
+MAX_FRAMES = 8
+
+
+@query(
+    "multimodal_framesample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(u.i AS BIGINT) AS frame_idx,
+           CAST(u.i * {EVERY_N} AS BIGINT) AS chunk_idx,
+           octet_length(encode(substring(
+               text, 1 + u.i * {EVERY_N} * {FRAME_BYTES}, {FRAME_BYTES}
+           ))) AS frame_len,
+           CAST(list_sum(list_transform(
+               string_split(substring(
+                   text, 1 + u.i * {EVERY_N} * {FRAME_BYTES}, {FRAME_BYTES}
+               ), ''), c -> ascii(c)
+           )) % {CHECKSUM_MOD} AS BIGINT) AS frame_sum
+    FROM documents,
+         unnest(range(least({MAX_FRAMES},
+             ((octet_length(encode(text)) + {FRAME_BYTES - 1})
+              // {FRAME_BYTES} + {EVERY_N - 1}) // {EVERY_N}
+         ))) AS u(i)
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-stride frame sampling — the ONE-TO-MANY leg of the
+    multimodal family (`multimodal_cols`/`multimodal_thumbnail` are
+    1:1 transforms; a video pipeline's demux step emits N frame rows
+    PER asset row, and that fan-out batch shape is what this key
+    exercises end-to-end): typed envelope → Arrow-batched
+    `mapInPandas` → per-asset frame loop → flat frame table.
+
+    The deterministic stand-in samples every {EVERY_N}-th
+    {FRAME_BYTES}-byte chunk (≤{MAX_FRAMES} per asset) with a length +
+    additive checksum per frame — `sample_frames()` (the documented
+    ffmpeg plug point, multimodal.py:70) swaps in once a demux
+    library exists; schema, stride arithmetic, and the 1:N Arrow
+    batch shape are identical either way. Payloads are ASCII text, so
+    the oracle replays the byte arithmetic with substring/ascii in
+    SQL.
+
+    Scale shape: `mapInPandas` streams Arrow batches — no per-group
+    materialization, no shuffle at all (the transform is map-only);
+    output fan-out is bounded by MAX_FRAMES, so task memory is
+    O(batch · MAX_FRAMES). At 100 TB the only cost is the scan plus
+    Python/Arrow transfer of the payload column — exactly the cost a
+    real demux pays, and the reason the envelope keeps bytes OUT of
+    every query that only needs typed metadata.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # nested so cloudpickle ships it by value (module-level
+        # functions pickle by reference; workers lack the package)
+        for pdf in batches:
+            ids, fidx, cidx, flen, fsum = [], [], [], [], []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                n_chunks = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+                n = min(MAX_FRAMES, (n_chunks + EVERY_N - 1) // EVERY_N)
+                for i in range(n):
+                    c = i * EVERY_N
+                    chunk = data[c * FRAME_BYTES:(c + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    fidx.append(i)
+                    cidx.append(c)
+                    flen.append(len(chunk))
+                    fsum.append(sum(chunk) % CHECKSUM_MOD)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "chunk_idx": pd.Series(cidx, dtype="int64"),
+                    "frame_len": pd.Series(flen, dtype="int64"),
+                    "frame_sum": pd.Series(fsum, dtype="int64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flat = media_envelope(docs).select("doc_id", "media.data")
+    return flat.mapInPandas(
+        _frames,
+        schema="doc_id long, frame_idx long, chunk_idx long,"
+        " frame_len long, frame_sum long",
+    )

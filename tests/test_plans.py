@@ -1132,3 +1132,19 @@ def test_interpolate_single_window_shuffle(spark, sf_dir):
     # hourly aggregate + the window's partitioning — nothing else
     assert count_nodes(df, "Exchange") <= 2, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_framesample_map_only_no_shuffle(spark, sf_dir):
+    """The 1:N frame-sampling transform is map-only: Arrow MapInPandas
+    directly over the scan, ZERO exchanges — the fan-out happens
+    inside the batch, never through a shuffle."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        physical_plan,
+    )
+
+    df = registry.QUERIES["multimodal_framesample"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert count_nodes(df, "Exchange") == 0, plan
+    assert "BatchEvalPython" not in plan, plan
