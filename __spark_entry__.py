@@ -81,8 +81,10 @@ _VERIFY_FIRST = [
     # (4) last driver-green in ROUND 3 — the final stale generation.
     # Streaming first (their shared runner/pydatasource machinery was
     # touched again this round), then windows/analytics/joins/ANN.
-    # 41 of the 47 fit the ~50 cap; the spill-overs in group (5)
-    # have stable dedicated machinery untouched since r3.
+    # With 18 round-7-new keys ahead of them, ~27 of these 39 fit the
+    # ~50 cap; the tail (sample_*/sim_search_* and whatever else
+    # spills) joins group (5) as the round-8 front-load — all have
+    # stable dedicated machinery untouched since r3.
     "stream_stateful", "stream_events", "stream_cdc_upsert",
     "stream_dedup", "stream_rollup_incremental", "stream_session",
     "stream_static_join", "stream_stream_join",
