@@ -241,7 +241,7 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing — the path `resize_image`/`sample_frames` plug into.
 
     The transform is a deterministic byte-level thumbnail (first
-    {THUMB_BYTES} bytes + additive checksum) standing in for an image
+    THUMB_BYTES=64 bytes + additive checksum) standing in for an image
     resize, so the full chain — typed envelope → payload flatten →
     Arrow-batched mapInPandas → per-row Python transform → typed
     output — runs and is oracle-verified even without decode
@@ -435,9 +435,10 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises end-to-end): typed envelope → Arrow-batched
     `mapInPandas` → per-asset frame loop → flat frame table.
 
-    The deterministic stand-in samples every {EVERY_N}-th
-    {FRAME_BYTES}-byte chunk (≤{MAX_FRAMES} per asset) with a length +
-    additive checksum per frame — `sample_frames()` (the documented
+    The deterministic stand-in samples every 4th 32-byte chunk (at
+    most 8 per asset — the EVERY_N/FRAME_BYTES/MAX_FRAMES constants
+    above) with a length + additive checksum per frame —
+    `sample_frames()` (the documented
     ffmpeg plug point, multimodal.py:70) swaps in once a demux
     library exists; schema, stride arithmetic, and the 1:N Arrow
     batch shape are identical either way. Payloads are ASCII text, so

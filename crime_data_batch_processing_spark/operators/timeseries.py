@@ -438,10 +438,13 @@ def window_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOUR_US = 3_600_000_000
 
 
-@query(
-    "window_gap_fill",
-    oracle=f"""
-    WITH hourly AS (
+#: Shared dense-grid prelude for the gap-filling family: hourly
+#: aggregate -> per-type bounds -> generated hour grid -> left-joined
+#: observations (NULL avg_value marks a gap). ONE definition — grid
+#: semantics (bucket width, bounds rule, the zero-coalesce) change in
+#: every oracle and its Spark twin together (same drift-prevention
+#: rationale as graph.py's _SQL_UND_BASE/_und_edges).
+_SQL_GRID_BASE = f"""hourly AS (
         SELECT event_type,
                CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
                COUNT(*)::BIGINT AS n_events,
@@ -459,7 +462,41 @@ HOUR_US = 3_600_000_000
                COALESCE(h.n_events, 0)::BIGINT AS n_events,
                h.avg_value
         FROM grid g LEFT JOIN hourly h USING (event_type, hour_us)
+    )"""
+
+
+def _hourly_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of `_SQL_GRID_BASE`: the densified hourly frame
+    (event_type, hour_us, n_events, avg_value-or-NULL)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg("value").alias("avg_value"),
     )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(HOUR_US))
+        ).alias("hour_us"),
+    )
+    return grid.join(hourly, ["event_type", "hour_us"], "left").select(
+        "event_type",
+        "hour_us",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+    )
+
+
+@query(
+    "window_gap_fill",
+    oracle=f"""
+    WITH {_SQL_GRID_BASE}
     SELECT event_type, hour_us, n_events,
            LAST_VALUE(avg_value IGNORE NULLS) OVER (
                PARTITION BY event_type ORDER BY hour_us
@@ -490,32 +527,7 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from crime_data_batch_processing_spark.functions.exact import davg
 
-    ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy(
-            "event_type",
-            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            davg("value").alias("avg_value"),
-        )
-    )
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi")
-    )
-    grid = bounds.select(
-        "event_type",
-        F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.lit(HOUR_US))
-        ).alias("hour_us"),
-    )
-    joined = grid.join(hourly, ["event_type", "hour_us"], "left").select(
-        "event_type",
-        "hour_us",
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        "avg_value",
-    )
+    joined = _hourly_grid(spark, sf_dir)
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_us")
@@ -532,25 +544,7 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_interpolate",
     oracle=f"""
-    WITH hourly AS (
-        SELECT event_type,
-               CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
-               COUNT(*)::BIGINT AS n_events,
-               {sql_davg('value')} AS avg_value
-        FROM events GROUP BY 1, 2
-    ), bounds AS (
-        SELECT event_type, MIN(hour_us) AS lo, MAX(hour_us) AS hi
-        FROM hourly GROUP BY 1
-    ), grid AS (
-        SELECT b.event_type, b.lo + {HOUR_US} * u.i AS hour_us
-        FROM bounds b,
-             unnest(range((b.hi - b.lo) // {HOUR_US} + 1)) AS u(i)
-    ), joined AS (
-        SELECT g.event_type, g.hour_us,
-               COALESCE(h.n_events, 0)::BIGINT AS n_events,
-               h.avg_value
-        FROM grid g LEFT JOIN hourly h USING (event_type, hour_us)
-    ), spanned AS (
+    WITH {_SQL_GRID_BASE}, spanned AS (
         SELECT event_type, hour_us, n_events, avg_value,
                LAST_VALUE(avg_value IGNORE NULLS) OVER wp AS pv,
                LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN hour_us END
@@ -601,29 +595,7 @@ def window_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. No accumulation anywhere → no decimal detour needed
     beyond the davg the hourly table already does.
     """
-    ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type",
-        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        davg("value").alias("avg_value"),
-    )
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi")
-    )
-    grid = bounds.select(
-        "event_type",
-        F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.lit(HOUR_US))
-        ).alias("hour_us"),
-    )
-    joined = grid.join(hourly, ["event_type", "hour_us"], "left").select(
-        "event_type",
-        "hour_us",
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        "avg_value",
-    )
+    joined = _hourly_grid(spark, sf_dir)
     wp = (
         Window.partitionBy("event_type")
         .orderBy("hour_us")
