@@ -910,3 +910,174 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOP_K)
         .select("query_id", "doc_id", "n_terms", "score", "rank")
     )
+
+
+#: BPE-merge learning: rounds of (weighted adjacent-pair count →
+#: argmax → merge). Vocabulary-sized after the one corpus word-count
+#: pass — exactly how production tokenizer trainers scale.
+BPE_ROUNDS = 3
+#: Merge-pass semantics: ONE left-to-right non-overlapping
+#: `replace(s, '·l·r·', '·lr·')` per round. Identical in Spark SQL
+#: and DuckDB (probed: both miss the same delimiter-consumed overlap
+#: in '·a·b·a·b·'), so the fixpoint is bit-replayable; it diverges
+#: from canonical greedy BPE only on a pair repeated back-to-back
+#: 2+ times inside one word, where the shared-delimiter occurrence
+#: is skipped — a documented, deterministic simplification.
+
+
+def _sql_bpe() -> str:
+    rounds = []
+    prev_w = "w0"
+    chosen: list[str] = []
+    for i in range(1, BPE_ROUNDS + 1):
+        not_in = (
+            f"WHERE NOT EXISTS (SELECT 1 FROM chosen{i - 1} c"
+            f" WHERE c.l = p{i}.l AND c.r = p{i}.r)"
+            if i > 1
+            else ""
+        )
+        prev_chosen = (
+            f"chosen{i - 1}" if i > 1 else None
+        )
+        rounds.append(f"""
+    p{i} AS (
+        SELECT a[u.i + 1] AS l, a[u.i + 2] AS r,
+               SUM(freq) AS weight, COUNT(*) AS n_words
+        FROM (SELECT string_split(trim(s, '·'), '·') AS a, freq
+              FROM {prev_w}) t,
+             unnest(range(len(a) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ), m{i} AS (
+        SELECT l, r, weight, n_words FROM p{i} {not_in}
+        ORDER BY weight DESC, l ASC, r ASC LIMIT 1
+    ), chosen{i} AS (
+        SELECT l, r FROM m{i}
+        {f'UNION ALL SELECT l, r FROM {prev_chosen}' if prev_chosen else ''}
+    ), w{i} AS (
+        SELECT replace(s, '·' || m.l || '·' || m.r || '·',
+                       '·' || m.l || m.r || '·') AS s, freq
+        FROM {prev_w}, m{i} m
+    )""")
+        chosen.append(f"SELECT {i} AS round, l, r, weight, n_words FROM m{i}")
+        prev_w = f"w{i}"
+    return f"""
+    WITH words AS (
+        SELECT word, COUNT(*)::BIGINT AS freq
+        FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+              FROM documents) t
+        WHERE regexp_matches(word, '^[a-z]+$')
+        GROUP BY word
+    ), w0 AS (
+        SELECT '·' || array_to_string(string_split(word, ''), '·') || '·'
+                   AS s,
+               freq
+        FROM words
+    ), {', '.join(rounds)}
+    SELECT CAST(round AS BIGINT) AS round, l, r,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(n_words AS BIGINT) AS n_words
+    FROM ({' UNION ALL '.join(chosen)}) m
+    ORDER BY round
+    """
+
+
+@query("text_bpe_train", oracle=_sql_bpe())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-merge learning — the TOKENIZER-TRAINING shape
+    of a pretraining pipeline: BPE_ROUNDS rounds of (weighted
+    adjacent-symbol-pair count over the word vocabulary → argmax →
+    merge applied to every word), returning the learned merge table
+    (round, left, right, corpus weight, words containing the pair).
+
+    Scale design — the reason real trainers (HuggingFace tokenizers,
+    SentencePiece) handle 100 TB corpora: the corpus is touched ONCE,
+    by the word-frequency aggregate (classic map-side-combine count);
+    every merge round then operates on the VOCABULARY table —
+    millions of rows at web scale, not the corpus — weighted by word
+    frequency. Per round: one split+explode pair count (hash
+    aggregate), one 1-row argmax fetch (bounded orchestration scalar,
+    the `rollup_hypertable` watermark pattern; deterministic
+    weight-DESC/pair-ASC tiebreak, previously chosen pairs excluded),
+    one map-only `replace` pass re-deriving the symbol strings. The
+    vocab frame is persisted once and each round's result replaces it
+    (vocabulary-sized, explicitly re-persisted per round so the
+    replace chain never re-runs the corpus scan).
+
+    Exactness: counts are integers; symbol strings evolve through the
+    engine-identical one-pass replace (see the module note on the
+    delimiter-consumption semantics both engines share, probed
+    bit-for-bit); the argmax total order is (weight DESC, l, r) — no
+    floats anywhere, so all BPE_ROUNDS rounds replay exactly in the
+    oracle's unrolled CTE chain.
+
+    Reference parity: the reference has no text tooling at all
+    (SURVEY.md §1.2 — one varchar-typed crime table); this extends
+    the engine's pretraining-curation family (SURVEY.md §2.3).
+    """
+    from crime_data_batch_processing_spark import cachekit
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = cachekit.track(
+        words.select(
+            F.concat(
+                F.lit("·"),
+                F.array_join(F.split("word", ""), "·"),
+                F.lit("·"),
+            ).alias("s"),
+            "freq",
+        ).persist()
+    )
+    vocab.count()  # materialize: every round builds on this frame
+    merges: list[tuple] = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        arr = F.split(F.expr("trim(BOTH '·' FROM s)"), "·")
+        pairs = (
+            vocab.select("freq", arr.alias("a"))
+            .filter(F.size("a") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(a) - 2),"
+                        " i -> struct(a[i] AS l, a[i + 1] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(
+                F.sum("freq").alias("weight"),
+                F.count(F.lit(1)).alias("n_words"),
+            )
+        )
+        for l, r, _, _ in merges:
+            pairs = pairs.filter(
+                ~((F.col("l") == l) & (F.col("r") == r))
+            )
+        top = pairs.orderBy(
+            F.desc("weight"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()[0]
+        merges.append((top["l"], top["r"], top["weight"], top["n_words"]))
+        merged = vocab.select(
+            F.expr(
+                f"replace(s, '·{top['l']}·{top['r']}·',"
+                f" '·{top['l']}{top['r']}·')"
+            ).alias("s"),
+            "freq",
+        )
+        vocab = cachekit.track(merged.persist())
+        vocab.count()
+    return spark.createDataFrame(
+        [
+            (i + 1, l, r, int(w), int(nw))
+            for i, (l, r, w, nw) in enumerate(merges)
+        ],
+        "round bigint, l string, r string, weight bigint, n_words bigint",
+    )

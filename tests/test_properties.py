@@ -558,3 +558,57 @@ def test_entropy_bounds_and_exact_identity(spark, sf_dir):
         # the identity assert above tolerates: a single-type user's
         # true H=0 can come back as low as -5e-7/n after rounding
         assert -5e-7 <= r["entropy"] <= math.log(len(cs)) + 5e-7
+
+
+def test_bpe_train_matches_pure_python_replay(spark, sf_dir):
+    """The distributed BPE rounds must equal a single-process replay:
+    same word counts, same one-pass left-to-right merge semantics,
+    same (weight DESC, l, r) argmax with chosen-pair exclusion."""
+    import re as _re
+
+    from crime_data_batch_processing_spark.operators.text_analysis import (
+        BPE_ROUNDS,
+        text_bpe_train,
+    )
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    got = [
+        (r["round"], r["l"], r["r"], r["weight"], r["n_words"])
+        for r in text_bpe_train(spark, sf_dir).collect()
+    ]
+
+    freq: dict = {}
+    for row in load_table(spark, sf_dir, "documents").select("text").collect():
+        for w in _re.split(r"\s+", row["text"].lower()):
+            if _re.fullmatch(r"[a-z]+", w):
+                freq[w] = freq.get(w, 0) + 1
+    vocab = {"·" + "·".join(w) + "·": f for w, f in freq.items()}
+
+    def one_pass_replace(s, pat, rep):
+        # non-overlapping left-to-right, same as SQL replace()
+        return s.replace(pat, rep)
+
+    chosen, expect = set(), []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        counts: dict = {}
+        for s, f in vocab.items():
+            a = s.strip("·").split("·")
+            for i in range(len(a) - 1):
+                k = (a[i], a[i + 1])
+                wgt, nw = counts.get(k, (0, 0))
+                counts[k] = (wgt + f, nw + 1)
+        cands = [
+            (-wgt, l, r, wgt, nw)
+            for (l, r), (wgt, nw) in counts.items()
+            if (l, r) not in chosen
+        ]
+        _, l, r, wgt, nw = min(cands)
+        chosen.add((l, r))
+        expect.append((rnd, l, r, wgt, nw))
+        nv: dict = {}
+        for s, f in vocab.items():
+            ns = one_pass_replace(s, f"·{l}·{r}·", f"·{l}{r}·")
+            nv[ns] = nv.get(ns, 0) + f
+        vocab = nv
+
+    assert got == expect, (got, expect)
