@@ -68,7 +68,7 @@ _VERIFY_FIRST = [
     "analytics_supplier_variety", "graph_bfs", "agg_entropy",
     "analytics_nation_profit", "analytics_priority_orders",
     "analytics_forecast_revenue", "window_interpolate",
-    "multimodal_framesample", "text_bpe_train",
+    "multimodal_framesample", "text_bpe_train", "text_bpe_apply",
     # (2) code CHANGED in round 7: text_lm_score's gram-score join
     # strategy is now AQE-decided (forced broadcast hint dropped) —
     # its r6 green row predates the new plan.

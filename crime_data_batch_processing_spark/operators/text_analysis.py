@@ -925,7 +925,7 @@ BPE_ROUNDS = 3
 #: is skipped — a documented, deterministic simplification.
 
 
-def _sql_bpe() -> str:
+def _sql_bpe_parts() -> tuple[str, str]:
     rounds = []
     prev_w = "w0"
     chosen: list[str] = []
@@ -960,8 +960,7 @@ def _sql_bpe() -> str:
     )""")
         chosen.append(f"SELECT {i} AS round, l, r, weight, n_words FROM m{i}")
         prev_w = f"w{i}"
-    return f"""
-    WITH words AS (
+    prefix = f"""words AS (
         SELECT word, COUNT(*)::BIGINT AS freq
         FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
               FROM documents) t
@@ -972,48 +971,25 @@ def _sql_bpe() -> str:
                    AS s,
                freq
         FROM words
-    ), {', '.join(rounds)}
+    ), {', '.join(rounds)}"""
+    readout = f"""
     SELECT CAST(round AS BIGINT) AS round, l, r,
            CAST(weight AS BIGINT) AS weight,
            CAST(n_words AS BIGINT) AS n_words
     FROM ({' UNION ALL '.join(chosen)}) m
     ORDER BY round
     """
+    return prefix, readout
 
 
-@query("text_bpe_train", oracle=_sql_bpe())
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE-merge learning — the TOKENIZER-TRAINING shape
-    of a pretraining pipeline: BPE_ROUNDS rounds of (weighted
-    adjacent-symbol-pair count over the word vocabulary → argmax →
-    merge applied to every word), returning the learned merge table
-    (round, left, right, corpus weight, words containing the pair).
+_BPE_SQL_PREFIX, _BPE_SQL_READOUT = _sql_bpe_parts()
 
-    Scale design — the reason real trainers (HuggingFace tokenizers,
-    SentencePiece) handle 100 TB corpora: the corpus is touched ONCE,
-    by the word-frequency aggregate (classic map-side-combine count);
-    every merge round then operates on the VOCABULARY table —
-    millions of rows at web scale, not the corpus — weighted by word
-    frequency. Per round: one split+explode pair count (hash
-    aggregate), one 1-row argmax fetch (bounded orchestration scalar,
-    the `rollup_hypertable` watermark pattern; deterministic
-    weight-DESC/pair-ASC tiebreak, previously chosen pairs excluded),
-    one map-only `replace` pass re-deriving the symbol strings. The
-    vocab frame is persisted once and each round's result replaces it
-    (vocabulary-sized, explicitly re-persisted per round so the
-    replace chain never re-runs the corpus scan).
 
-    Exactness: counts are integers; symbol strings evolve through the
-    engine-identical one-pass replace (see the module note on the
-    delimiter-consumption semantics both engines share, probed
-    bit-for-bit); the argmax total order is (weight DESC, l, r) — no
-    floats anywhere, so all BPE_ROUNDS rounds replay exactly in the
-    oracle's unrolled CTE chain.
-
-    Reference parity: the reference has no text tooling at all
-    (SURVEY.md §1.2 — one varchar-typed crime table); this extends
-    the engine's pretraining-curation family (SURVEY.md §2.3).
-    """
+def _learn_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the BPE_ROUNDS training loop; returns [(l, r, weight,
+    n_words)] in merge order. Shared by `text_bpe_train` (which
+    reports the table) and `text_bpe_apply` (which tokenizes the
+    corpus with it) — one implementation, two readouts."""
     from crime_data_batch_processing_spark import cachekit
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1074,10 +1050,133 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         vocab = cachekit.track(merged.persist())
         vocab.count()
+    return merges
+
+
+@query(
+    "text_bpe_train",
+    oracle=f"WITH {_BPE_SQL_PREFIX}{_BPE_SQL_READOUT}",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-merge learning — the TOKENIZER-TRAINING shape
+    of a pretraining pipeline: BPE_ROUNDS rounds of (weighted
+    adjacent-symbol-pair count over the word vocabulary → argmax →
+    merge applied to every word), returning the learned merge table
+    (round, left, right, corpus weight, words containing the pair).
+
+    Scale design — the reason real trainers (HuggingFace tokenizers,
+    SentencePiece) handle 100 TB corpora: the corpus is touched ONCE,
+    by the word-frequency aggregate (classic map-side-combine count);
+    every merge round then operates on the VOCABULARY table —
+    millions of rows at web scale, not the corpus — weighted by word
+    frequency. Per round: one split+explode pair count (hash
+    aggregate), one 1-row argmax fetch (bounded orchestration scalar,
+    the `rollup_hypertable` watermark pattern; deterministic
+    weight-DESC/pair-ASC tiebreak, previously chosen pairs excluded),
+    one map-only `replace` pass re-deriving the symbol strings. The
+    vocab frame is persisted once and each round's result replaces it
+    (vocabulary-sized, explicitly re-persisted per round so the
+    replace chain never re-runs the corpus scan).
+
+    Exactness: counts are integers; symbol strings evolve through the
+    engine-identical one-pass replace (see the module note on the
+    delimiter-consumption semantics both engines share, probed
+    bit-for-bit); the argmax total order is (weight DESC, l, r) — no
+    floats anywhere, so all BPE_ROUNDS rounds replay exactly in the
+    oracle's unrolled CTE chain.
+
+    Reference parity: the reference has no text tooling at all
+    (SURVEY.md §1.2 — one varchar-typed crime table); this extends
+    the engine's pretraining-curation family (SURVEY.md §2.3).
+    """
+    merges = _learn_merges(spark, sf_dir)
     return spark.createDataFrame(
         [
             (i + 1, l, r, int(w), int(nw))
             for i, (l, r, w, nw) in enumerate(merges)
         ],
         "round bigint, l string, r string, weight bigint, n_words bigint",
+    )
+
+
+@query(
+    "text_bpe_apply",
+    oracle=f"""
+    WITH {_BPE_SQL_PREFIX}, dw AS (
+        SELECT doc_id,
+               '·' || array_to_string(string_split(word, ''), '·') || '·'
+                   AS s
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS word
+              FROM documents) t
+        WHERE regexp_matches(word, '^[a-z]+$')
+    ), applied AS (
+        SELECT doc_id,
+               replace(replace(replace(s,
+                   '·' || m1.l || '·' || m1.r || '·',
+                   '·' || m1.l || m1.r || '·'),
+                   '·' || m2.l || '·' || m2.r || '·',
+                   '·' || m2.l || m2.r || '·'),
+                   '·' || m3.l || '·' || m3.r || '·',
+                   '·' || m3.l || m3.r || '·') AS s
+        FROM dw, m1, m2, m3
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_words,
+           CAST(SUM(len(string_split(trim(s, '·'), '·'))) AS BIGINT)
+               AS n_tokens
+    FROM applied
+    GROUP BY doc_id
+    """,
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the LEARNED merge table — the apply
+    half of the tokenizer pair (`text_bpe_train` learns; this is the
+    production map-only pass every pretraining pipeline then runs
+    over 100 TB): per document, each word's symbol string goes
+    through the merge replaces IN LEARNED ORDER, and the document's
+    subword token count is the sum of its words' symbol counts.
+
+    Scale shape: training cost is paid once (vocabulary-sized rounds,
+    see `_learn_merges`); the apply pass is embarrassingly parallel —
+    explode words → BPE_ROUNDS chained `replace` expressions (all
+    whole-stage-codegen'd JVM string ops, the merge list is
+    driver-collected metadata of BPE_ROUNDS rows baked into the
+    expression tree, the same broadcast-scalar pattern as
+    `text_decontaminate`'s benchmark set) → one per-doc count
+    aggregate. No Python in the corpus path, one shuffle (the final
+    per-doc fold).
+
+    Exactness: same engine-identical one-pass replace semantics as
+    training (module note), applied in the same deterministic order;
+    counts are integers. Docs whose words are all filtered by the
+    [a-z]+ rule drop from BOTH engines' output identically (the
+    GROUP BY sees no rows).
+    """
+    merges = _learn_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.concat(
+        F.lit("·"), F.array_join(F.split("word", ""), "·"), F.lit("·")
+    )
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .select("doc_id", s.alias("s"))
+    )
+    col = F.col("s")
+    for l, r, _, _ in merges:
+        col = F.call_function(
+            "replace", col, F.lit(f"·{l}·{r}·"), F.lit(f"·{l}{r}·")
+        )
+    n_sym = F.size(F.split(F.expr("trim(BOTH '·' FROM applied)"), "·"))
+    return (
+        dw.select("doc_id", col.alias("applied"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(n_sym).alias("n_tokens"),
+        )
     )

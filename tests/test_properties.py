@@ -612,3 +612,38 @@ def test_bpe_train_matches_pure_python_replay(spark, sf_dir):
         vocab = nv
 
     assert got == expect, (got, expect)
+
+
+def test_bpe_apply_matches_pure_python_tokenize(spark, sf_dir):
+    """Applying the learned merges must equal the pure-Python
+    tokenize: same word filter, same in-order one-pass replaces,
+    same per-doc word and subword counts."""
+    import re as _re
+
+    from crime_data_batch_processing_spark.operators.text_analysis import (
+        _learn_merges,
+        text_bpe_apply,
+    )
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    merges = [(l, r) for l, r, _, _ in _learn_merges(spark, sf_dir)]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in text_bpe_apply(spark, sf_dir).collect()
+    }
+    expect: dict = {}
+    for row in (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ):
+        nw = nt = 0
+        for w in _re.split(r"\s+", row["text"].lower()):
+            if not _re.fullmatch(r"[a-z]+", w):
+                continue
+            s = "·" + "·".join(w) + "·"
+            for l, r in merges:
+                s = s.replace(f"·{l}·{r}·", f"·{l}{r}·")
+            nw += 1
+            nt += len(s.strip("·").split("·"))
+        if nw:
+            expect[row["doc_id"]] = (nw, nt)
+    assert got == expect
