@@ -81,7 +81,7 @@ _VERIFY_FIRST = [
     # (4) last driver-green in ROUND 3 — the final stale generation.
     # Streaming first (their shared runner/pydatasource machinery was
     # touched again this round), then windows/analytics/joins/ANN.
-    # With 18 round-7-new keys ahead of them, ~27 of these 39 fit the
+    # With 20 round-7-new keys ahead of them, ~25 of these 39 fit the
     # ~50 cap; the tail (sample_*/sim_search_* and whatever else
     # spills) joins group (5) as the round-8 front-load — all have
     # stable dedicated machinery untouched since r3.
