@@ -1148,3 +1148,22 @@ def test_framesample_map_only_no_shuffle(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     assert count_nodes(df, "Exchange") == 0, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_bpe_apply_corpus_path_stays_jvm_side(spark, sf_dir):
+    """The tokenize-with-merges pass must keep the corpus path pure
+    codegen: explode + chained replace expressions + ONE per-doc fold
+    (single exchange), with no Python eval node anywhere (training's
+    argmax collects happen at build time, not in this plan)."""
+    from crime_data_batch_processing_spark.plans import (
+        count_nodes,
+        physical_plan,
+    )
+
+    df = registry.QUERIES["text_bpe_apply"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_nodes(df, "Exchange") <= 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert "replace" in plan, plan
