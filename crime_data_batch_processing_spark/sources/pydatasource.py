@@ -218,6 +218,75 @@ def _write_arrow_task(path: str, iterator) -> FileCommit:
     return FileCommit(name, table.num_rows)
 
 
+#: A commit lock older than this can only be an orphan: the critical
+#: section it covers is one manifest read + one rename (milliseconds).
+STALE_COMMIT_LOCK_S = 60.0
+
+
+def _acquire_commit_lock(
+    lock: str,
+    stale_s: float = STALE_COMMIT_LOCK_S,
+    timeout_s: float = 120.0,
+) -> int:
+    """O_EXCL-elect the commit lock; returns the holder's open fd.
+
+    A lock whose mtime is older than `stale_s` is broken with the
+    same same-inode/same-mtime guard `fixtures.build_once` uses (an
+    orphan from a committer killed before its finally-release), so
+    one crash never wedges every future commit behind a manual
+    unlink. A LIVE lock is waited on up to `timeout_s`.
+    """
+    import os
+    import time
+
+    from crime_data_batch_processing_spark.fixtures import (
+        _break_if_still_stale,
+    )
+
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                st = os.stat(lock)
+            except FileNotFoundError:
+                continue  # holder just finished: re-elect
+            if time.time() - st.st_mtime > stale_s:
+                _break_if_still_stale(lock, st)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"manifest commit lock still live after "
+                    f"{timeout_s:.0f}s: {lock} — another commit "
+                    "appears wedged mid-critical-section; investigate "
+                    "before removing the lock"
+                )
+            time.sleep(0.05)
+
+
+def _release_commit_lock(lock: str, lock_fd: int) -> None:
+    """Ownership-checked release of a lock fd from `_acquire_commit_lock`.
+
+    If this holder stalled past STALE_COMMIT_LOCK_S a peer may have
+    broken the lock and created its OWN lock file at the same path —
+    an unconditional unlink here would delete the peer's live lock
+    and re-enable the concurrent read-merge-write the lock exists to
+    prevent. Unlink only while the path still names the inode we
+    created (fstat of our kept fd). Pinned by
+    tests/test_pysource.py::test_commit_lock_release_spares_peer_lock.
+    """
+    import os
+
+    try:
+        if os.stat(lock).st_ino == os.fstat(lock_fd).st_ino:
+            os.unlink(lock)
+    except FileNotFoundError:
+        pass
+    finally:
+        os.close(lock_fd)
+
+
 class ManifestParquetWriter(DataSourceArrowWriter):
     """Per-task Arrow->parquet writer; commit publishes the manifest."""
 
@@ -231,7 +300,6 @@ class ManifestParquetWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         import json
         import os
-        import time
 
         files = sorted(
             m.filename for m in messages if m is not None and m.filename
@@ -243,39 +311,8 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         # would silently un-publish the first job's files. The lock
         # covers the whole read-merge-publish cycle, so concurrent
         # appends compose. os.replace alone still protects READERS.
-        # Self-healing: the critical section is milliseconds (one read
-        # + one rename), so a lock older than STALE_COMMIT_LOCK_S can
-        # only be an orphan from a committer killed before its
-        # finally-unlink; it is broken with the same same-inode guard
-        # fixtures.build_once uses, so one crash never wedges every
-        # future commit to the path behind a manual unlink.
-        from crime_data_batch_processing_spark.fixtures import (
-            _break_if_still_stale,
-        )
-
-        STALE_COMMIT_LOCK_S = 60.0
         lock = manifest + ".lock"
-        deadline = time.monotonic() + 120.0
-        while True:
-            try:
-                lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    st = os.stat(lock)
-                except FileNotFoundError:
-                    continue  # holder just finished: re-elect
-                if time.time() - st.st_mtime > STALE_COMMIT_LOCK_S:
-                    _break_if_still_stale(lock, st)
-                    continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"manifest commit lock still live after 120s: "
-                        f"{lock} — another commit appears wedged "
-                        "mid-critical-section; investigate before "
-                        "removing the lock"
-                    )
-                time.sleep(0.05)
+        lock_fd = _acquire_commit_lock(lock)
         try:
             if not self.overwrite and os.path.exists(manifest):
                 # append merges the prior committed list — a wholesale
@@ -293,20 +330,7 @@ class ManifestParquetWriter(DataSourceArrowWriter):
             # the table-format convention (vacuum is a separate concern).
             os.replace(tmp, manifest)
         finally:
-            # Ownership-checked release: if this holder stalled past
-            # STALE_COMMIT_LOCK_S a peer may have broken the lock and
-            # created its OWN lock file at the same path — an
-            # unconditional unlink here would delete the peer's live
-            # lock and re-enable the concurrent read-merge-write this
-            # lock exists to prevent. Unlink only while the path still
-            # names the inode we created (fstat of our kept fd).
-            try:
-                if os.stat(lock).st_ino == os.fstat(lock_fd).st_ino:
-                    os.unlink(lock)
-            except FileNotFoundError:
-                pass
-            finally:
-                os.close(lock_fd)
+            _release_commit_lock(lock, lock_fd)
 
     def abort(self, messages) -> None:
         import os
@@ -514,6 +538,14 @@ class RowRangePartition(InputPartition):
     hi: int
 
 
+#: Single source of truth for the partitioned events source's
+#: projection: `PartitionedEventsStreamSource.schema()` and the
+#: executor-side `read()` both derive from it, so extending the
+#: source schema can never leave read() serving a stale column list.
+PARTITIONED_EVENTS_COLUMNS = ("event_id", "event_type", "value")
+PARTITIONED_EVENTS_SCHEMA = "event_id bigint, event_type string, value double"
+
+
 class PartitionedParquetStreamReader(DataSourceStreamReader):
     """Serve a parquet file as offset-ranged micro-batches whose reads
     are DISTRIBUTED across executor tasks.
@@ -550,9 +582,19 @@ class PartitionedParquetStreamReader(DataSourceStreamReader):
     CHUNKS = 4  # micro-batches to serve the file in (with a cursor)
     TASKS = 4  # parallel read tasks per micro-batch
 
-    def __init__(self, path: str, cursor_dir: str | None = None) -> None:
+    def __init__(
+        self,
+        path: str,
+        cursor_dir: str | None = None,
+        columns: list[str] | None = None,
+    ) -> None:
         self.path = path
         self.cursor_dir = cursor_dir
+        # Projection comes from the SOURCE's declared schema (passed
+        # through streamReader(schema)) so read() can never drift from
+        # schema() if the source is extended; direct-construction
+        # tests fall back to the same shared column list.
+        self.columns = columns or list(PARTITIONED_EVENTS_COLUMNS)
         self._total: int | None = None
         self._planned = 0
 
@@ -618,9 +660,9 @@ class PartitionedParquetStreamReader(DataSourceStreamReader):
             acc = g_hi
             if g_hi <= lo or g_lo >= hi:
                 continue
-            table = pf.read_row_group(
-                i, columns=["event_id", "event_type", "value"]
-            ).slice(max(lo, g_lo) - g_lo, min(hi, g_hi) - max(lo, g_lo))
+            table = pf.read_row_group(i, columns=self.columns).slice(
+                max(lo, g_lo) - g_lo, min(hi, g_hi) - max(lo, g_lo)
+            )
             yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
@@ -651,9 +693,11 @@ class PartitionedEventsStreamSource(DataSource):
         return "chunked_events_partitioned"
 
     def schema(self) -> str:
-        return "event_id bigint, event_type string, value double"
+        return PARTITIONED_EVENTS_SCHEMA
 
     def streamReader(self, schema):
         return PartitionedParquetStreamReader(
-            self.options["path"], self.options.get("cursor_dir")
+            self.options["path"],
+            self.options.get("cursor_dir"),
+            columns=[f.name for f in schema.fields],
         )

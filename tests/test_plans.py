@@ -905,9 +905,13 @@ def test_disjunctive_join_stays_hash_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # Catalyst derives each side's implication of the OR and pushes it
     # into that side's scan: the lineitem scan gets the union quantity
-    # windows, the part scan the brand/size disjunction
-    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan, plan
-    assert "Or(Or(And(EqualTo(p_brand" in plan, plan
+    # windows, the part scan the brand/size disjunction. Assert on the
+    # pushed COLUMNS inside PushedFilters sections, not on Catalyst's
+    # exact Or/And toString nesting (a Spark-version-dependent
+    # rendering that would spuriously fail across upgrades).
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln for ln in pushed), plan
+    assert any("p_brand" in ln for ln in pushed), plan
 
 
 def test_sleeping_customers_anti_join_with_pushed_recency(spark, sf_dir):

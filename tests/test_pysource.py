@@ -380,3 +380,64 @@ def test_partitioned_stream_reader_stateless_without_cursor(tmp_path):
     assert len(parts) == r.TASKS
     r.commit({"row": 40})  # no-op, no cursor file anywhere
     assert not list(tmp_path.glob("**/offset.json"))
+
+
+def test_commit_lock_release_spares_peer_lock(tmp_path):
+    """Regression pin for the ownership-checked commit-lock release
+    (round-7 advisor fix): a holder that stalls past the staleness
+    horizon gets its lock BROKEN by a peer, which then holds its own
+    lock file at the same path. The stalled holder's release must be
+    a no-op (different inode), never an unconditional unlink that
+    would delete the peer's live lock and re-open the concurrent
+    read-merge-write window. An unconditional `os.unlink(lock)`
+    release fails this test."""
+    import os
+
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        _acquire_commit_lock,
+        _release_commit_lock,
+    )
+
+    lock = str(tmp_path / "_manifest.json.lock")
+
+    # holder A elects, then stalls: backdate its lock past staleness
+    fd_a = _acquire_commit_lock(lock, stale_s=60.0)
+    past = os.stat(lock).st_mtime - 3600
+    os.utime(lock, (past, past))
+
+    # peer B judges A's lock stale, breaks it, holds its OWN lock
+    fd_b = _acquire_commit_lock(lock, stale_s=60.0)
+    assert os.stat(lock).st_ino == os.fstat(fd_b).st_ino
+    assert os.stat(lock).st_ino != os.fstat(fd_a).st_ino
+
+    # A's (late) release must leave B's live lock intact
+    _release_commit_lock(lock, fd_a)
+    assert os.path.exists(lock)
+    assert os.stat(lock).st_ino == os.fstat(fd_b).st_ino
+
+    # B's release removes its own lock; the path is then free again
+    _release_commit_lock(lock, fd_b)
+    assert not os.path.exists(lock)
+    fd_c = _acquire_commit_lock(lock, stale_s=60.0)
+    _release_commit_lock(lock, fd_c)
+    assert not os.path.exists(lock)
+
+
+def test_commit_lock_waits_for_live_holder(tmp_path):
+    """A LIVE (fresh-mtime) lock is waited on, not broken: a second
+    acquirer with a short timeout must raise TimeoutError while the
+    holder persists, and elect immediately once the holder releases."""
+    import pytest
+
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        _acquire_commit_lock,
+        _release_commit_lock,
+    )
+
+    lock = str(tmp_path / "_manifest.json.lock")
+    fd_a = _acquire_commit_lock(lock)
+    with pytest.raises(TimeoutError):
+        _acquire_commit_lock(lock, timeout_s=0.3)
+    _release_commit_lock(lock, fd_a)
+    fd_b = _acquire_commit_lock(lock, timeout_s=0.3)
+    _release_commit_lock(lock, fd_b)
