@@ -787,7 +787,7 @@ PROMO_YEAR_HI = "1998-01-01"
           JOIN tot ON tot.l_partkey = sp.l_partkey
           JOIN part p ON p.p_partkey = sp.l_partkey
                      AND p.p_name LIKE '{PROMO_NAME_PAT}'
-          WHERE 2 * CAST(sp.q AS DECIMAL(18,6)) > tot.tq
+          WHERE sp.q > tot.tq - sp.q
       )
     ORDER BY s.s_name, s.s_acctbal
     """,
@@ -810,9 +810,13 @@ def analytics_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     and threshold-filtered; the qualifying supplier keys then drive a
     LEFT SEMI join against the broadcast-sized supplier⋈nation dim.
     No correlated re-execution anywhere; the ship-date window is
-    pushed to the parquet scan. The half-share comparison is
-    2·q > tq in bounded DECIMALs ((18,6) doubles to (20ish,6), well
-    under the 38 cap) — exact in both engines, no division.
+    pushed to the parquet scan. The half-share comparison is restated
+    subtraction-side — q > tq − q (⇔ 2q > tq) — at the sums' NATIVE
+    (38,6) width: since 0 ≤ tq − q ≤ tq, the subtraction can never
+    overflow at ANY data scale, so there is no down-cast whose
+    overflow behavior diverges between engines (Spark non-ANSI NULLs,
+    DuckDB errors — round-7 advisor item). Exact in both engines, no
+    division, no multiplication.
     """
     lineitem = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= PROMO_YEAR_LO)
@@ -832,7 +836,7 @@ def analytics_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying = (
         sp.join(F.broadcast(part), sp.l_partkey == part.p_partkey)
         .join(tot, "l_partkey")
-        .filter(F.col("q").cast("decimal(18,6)") * 2 > F.col("tq"))
+        .filter(F.col("q") > F.col("tq") - F.col("q"))
         .select("l_suppkey")
     )
     return (

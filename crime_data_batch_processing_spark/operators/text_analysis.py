@@ -925,11 +925,11 @@ BPE_ROUNDS = 3
 #: is skipped — a documented, deterministic simplification.
 
 
-def _sql_bpe_parts() -> tuple[str, str]:
+def _sql_bpe_parts(n_rounds: int = BPE_ROUNDS) -> tuple[str, str]:
     rounds = []
     prev_w = "w0"
     chosen: list[str] = []
-    for i in range(1, BPE_ROUNDS + 1):
+    for i in range(1, n_rounds + 1):
         not_in = (
             f"WHERE NOT EXISTS (SELECT 1 FROM chosen{i - 1} c"
             f" WHERE c.l = p{i}.l AND c.r = p{i}.r)"
@@ -940,33 +940,33 @@ def _sql_bpe_parts() -> tuple[str, str]:
             f"chosen{i - 1}" if i > 1 else None
         )
         rounds.append(f"""
-    p{i} AS (
+    p{i} AS MATERIALIZED (
         SELECT a[u.i + 1] AS l, a[u.i + 2] AS r,
                SUM(freq) AS weight, COUNT(*) AS n_words
         FROM (SELECT string_split(trim(s, '·'), '·') AS a, freq
               FROM {prev_w}) t,
              unnest(range(len(a) - 1)) AS u(i)
         GROUP BY 1, 2
-    ), m{i} AS (
+    ), m{i} AS MATERIALIZED (
         SELECT l, r, weight, n_words FROM p{i} {not_in}
         ORDER BY weight DESC, l ASC, r ASC LIMIT 1
-    ), chosen{i} AS (
+    ), chosen{i} AS MATERIALIZED (
         SELECT l, r FROM m{i}
         {f'UNION ALL SELECT l, r FROM {prev_chosen}' if prev_chosen else ''}
-    ), w{i} AS (
+    ), w{i} AS MATERIALIZED (
         SELECT replace(s, '·' || m.l || '·' || m.r || '·',
                        '·' || m.l || m.r || '·') AS s, freq
         FROM {prev_w}, m{i} m
     )""")
         chosen.append(f"SELECT {i} AS round, l, r, weight, n_words FROM m{i}")
         prev_w = f"w{i}"
-    prefix = f"""words AS (
+    prefix = f"""words AS MATERIALIZED (
         SELECT word, COUNT(*)::BIGINT AS freq
         FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
               FROM documents) t
         WHERE regexp_matches(word, '^[a-z]+$')
         GROUP BY word
-    ), w0 AS (
+    ), w0 AS MATERIALIZED (
         SELECT '·' || array_to_string(string_split(word, ''), '·') || '·'
                    AS s,
                freq
@@ -982,11 +982,31 @@ def _sql_bpe_parts() -> tuple[str, str]:
     return prefix, readout
 
 
+def _sql_bpe_apply_parts(n_rounds: int = BPE_ROUNDS) -> tuple[str, str]:
+    """Generate the apply-side oracle pieces FROM the round count —
+    the nested `replace(...)` chain over the per-round 1-row merge
+    CTEs and the matching FROM list — so the oracle can never
+    desynchronize from BPE_ROUNDS (round-7 advisor item: the chain
+    was previously hand-unrolled for exactly 3 rounds)."""
+    expr = "s"
+    for i in range(1, n_rounds + 1):
+        expr = (
+            f"replace({expr},\n"
+            f"                   '·' || m{i}.l || '·' || m{i}.r || '·',\n"
+            f"                   '·' || m{i}.l || m{i}.r || '·')"
+        )
+    from_list = ", ".join(["dw"] + [f"m{i}" for i in range(1, n_rounds + 1)])
+    return expr, from_list
+
+
 _BPE_SQL_PREFIX, _BPE_SQL_READOUT = _sql_bpe_parts()
+_BPE_SQL_APPLY_EXPR, _BPE_SQL_APPLY_FROM = _sql_bpe_apply_parts()
 
 
-def _learn_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
-    """Run the BPE_ROUNDS training loop; returns [(l, r, weight,
+def _learn_merges(
+    spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS
+) -> list[tuple]:
+    """Run the `n_rounds` BPE training loop; returns [(l, r, weight,
     n_words)] in merge order. Shared by `text_bpe_train` (which
     reports the table) and `text_bpe_apply` (which tokenizes the
     corpus with it) — one implementation, two readouts."""
@@ -1013,7 +1033,7 @@ def _learn_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
     )
     vocab.count()  # materialize: every round builds on this frame
     merges: list[tuple] = []
-    for rnd in range(1, BPE_ROUNDS + 1):
+    for rnd in range(1, n_rounds + 1):
         arr = F.split(F.expr("trim(BOTH '·' FROM s)"), "·")
         pairs = (
             vocab.select("freq", arr.alias("a"))
@@ -1112,14 +1132,8 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE regexp_matches(word, '^[a-z]+$')
     ), applied AS (
         SELECT doc_id,
-               replace(replace(replace(s,
-                   '·' || m1.l || '·' || m1.r || '·',
-                   '·' || m1.l || m1.r || '·'),
-                   '·' || m2.l || '·' || m2.r || '·',
-                   '·' || m2.l || m2.r || '·'),
-                   '·' || m3.l || '·' || m3.r || '·',
-                   '·' || m3.l || m3.r || '·') AS s
-        FROM dw, m1, m2, m3
+               {_BPE_SQL_APPLY_EXPR} AS s
+        FROM {_BPE_SQL_APPLY_FROM}
     )
     SELECT doc_id,
            COUNT(*)::BIGINT AS n_words,
