@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crime_data_batch_processing_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from crime_data_batch_processing_spark.functions.exact import davg, dsum, sql_davg, sql_dsum, with_scalars
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -445,7 +445,7 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_cust")
     )
     all_row = (
-        exact_all.crossJoin(F.broadcast(merged_est))
+        with_scalars(exact_all, merged_est)
         .select(
             F.lit("ALL").alias("y"),
             "exact_cust",
@@ -741,7 +741,7 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("o_custkey").alias("n_union"),
     )
-    return exact.crossJoin(F.broadcast(merged)).select(
+    return with_scalars(exact, merged).select(
         "n_a",
         "n_b",
         "n_union",

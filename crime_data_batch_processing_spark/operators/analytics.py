@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crime_data_batch_processing_spark.functions.exact import dcol, dsum, sql_dsum
+from crime_data_batch_processing_spark.functions.exact import dcol, dsum, sql_dsum, with_scalars
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -551,7 +551,7 @@ def analytics_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("np"),
     )
     return (
-        per_part.crossJoin(F.broadcast(total))
+        with_scalars(per_part, total)
         .where(
             F.col("revenue") * F.col("np")
             > F.col("trev") * F.lit(IMPORTANT_AVG_MULT)

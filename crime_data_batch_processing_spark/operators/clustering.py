@@ -47,6 +47,9 @@ from crime_data_batch_processing_spark.operators.similarity import (
     EMBED_DIM,
 )
 from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.functions.exact import (
+    with_scalars,
+)
 from crime_data_batch_processing_spark.sources.tables import load_table
 
 K_CLUSTERS = 8
@@ -153,7 +156,7 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nsq").cast("double") * F.col("cn").cast("double")
         )
         return (
-            corpus.crossJoin(F.broadcast(cents_df))
+            with_scalars(corpus, cents_df)
             .select("vec_id", score.alias("score"), "cid")
             .groupBy("vec_id")
             .agg(F.max(F.struct("score", "cid")).alias("m"))
@@ -298,7 +301,7 @@ def cluster_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign(vecs: DataFrame, cents_df: DataFrame) -> DataFrame:
         return (
-            vecs.crossJoin(F.broadcast(cents_df))
+            with_scalars(vecs, cents_df)
             .select("vec_id", score_expr().alias("score"), "cid")
             .groupBy("vec_id")
             .agg(F.max(F.struct("score", "cid")).alias("m"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crime_data_batch_processing_spark.functions.exact import dsum
+from crime_data_batch_processing_spark.functions.exact import dsum, with_scalars
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -242,7 +242,7 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     ).cast("long")
     rates = (
-        counts.crossJoin(F.broadcast(total))
+        with_scalars(counts, total)
         .withColumn("w_bp", w_bp)
         .withColumn(
             "thr",
@@ -422,7 +422,7 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ssum"),
     )
     rates = (
-        s.crossJoin(F.broadcast(tot))
+        with_scalars(s, tot)
         .select(
             "lang",
             F.floor(

@@ -63,6 +63,9 @@ from crime_data_batch_processing_spark.operators.llm_dedup import (
     text_decontaminate,
 )
 from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.functions.exact import (
+    with_scalars,
+)
 from crime_data_batch_processing_spark.sources.tables import load_table
 
 #: Gopher-style keep rules: long enough to train on, diverse enough
@@ -252,7 +255,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     ).cast("long")
     rates = (
-        counts.crossJoin(F.broadcast(total))
+        with_scalars(counts, total)
         .withColumn("w_bp", w_bp)
         .withColumn(
             "thr",
@@ -388,7 +391,7 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ntok").cast("long").alias("total_tokens"),
     )
     total = per.agg(F.sum("n_docs").alias("grand_total"))
-    return per.crossJoin(F.broadcast(total)).select(
+    return with_scalars(per, total).select(
         "lang",
         "n_docs",
         "n_exact_dups",

@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.functions.exact import (
+    with_scalars,
+)
 from crime_data_batch_processing_spark.sources.tables import load_table
 
 
@@ -244,7 +247,7 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = b.agg(
         F.sum("n_base").alias("tb"), F.sum("n_new").alias("tn")
     )
-    s = b.crossJoin(F.broadcast(t)).select(
+    s = with_scalars(b, t).select(
         "bucket",
         "n_base",
         "n_new",
@@ -254,7 +257,7 @@ def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = s.agg(
         F.sum(F.abs(F.col("bp_base") - F.col("bp_new"))).alias("l1_bp")
     )
-    return s.crossJoin(F.broadcast(d)).select(
+    return with_scalars(s, d).select(
         "bucket",
         "n_base",
         "n_new",

@@ -28,7 +28,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
+from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum, with_scalars
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -657,7 +657,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total"),
     )
     m = (
-        ranked.crossJoin(F.broadcast(n_total))
+        with_scalars(ranked, n_total)
         .agg(
             F.max("n").alias("n"),
             F.max("total").alias("total"),

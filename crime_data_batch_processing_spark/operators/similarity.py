@@ -48,6 +48,9 @@ from crime_data_batch_processing_spark.functions.veckit import (
 )
 from crime_data_batch_processing_spark.cachekit import track
 from crime_data_batch_processing_spark.registry import query
+from crime_data_batch_processing_spark.functions.exact import (
+    with_scalars,
+)
 from crime_data_batch_processing_spark.sources.tables import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -448,7 +451,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         renamed = df.withColumnRenamed(vec_col, "v").withColumnRenamed(
             nsq_col, "vn"
         )
-        return renamed.crossJoin(F.broadcast(cents)).withColumn(
+        return with_scalars(renamed, cents).withColumn(
             "rcos", route_cos
         )
 
@@ -607,7 +610,7 @@ def sim_search_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.lit(0.0))
             ).cast("long"),
         )
-        with_code = df.crossJoin(F.broadcast(stats_row)).select(
+        with_code = with_scalars(df, stats_row).select(
             "vec_id", "embedding", code.alias("code")
         )
         csq = F.aggregate(
