@@ -55,60 +55,50 @@ def entry(spark: SparkSession) -> DataFrame:
 # machinery has been touched since).  Keys verified green in round 2 at
 # unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
-    # (1) NEW in round 7 — zero driver evidence: the
-    # executor-distributed partition-based streaming Python source,
-    # the TPC-H Q17/Q20 decorrelation shapes, BM25 lexical
-    # retrieval, and the Q2/Q12/Q14/Q15/Q16 completion of the
-    # composed analytics family.
-    "stream_pysource_partitioned", "analytics_small_qty_revenue",
-    "analytics_part_promotion", "text_bm25",
-    "analytics_disjunctive_revenue", "analytics_sleeping_customers",
-    "analytics_min_cost_supplier", "analytics_late_shipments",
-    "analytics_promo_share", "analytics_top_supplier",
-    "analytics_supplier_variety", "graph_bfs", "agg_entropy",
-    "analytics_nation_profit", "analytics_priority_orders",
-    "analytics_forecast_revenue", "window_interpolate",
-    "multimodal_framesample", "text_bpe_train", "text_bpe_apply",
-    # (2) code CHANGED in round 7: text_lm_score's gram-score join
-    # strategy is now AQE-decided (forced broadcast hint dropped) —
-    # its r6 green row predates the new plan.
-    "text_lm_score",
-    # (3) last driver-green in ROUND 2 — the 4 oldest rows in the
-    # table (they sat at positions 51-54 of the r6 rotation and
-    # missed the exactly-50 cap).
-    "text_quality", "text_lang_id", "text_fingerprint",
-    "text_pii_scrub",
-    # (4) last driver-green in ROUND 3 — the final stale generation.
-    # Streaming first (their shared runner/pydatasource machinery was
-    # touched again this round), then windows/analytics/joins/ANN.
-    # With 20 round-7-new keys ahead of them, ~25 of these 39 fit the
-    # ~50 cap; the tail (sample_*/sim_search_* and whatever else
-    # spills) joins group (5) as the round-8 front-load — all have
-    # stable dedicated machinery untouched since r3.
-    "stream_stateful", "stream_events", "stream_cdc_upsert",
-    "stream_dedup", "stream_rollup_incremental", "stream_session",
-    "stream_static_join", "stream_stream_join",
-    "window_analytic", "window_rank", "window_cume",
-    "window_range_frame", "window_tumbling", "window_sliding",
-    "window_session", "window_funnel", "window_retention",
-    "window_active_users",
-    "analytics_shipping_priority", "analytics_regional_revenue",
-    "analytics_returned_revenue", "analytics_large_orders",
-    "agg_corr", "agg_histogram", "agg_salted",
-    "dedup_clusters", "dedup_clusters_star", "dedup_embedding",
-    "join_asof", "join_range_bucketed", "join_salted",
-    "join_skew_aqe", "join_theta",
-    "sample_hash", "sample_mixture", "sample_stratified",
-    "sim_search_ivf", "sim_search_lsh", "sim_search_sq",
-    # (5) r3-stale keys expected to spill past the ~50 cap (round-8
-    # front-load), then the round-7 hardening-only changes whose r6
-    # rows remain value-accurate (commit-lock ownership check, the
-    # snapshot_restore mode assert — both covered by pytest).
-    "text_decontaminate", "text_repetition",
-    "graph_triangles", "scan_jdbc", "snapshot_diff", "cdc_upsert",
-    "rollup_hypertable", "pipeline_curate",
-    "snapshot_restore", "sink_pysource", "stream_sink_pysource",
-    # keys green in rounds 4-6 on current code sort last in dict
+    # (1) code or ORACLE CHANGED in round 8 — a stale green row
+    # proves nothing about changed code. BPE pair: oracle now
+    # GENERATED from BPE_ROUNDS with MATERIALIZED round CTEs;
+    # part_promotion: overflow-free q > tq - q threshold; the four
+    # pydatasource-backed keys: commit-lock helpers extracted +
+    # schema-derived read() projection; the remaining 13: call sites
+    # migrated to the consolidated exact.with_scalars prelude.
+    "text_bpe_train", "text_bpe_apply", "analytics_part_promotion",
+    "scan_pysource", "sink_pysource", "stream_sink_pysource",
+    "stream_pysource", "stream_pysource_partitioned",
+    "agg_hll_intersection", "agg_moments", "analytics_important_parts",
+    "cluster_kmeans", "cluster_assign_incremental", "sample_mixture",
+    "sample_temperature", "pipeline_curate", "pipeline_dataset_card",
+    "profile_drift", "join_dpp", "sim_search_ivf", "sim_search_sq",
+    # (2) last driver-green in ROUND 3 — the final stale generation
+    # (round-7 verdict item 1: all 22 re-proved strict-green at
+    # sf0.01 by the judge; this front-load retires their driver rows
+    # too — 21 + 18 = 39 keys fit the ~50 cap together).
+    "cdc_upsert", "dedup_clusters", "dedup_clusters_star",
+    "dedup_embedding", "graph_triangles", "join_asof",
+    "join_range_bucketed", "join_salted", "join_skew_aqe",
+    "join_theta", "rollup_hypertable", "sample_hash",
+    "sample_stratified", "scan_jdbc", "sim_search_lsh",
+    "snapshot_diff", "text_decontaminate", "text_repetition",
+    # (3) last driver-green in ROUND 4 — the next-oldest generation;
+    # ~11 of these make the ~50 cap this round, the rest are the
+    # round-9 front-load. Ordered: sketch/agg family, scan variants,
+    # dedup ladder, then windows/streaming.
+    "agg_approx_distinct", "agg_bitmap_distinct", "agg_count_min",
+    "agg_cube", "agg_regression", "agg_sketch_rollup",
+    "analytics_nation_volume", "analytics_waiting_suppliers",
+    "dedup_containment", "dedup_embedding_lsh", "dedup_incremental",
+    "dedup_ngram_jaccard", "graph_pagerank", "join_bloom",
+    "join_interval_overlap", "join_scd2", "multimodal_dedup",
+    "pipeline_collapse", "profile_stats", "quality_expectations",
+    "sample_bottomk", "sample_split", "scan_json_malformed",
+    "scan_partition_prune", "scan_schema_evolution", "scan_text",
+    "scan_zone_map", "sim_search_pq", "sink_compacted",
+    "stream_anomaly", "stream_count_min", "stream_watermark_late",
+    "text_dedup_spans", "text_domain_mix", "text_ngrams",
+    "udf_arrow", "udtf_token_spans", "window_anomaly",
+    "window_attribution", "window_ewma", "window_gap_fill",
+    "window_paths", "window_rolling_median",
+    # keys green in rounds 5-7 on current code sort last in dict
     # order — unchanged code, freshest driver evidence.
 ]
 
