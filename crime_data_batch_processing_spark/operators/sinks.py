@@ -900,7 +900,14 @@ def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         retained, expired = retention_policy(
             runs, cy * 10000 + cm * 100 + cd, _EXPIRE_KEEP_LAST
         )
-        # (3) partition-pruned delete: exactly the expired directories
+        # (3) partition-pruned delete: exactly the expired directories.
+        # Driver-side rmtree is the local-FS stand-in and is
+        # metadata-proportional (O(expired dirs), never data-scan);
+        # an object-store deployment swaps this loop for the store's
+        # BULK delete API (S3 DeleteObjects batches of 1000 /
+        # GCS batch delete) driven by the same `expired` list —
+        # per-object serial deletes would make retention O(files)
+        # round-trips at 100 TB.
         for r in expired:
             shutil.rmtree(f"{base}/y={r // 10000}/m={r // 100 % 100}/d={r % 100}")
         with open(expired_manifest_path(base), "w") as f:
