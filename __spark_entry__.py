@@ -69,12 +69,18 @@ _VERIFY_FIRST = [
     "cluster_kmeans", "cluster_assign_incremental", "sample_mixture",
     "sample_temperature", "pipeline_curate", "pipeline_dataset_card",
     "profile_drift", "join_dpp", "sim_search_ivf", "sim_search_sq",
+    # ...and the round-8 scale fix: every consumer of the near-dup
+    # graph now builds on the banded `near_dup_pairs` base instead of
+    # the quadratic exact twin (BASELINE.md round-8 soak section) —
+    # same outputs under the guarded full-recall property, but the
+    # driver should re-prove all six.
+    "dedup_minhash", "dedup_clusters", "dedup_clusters_star",
+    "graph_bfs", "graph_triangles", "graph_pagerank",
     # (2) last driver-green in ROUND 3 — the final stale generation
     # (round-7 verdict item 1: all 22 re-proved strict-green at
     # sf0.01 by the judge; this front-load retires their driver rows
-    # too — 21 + 18 = 39 keys fit the ~50 cap together).
-    "cdc_upsert", "dedup_clusters", "dedup_clusters_star",
-    "dedup_embedding", "graph_triangles", "join_asof",
+    # too — 27 + 16 = 43 keys fit the ~50 cap together).
+    "cdc_upsert", "dedup_embedding", "join_asof",
     "join_range_bucketed", "join_salted", "join_skew_aqe",
     "join_theta", "rollup_hypertable", "sample_hash",
     "sample_stratified", "scan_jdbc", "sim_search_lsh",
@@ -87,7 +93,7 @@ _VERIFY_FIRST = [
     "agg_cube", "agg_regression", "agg_sketch_rollup",
     "analytics_nation_volume", "analytics_waiting_suppliers",
     "dedup_containment", "dedup_embedding_lsh", "dedup_incremental",
-    "dedup_ngram_jaccard", "graph_pagerank", "join_bloom",
+    "dedup_ngram_jaccard", "join_bloom",
     "join_interval_overlap", "join_scd2", "multimodal_dedup",
     "pipeline_collapse", "profile_stats", "quality_expectations",
     "sample_bottomk", "sample_split", "scan_json_malformed",

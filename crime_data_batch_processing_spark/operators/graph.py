@@ -2,9 +2,9 @@
 with degree orientation.
 
 The reference has no graph notion at all; the engine already
-materializes one graph — the exact-Jaccard near-dup pair set
-(`dedup_ngram_jaccard`) that clustering consumes — and this module
-adds the classic structure metric over it. Triangles measure how
+materializes one graph — the near-dup pair set (`near_dup_pairs`:
+banded MinHash candidates, exact-Jaccard verified) that clustering
+consumes — and this module adds the classic structure metric over it. Triangles measure how
 "clumpy" duplication is: transitive copy families (templates, mirror
 sites) triangle-close heavily, while chains of incremental edits
 don't — a signal curation pipelines use to pick between keep-first
@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from crime_data_batch_processing_spark.operators.llm_dedup import (
     _SQL_PAIR_BASE,
     JACCARD_THRESHOLD,
-    dedup_ngram_jaccard,
+    near_dup_pairs,
 )
 from crime_data_batch_processing_spark.registry import query
 
@@ -54,9 +54,15 @@ def _und_edges(spark, sf_dir, *, checkpoint_pairs=False):
     shingle shuffle. `checkpoint_pairs` additionally materializes the
     directed pairs for consumers (triangles) that branch off BOTH
     frames.
+
+    Pair base: `near_dup_pairs` (banded MinHash + exact verify) — the
+    oracles' exact pair algebra matches under the guarded full-recall
+    property; candidate generation stays collision-bounded instead of
+    inheriting the ground-truth twin's sum(df^2) shared-shingle mass
+    (measured ~n^2 on the vocabulary-saturated soak tiers).
     """
     pairs = (
-        dedup_ngram_jaccard(spark, sf_dir)
+        near_dup_pairs(spark, sf_dir)
         .where(F.col("doc_a") != F.col("doc_b"))
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )

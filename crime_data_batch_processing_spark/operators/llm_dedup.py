@@ -296,6 +296,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle is 8× corpus cardinality regardless of document size,
     and only colliding docs join. This is the 100 TB dedup plan.
     """
+    return near_dup_pairs(spark, sf_dir)
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production near-dup pair base: banded-MinHash candidates,
+    exact-Jaccard verified at JACCARD_THRESHOLD — (doc_a < doc_b,
+    jaccard). Shared by `dedup_minhash` and every consumer of the
+    near-dup graph (`dedup_clusters`, `dedup_clusters_star`, the
+    graph_* keys), whose oracles stay on the exact pair algebra:
+    output equality holds under the same guarded full-recall property
+    as `dedup_minhash`'s oracle (see that key's registration note and
+    tests/test_llm_ops.py::test_minhash_oracle_validity_full_recall).
+
+    Why consumers moved off `dedup_ngram_jaccard` (round 8): the
+    shared-shingle join's candidate mass is sum_g df(g)^2 — on a
+    vocabulary-saturated corpus (the builder soak tiers) it measured
+    ~n^2 growth and dragged every downstream graph/cluster key
+    superlinear, while banding keeps candidate generation at 8
+    rows/doc + true collisions. The exact-Jaccard twin remains
+    registered as ground truth.
+    """
     with_sh = _doc_shingles(spark, sf_dir)
     banded = (
         _band_rows(with_sh)
@@ -799,8 +820,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+min building block). The oracle is a DuckDB recursive CTE
     computing min-reachable-id per doc — same fixed point, different
     engine.
+
+    Pair base: `near_dup_pairs` (banded + exact-verified) — clustering
+    at 100 TB must ride the banded rung, not the all-pairs twin; the
+    oracle's exact pair algebra still matches under the guarded
+    full-recall property.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return _clustered(spark, sf_dir, connected_components(pairs))
 
 
@@ -913,8 +939,10 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-verified end-to-end (the propagation variant covers the
     shallow-cluster common case; this one covers chain-shaped
     components whose diameter exceeds any fixed round budget).
+
+    Pair base: `near_dup_pairs`, as in `dedup_clusters`.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return _clustered(spark, sf_dir, connected_components_star(pairs))
 
 

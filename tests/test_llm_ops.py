@@ -56,13 +56,20 @@ class TestDedup:
         testdata change that breaks the assumption fails HERE with an
         explanation instead of as an opaque driver mismatch; the fix
         then is to re-tune bands/rows or switch the key to a
-        recall-contract output, not to patch the operator."""
+        recall-contract output, not to patch the operator.
+
+        Since round 8 this guard covers EVERY `near_dup_pairs`
+        consumer: dedup_clusters, dedup_clusters_star and the graph_*
+        keys all build on the banded pair base while their oracles
+        stay on the exact pair algebra — a recall miss here means all
+        of their exact-set oracles are invalid too."""
         exact = _pairs(dedup_ngram_jaccard(spark, sf_dir))
         approx = _pairs(dedup_minhash(spark, sf_dir))
         assert approx == exact, (
             f"banded-LSH recall < 1.0 on this corpus: misses "
-            f"{sorted(exact - approx)[:5]} — dedup_minhash's exact-set "
-            "oracle is no longer valid at this sf"
+            f"{sorted(exact - approx)[:5]} — the exact-set oracles of "
+            "dedup_minhash AND every near_dup_pairs consumer "
+            "(dedup_clusters*, graph_*) are no longer valid at this sf"
         )
 
     def test_minhash_recall_on_near_dups(self, spark, sf_dir):

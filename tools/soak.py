@@ -33,6 +33,9 @@ def main() -> int:
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--keys", required=True)
+    ap.add_argument("--driver-mem", default="16g",
+                    help="local-mode JVM heap; the bench default (1g) "
+                         "OOMs above the sf0.1-equivalent tier")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -42,6 +45,7 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.driver.memory", args.driver_mem)
         .config("spark.sql.shuffle.partitions", str(args.cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
