@@ -1171,3 +1171,26 @@ def test_bpe_apply_corpus_path_stays_jvm_side(spark, sf_dir):
     assert "ArrowEvalPython" not in plan, plan
     assert "MapInPandas" not in plan, plan
     assert "replace" in plan, plan
+
+
+def test_near_dup_pair_base_joins_on_bands_not_shingles(spark, sf_dir):
+    """The shared near-dup pair base (round 8) must generate
+    candidates from the banded-MinHash self-join — join keys `band`
+    and `bhash`, 8 rows/doc — never from a raw-shingle equi-join
+    whose candidate mass is sum_g df(g)^2 (measured quadratic on the
+    vocabulary-saturated soak tiers; BASELINE.md round-8 section).
+    The only shingle-set join allowed is the bounded exact-Jaccard
+    VERIFY of already-banded candidate pairs (an array_intersect
+    projection, not a join keyed on the shingle)."""
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        near_dup_pairs,
+    )
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(near_dup_pairs(spark, sf_dir))
+    assert "band" in plan and "bhash" in plan, plan
+    # the exact twin's candidate join explodes shingles and joins on
+    # the shingle value column `g`; the banded base must not
+    assert " g#" not in plan and "(g#" not in plan, plan
+    assert "array_intersect" in plan, plan  # the verify projection
+    assert "CartesianProduct" not in plan, plan
