@@ -76,6 +76,10 @@ _VERIFY_FIRST = [
     # driver should re-prove all six.
     "dedup_minhash", "dedup_clusters", "dedup_clusters_star",
     "graph_bfs", "graph_triangles", "graph_pagerank",
+    # ...and the relational-soak fix: join_interval_overlap's fact
+    # side now pins shuffle_hash (explode defeats the size estimate;
+    # Catalyst broadcast the corpus side at the s3 tier).
+    "join_interval_overlap",
     # (2) last driver-green in ROUND 3 — the final stale generation
     # (round-7 verdict item 1: all 22 re-proved strict-green at
     # sf0.01 by the judge; this front-load retires their driver rows
@@ -94,7 +98,7 @@ _VERIFY_FIRST = [
     "analytics_nation_volume", "analytics_waiting_suppliers",
     "dedup_containment", "dedup_embedding_lsh", "dedup_incremental",
     "dedup_ngram_jaccard", "join_bloom",
-    "join_interval_overlap", "join_scd2", "multimodal_dedup",
+    "join_scd2", "multimodal_dedup",
     "pipeline_collapse", "profile_stats", "quality_expectations",
     "sample_bottomk", "sample_split", "scan_json_malformed",
     "scan_partition_prune", "scan_schema_evolution", "scan_text",

@@ -520,6 +520,15 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-bucket fan-in is bounded by the event rate per window width,
     so the shuffle-hash-join plan survives 100 TB where the nested
     loop (and DuckDB's IEJoin on one node) cannot distribute.
+
+    The distributed strategy is PINNED with a shuffle_hash hint:
+    `explode` defeats Catalyst's sizeInBytes estimate (it keeps the
+    child's size), so at mid scales the planner judged the exploded
+    FACT side broadcastable and built a multi-million-row broadcast
+    hash table — 3-4x slower at the soak's s3 tier and a guaranteed
+    driver OOM at 100 TB. Found by the round-8 relational soak
+    (non-monotone tier timings); plan-asserted in
+    tests/test_plans.py::test_interval_overlap_never_broadcasts_fact.
     """
     o = (
         load_table(spark, sf_dir, "orders")
@@ -571,7 +580,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        a.join(b, "bucket", "left")
+        a.join(b.hint("shuffle_hash"), "bucket", "left")
         .groupBy("o_orderkey")
         .agg(F.count(F.when(hit, 1)).alias("n_overlap_ship"))
     )

@@ -1194,3 +1194,19 @@ def test_near_dup_pair_base_joins_on_bands_not_shingles(spark, sf_dir):
     assert " g#" not in plan and "(g#" not in plan, plan
     assert "array_intersect" in plan, plan  # the verify projection
     assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_overlap_never_broadcasts_fact(spark, sf_dir):
+    """The interval-overlap join's fact side is EXPLODED lineitem —
+    corpus-sized — and explode defeats Catalyst's sizeInBytes
+    estimate (the child's estimate is kept), so without a pinned
+    strategy the planner broadcast a multi-million-row build side at
+    the soak's s3 tier (driver OOM at real scale). The join must plan
+    as a distributed ShuffledHashJoin."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["join_interval_overlap"](spark, sf_dir)
+    )
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan

@@ -99,17 +99,183 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/tmp/cdbp_soak")
     ap.add_argument("--seed", type=int, default=1042)
+    ap.add_argument("--skip-text", action="store_true",
+                    help="only (re)generate the relational tables")
+    ap.add_argument("--skip-relational", action="store_true",
+                    help="only (re)generate documents/embeddings")
     args = ap.parse_args()
     for tier, (n_docs, n_emb) in TIERS.items():
         d = os.path.join(args.base, tier)
         os.makedirs(d, exist_ok=True)
-        pq.write_table(
-            gen_documents(n_docs, args.seed), os.path.join(d, "documents.parquet")
-        )
-        pq.write_table(
-            gen_embeddings(n_emb, args.seed), os.path.join(d, "embeddings.parquet")
-        )
-        print(f"{d}: documents={n_docs} embeddings={n_emb}")
+        if not args.skip_text:
+            pq.write_table(
+                gen_documents(n_docs, args.seed),
+                os.path.join(d, "documents.parquet"),
+            )
+            pq.write_table(
+                gen_embeddings(n_emb, args.seed),
+                os.path.join(d, "embeddings.parquet"),
+            )
+            print(f"{d}: documents={n_docs} embeddings={n_emb}")
+        if not args.skip_relational:
+            tables = gen_relational(tier, args.seed)
+            for name, table in tables.items():
+                pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+            print(f"{d}: " + " ".join(
+                f"{k}={v.num_rows}" for k, v in tables.items()
+            ))
+
+
+# ---------------------------------------------------------------------------
+# Relational decade (round 8, second half): the TPC-H-ish star schema
+# one decade above sf0.1 — lineitem x10 per decade, the driver's own
+# convention. Distributions measured from /root/testdata/sf0.1:
+# every key dense or uniform over its observed range, prices uniform
+# 2-decimal (retailprice 1-decimal 900..1000, extendedprice
+# independent uniform 900..105000 — unit-price range check matches),
+# quantity integer-valued 1..50, discount 0..0.10 step .01, tax
+# 0..0.08, dates uniform over the observed day ranges (orderdate
+# 1995-01-01..2001-08-01, shipdate 1995-01-02..2001-11-04,
+# INDEPENDENT of orderdate — measured gaps -2399..+2496 days),
+# o_totalprice independent of the line sum (measured), events ts
+# uniform microseconds over 2024-01, value ~ Exponential(50) rounded
+# to cents (measured median 34.77 == 50 ln 2), props {"k": 0..99},
+# users = customers/10. region/nation are the fixed 5/25-row dims.
+# ---------------------------------------------------------------------------
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+P_ADJ = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+P_NOUN = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+P_TYPE = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+E_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+#: (customer, supplier, part, orders, lineitem, events) rows per tier;
+#: s1 matches sf0.1 exactly (the generator-validation rung), s10 is
+#: the sf1-equivalent decade.
+REL_TIERS = {
+    "s1": (15_000, 1_000, 20_000, 150_000, 600_000, 100_000),
+    "s3": (47_434, 3_162, 63_245, 474_341, 1_897_366, 316_227),
+    "s10": (150_000, 10_000, 200_000, 1_500_000, 6_000_000, 1_000_000),
+}
+
+
+def _days(rng, n, lo, hi):
+    import numpy as _np
+
+    d0 = _np.datetime64(lo)
+    span = int((_np.datetime64(hi) - d0) / _np.timedelta64(1, "D"))
+    return (d0 + rng.integers(0, span + 1, n).astype("timedelta64[D]")).astype(
+        "datetime64[us]"
+    )
+
+
+def gen_relational(tier: str, seed: int) -> dict:
+    n_cust, n_supp, n_part, n_ord, n_line, n_evt = REL_TIERS[tier]
+    rng = np.random.default_rng(seed + 7)
+    t = {}
+    t["region"] = pa.table(
+        {
+            "r_regionkey": pa.array(range(5), pa.int32()),
+            "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+        }
+    )
+    t["nation"] = pa.table(
+        {
+            "n_nationkey": pa.array(range(25), pa.int32()),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+        }
+    )
+    t["customer"] = pa.table(
+        {
+            "c_custkey": pa.array(range(n_cust), pa.int64()),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, n_cust).astype(np.int32), pa.int32()
+            ),
+            "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+            "c_mktsegment": np.array(SEGMENTS)[rng.integers(0, 5, n_cust)],
+        }
+    )
+    t["supplier"] = pa.table(
+        {
+            "s_suppkey": pa.array(range(n_supp), pa.int64()),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": pa.array(
+                rng.integers(0, 25, n_supp).astype(np.int32), pa.int32()
+            ),
+            "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2),
+        }
+    )
+    adj = np.array(P_ADJ)[rng.integers(0, 8, n_part)]
+    noun = np.array(P_NOUN)[rng.integers(0, 8, n_part)]
+    t["part"] = pa.table(
+        {
+            "p_partkey": pa.array(range(n_part), pa.int64()),
+            "p_name": np.char.add(np.char.add(adj, " "), noun),
+            "p_brand": np.array(
+                [f"Brand#{b}" for b in range(1, 26)]
+            )[rng.integers(0, 25, n_part)],
+            "p_type": np.array(P_TYPE)[rng.integers(0, 6, n_part)],
+            "p_size": pa.array(
+                rng.integers(1, 51, n_part).astype(np.int32), pa.int32()
+            ),
+            "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 1),
+        }
+    )
+    t["orders"] = pa.table(
+        {
+            "o_orderkey": pa.array(range(n_ord), pa.int64()),
+            "o_custkey": pa.array(
+                rng.integers(0, n_cust, n_ord), pa.int64()
+            ),
+            "o_orderstatus": np.array(["F", "O", "P"])[
+                rng.integers(0, 3, n_ord)
+            ],
+            "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
+            "o_orderdate": _days(rng, n_ord, "1995-01-01", "2001-08-01"),
+            "o_orderpriority": np.array(PRIORITIES)[
+                rng.integers(0, 5, n_ord)
+            ],
+        }
+    )
+    t["lineitem"] = pa.table(
+        {
+            "l_orderkey": pa.array(rng.integers(0, n_ord, n_line), pa.int64()),
+            "l_partkey": pa.array(rng.integers(0, n_part, n_line), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, n_line), pa.int64()),
+            "l_linenumber": pa.array(
+                rng.integers(1, 8, n_line).astype(np.int32), pa.int32()
+            ),
+            "l_quantity": rng.integers(1, 51, n_line).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(900, 105000, n_line), 2),
+            "l_discount": np.round(rng.integers(0, 11, n_line) / 100.0, 2),
+            "l_tax": np.round(rng.integers(0, 9, n_line) / 100.0, 2),
+            "l_returnflag": np.array(["A", "N", "R"])[
+                rng.integers(0, 3, n_line)
+            ],
+            "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_line)],
+            "l_shipdate": _days(rng, n_line, "1995-01-02", "2001-11-04"),
+        }
+    )
+    ts0 = np.datetime64("2024-01-01T00:00:00.000000")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    t["events"] = pa.table(
+        {
+            "event_id": pa.array(range(n_evt), pa.int64()),
+            "ts": ts0 + rng.integers(0, span_us, n_evt).astype("timedelta64[us]"),
+            "user_id": pa.array(
+                rng.integers(0, n_cust // 10, n_evt), pa.int64()
+            ),
+            "event_type": np.array(E_TYPES)[rng.integers(0, 5, n_evt)],
+            "value": np.round(rng.exponential(50.0, n_evt), 2),
+            "props": [
+                '{"k": %d}' % k for k in rng.integers(0, 100, n_evt)
+            ],
+        }
+    )
+    return t
 
 
 if __name__ == "__main__":
