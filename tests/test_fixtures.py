@@ -152,3 +152,49 @@ def test_probe_ts_unit_handles_missing_dir(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert _probe_ts_unit(str(empty)) == "ns"
+
+
+def test_soak_generator_matches_measured_distributions():
+    """tools/gen_soak.py's documents generator must keep the
+    distribution invariants measured from /root/testdata/sf0.1
+    (BASELINE.md round-8 section) — the soak exponents are only
+    comparable to driver-tier numbers while these hold. Pure-python,
+    no Spark."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import gen_soak
+
+    t = gen_soak.gen_documents(5000, seed=1042)
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    n = len(texts)
+    assert n == 5000
+    # ~5% near-dup copies (the ' dup' append marker)
+    dups = sum(1 for x in texts if x.endswith(" dup") or " dup " in x)
+    assert 0.035 * n <= dups <= 0.065 * n, dups
+    # lang mix: en ~42%, others ~14.5% each
+    en = sum(1 for g in langs if g == "en")
+    assert 0.37 * n <= en <= 0.47 * n, en
+    # uniform 10..100-word originals (copies add one)
+    lens = [len(x.split()) for x in texts]
+    assert min(lens) >= 10 and max(lens) <= 101
+    assert 50 <= sum(lens) / n <= 60
+    # vocabulary: the 30 generator words + the marker only
+    vocab = set(w for x in texts[:500] for w in x.split())
+    assert vocab <= set(gen_soak.VOCAB) | {"dup"}, vocab
+
+    e = gen_soak.gen_embeddings(500, seed=1042)
+    import numpy as np
+
+    v = np.array(e["embedding"].to_pylist(), dtype=np.float64)
+    assert v.shape == (500, gen_soak.DIM)
+    norms = np.linalg.norm(v, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-5)
+
+    rel = gen_soak.gen_relational("s1", seed=1042)
+    assert rel["lineitem"].num_rows == 600_000
+    assert rel["orders"].num_rows == 150_000
+    q = rel["lineitem"]["l_quantity"].to_numpy()
+    assert q.min() >= 1 and q.max() <= 50 and np.all(q == np.round(q))
