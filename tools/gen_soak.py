@@ -51,7 +51,15 @@ LANG_P = [0.42, 0.145, 0.145, 0.145, 0.145]
 COPY_RATE = 0.05
 DIM = 64
 
-TIERS = {"s1": (5000, 2000), "s3": (15811, 4000), "s10": (50000, 8000)}
+#: documents/embeddings tiers; s100 (two decades above sf0.1, text
+#: family only — REL_TIERS stops at s10) exists to give the banded
+#: dedup/graph/ANN rungs a FOUR-point, two-decade growth fit.
+TIERS = {
+    "s1": (5000, 2000),
+    "s3": (15811, 4000),
+    "s10": (50000, 8000),
+    "s100": (500000, 32000),
+}
 
 
 def gen_documents(n: int, seed: int) -> pa.Table:
@@ -117,7 +125,7 @@ def main() -> None:
                 os.path.join(d, "embeddings.parquet"),
             )
             print(f"{d}: documents={n_docs} embeddings={n_emb}")
-        if not args.skip_relational:
+        if not args.skip_relational and tier in REL_TIERS:
             tables = gen_relational(tier, args.seed)
             for name, table in tables.items():
                 pq.write_table(table, os.path.join(d, f"{name}.parquet"))
