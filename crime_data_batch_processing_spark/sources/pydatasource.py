@@ -235,13 +235,33 @@ def _acquire_commit_lock(
     orphan from a committer killed before its finally-release), so
     one crash never wedges every future commit behind a manual
     unlink. A LIVE lock is waited on up to `timeout_s`.
+
+    SELF-CONTAINED by design (stdlib imports only, stale-break guard
+    inlined rather than imported from fixtures): Spark runs a data
+    source's commit() in a JVM-spawned Python worker that does NOT
+    have the repo on sys.path, and the surrounding functions ship
+    there by cloudpickle VALUE — a call-time package import here
+    raises ModuleNotFoundError in that worker (latent until round 8's
+    generated-tier sweep forced a fresh fixture build outside a
+    repo cwd; the same rule streaming/stateful.py documents for UDF
+    helpers).
     """
     import os
     import time
 
-    from crime_data_batch_processing_spark.fixtures import (
-        _break_if_still_stale,
-    )
+    def _break_if_still_stale(lockfile: str, observed) -> None:
+        # unlink only the SAME file (ino) with the SAME mtime we
+        # judged stale — a refreshed or re-created lock is a no-op
+        # (same guard as fixtures._break_if_still_stale)
+        try:
+            cur = os.stat(lockfile)
+            if (cur.st_ino, cur.st_mtime_ns) == (
+                observed.st_ino,
+                observed.st_mtime_ns,
+            ):
+                os.unlink(lockfile)
+        except FileNotFoundError:
+            pass
 
     deadline = time.monotonic() + timeout_s
     while True:

@@ -441,3 +441,46 @@ def test_commit_lock_waits_for_live_holder(tmp_path):
     _release_commit_lock(lock, fd_a)
     fd_b = _acquire_commit_lock(lock, timeout_s=0.3)
     _release_commit_lock(lock, fd_b)
+
+
+def test_commit_runs_without_repo_on_sys_path(tmp_path):
+    """Spark executes a Python data source's commit() in a
+    JVM-spawned worker that does NOT have this repo on sys.path — the
+    writer and everything it calls arrive by cloudpickle VALUE.
+    Regression pin for the round-8 latent bug: the commit-lock helper
+    did a call-time package import (`fixtures._break_if_still_stale`)
+    that raised ModuleNotFoundError in that worker the first time a
+    fresh fixture build ran outside a repo cwd. Replays the exact
+    context: pickle the writer here, unpickle and commit in a
+    subprocess whose sys.path cannot see the repo."""
+    import subprocess
+    import sys
+
+    from pyspark import cloudpickle
+
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        FileCommit,
+        ManifestParquetWriter,
+    )
+
+    writer = ManifestParquetWriter(str(tmp_path), overwrite=False)
+    blob = tmp_path / "writer.pkl"
+    with open(blob, "wb") as f:
+        cloudpickle.dump((writer, [FileCommit("data-x.parquet", 1)]), f)
+
+    script = f"""
+import sys
+sys.path[:] = [p for p in sys.path if "repo" not in p]
+sys.modules.pop("crime_data_batch_processing_spark", None)
+from pyspark import cloudpickle
+with open({str(blob)!r}, "rb") as f:
+    writer, msgs = cloudpickle.load(f)
+writer.commit(msgs)
+print("COMMIT_OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, cwd="/",
+    )
+    assert "COMMIT_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
+    assert (tmp_path / "_manifest.json").exists()
