@@ -89,6 +89,24 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
+    # The driver records only a bounded TAIL of stdout, and the full
+    # per-query line above outgrew it (~6 kB at 215 keys) — every
+    # BENCH_r*.json since then has "parsed": null. Emit a second,
+    # SHORT summary line after the big one so the permanent record
+    # always contains the headline even when the long line is cut.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_from_dir(SF_DIR),
+                "keys": len(timings),
+                "failed": sorted(k for k, t in timings.items() if t < 0),
+            },
+            separators=(",", ":"),
+        )
+    )
     spark.stop()
 
 

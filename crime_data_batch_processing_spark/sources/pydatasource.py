@@ -223,18 +223,50 @@ def _write_arrow_task(path: str, iterator) -> FileCommit:
 STALE_COMMIT_LOCK_S = 60.0
 
 
+class _CommitLockHandle:
+    """Held commit lock: the O_EXCL fd plus its heartbeat thread.
+
+    The heartbeat `os.utime(fd)`s the lock every `stale_s / 4` while
+    the holder works, so a commit that legitimately stalls past
+    `stale_s` (slow network FS, very large manifest merge) keeps its
+    lock LIVE in peers' eyes instead of getting it broken mid-critical-
+    section. utime goes through the FD, not the path: if a peer has
+    (wrongly or rightly) broken this lock and created its own file at
+    the same path, the heartbeat touches only this holder's orphaned
+    inode — it can never freshen a peer's lock.
+    """
+
+    def __init__(self, fd: int, stop, thread) -> None:
+        self.fd = fd
+        self._stop = stop
+        self._thread = thread
+
+    def stop_heartbeat(self) -> None:
+        if self._stop is not None:
+            self._stop.set()
+            self._thread.join(timeout=5.0)
+            self._stop = None
+
+
 def _acquire_commit_lock(
     lock: str,
     stale_s: float = STALE_COMMIT_LOCK_S,
     timeout_s: float = 120.0,
-) -> int:
-    """O_EXCL-elect the commit lock; returns the holder's open fd.
+    heartbeat: bool = True,
+) -> _CommitLockHandle:
+    """O_EXCL-elect the commit lock; returns the holder's handle
+    (open fd + heartbeat thread — see `_CommitLockHandle`).
 
     A lock whose mtime is older than `stale_s` is broken with the
     same same-inode/same-mtime guard `fixtures.build_once` uses (an
     orphan from a committer killed before its finally-release), so
     one crash never wedges every future commit behind a manual
-    unlink. A LIVE lock is waited on up to `timeout_s`.
+    unlink. A LIVE lock is waited on up to `timeout_s`; every retry
+    path re-checks the deadline at the top of the loop, so lock churn
+    (holders finishing / stale breaks) cannot extend the wait
+    unboundedly. `heartbeat=False` is for tests that simulate a
+    holder whose heartbeat itself died (the ownership-checked release
+    still protects that case).
 
     SELF-CONTAINED by design (stdlib imports only, stale-break guard
     inlined rather than imported from fixtures): Spark runs a data
@@ -247,6 +279,7 @@ def _acquire_commit_lock(
     helpers).
     """
     import os
+    import threading
     import time
 
     def _break_if_still_stale(lockfile: str, observed) -> None:
@@ -264,9 +297,17 @@ def _acquire_commit_lock(
             pass
 
     deadline = time.monotonic() + timeout_s
-    while True:
+    fd = None
+    while fd is None:
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"manifest commit lock still live after "
+                f"{timeout_s:.0f}s: {lock} — another commit "
+                "appears wedged mid-critical-section; investigate "
+                "before removing the lock"
+            )
         try:
-            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             try:
                 st = os.stat(lock)
@@ -275,36 +316,46 @@ def _acquire_commit_lock(
             if time.time() - st.st_mtime > stale_s:
                 _break_if_still_stale(lock, st)
                 continue
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"manifest commit lock still live after "
-                    f"{timeout_s:.0f}s: {lock} — another commit "
-                    "appears wedged mid-critical-section; investigate "
-                    "before removing the lock"
-                )
             time.sleep(0.05)
+    if not heartbeat:
+        return _CommitLockHandle(fd, None, None)
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(stale_s / 4):
+            try:
+                os.utime(fd)
+            except OSError:
+                return  # fd closed under us: holder is releasing
+
+    t = threading.Thread(target=_beat, daemon=True)
+    t.start()
+    return _CommitLockHandle(fd, stop, t)
 
 
-def _release_commit_lock(lock: str, lock_fd: int) -> None:
-    """Ownership-checked release of a lock fd from `_acquire_commit_lock`.
+def _release_commit_lock(lock: str, handle: _CommitLockHandle) -> None:
+    """Ownership-checked release of a `_acquire_commit_lock` handle.
 
-    If this holder stalled past STALE_COMMIT_LOCK_S a peer may have
-    broken the lock and created its OWN lock file at the same path —
-    an unconditional unlink here would delete the peer's live lock
-    and re-enable the concurrent read-merge-write the lock exists to
-    prevent. Unlink only while the path still names the inode we
-    created (fstat of our kept fd). Pinned by
+    Stops the heartbeat FIRST (so a released lock can go stale
+    normally), then unlinks. If this holder's heartbeat died and it
+    stalled past STALE_COMMIT_LOCK_S, a peer may have broken the lock
+    and created its OWN lock file at the same path — an unconditional
+    unlink here would delete the peer's live lock and re-enable the
+    concurrent read-merge-write the lock exists to prevent. Unlink
+    only while the path still names the inode we created (fstat of
+    our kept fd). Pinned by
     tests/test_pysource.py::test_commit_lock_release_spares_peer_lock.
     """
     import os
 
+    handle.stop_heartbeat()
     try:
-        if os.stat(lock).st_ino == os.fstat(lock_fd).st_ino:
+        if os.stat(lock).st_ino == os.fstat(handle.fd).st_ino:
             os.unlink(lock)
     except FileNotFoundError:
         pass
     finally:
-        os.close(lock_fd)
+        os.close(handle.fd)
 
 
 class ManifestParquetWriter(DataSourceArrowWriter):
@@ -332,7 +383,7 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         # covers the whole read-merge-publish cycle, so concurrent
         # appends compose. os.replace alone still protects READERS.
         lock = manifest + ".lock"
-        lock_fd = _acquire_commit_lock(lock)
+        lock_handle = _acquire_commit_lock(lock)
         try:
             if not self.overwrite and os.path.exists(manifest):
                 # append merges the prior committed list — a wholesale
@@ -350,7 +401,7 @@ class ManifestParquetWriter(DataSourceArrowWriter):
             # the table-format convention (vacuum is a separate concern).
             os.replace(tmp, manifest)
         finally:
-            _release_commit_lock(lock, lock_fd)
+            _release_commit_lock(lock, lock_handle)
 
     def abort(self, messages) -> None:
         import os
@@ -481,8 +532,13 @@ class ChunkedParquetStreamReader(SimpleDataSourceStreamReader):
 
     CHUNKS = 4
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, columns: list[str]) -> None:
         self.path = path
+        #: projection derived from the SOURCE's declared schema (the
+        #: same derive-from-schema rule the partitioned reader follows)
+        #: — a hardcoded list here silently drifts the moment the
+        #: schema() string changes
+        self.columns = columns
         self._total = None
 
     def _meta(self):
@@ -497,15 +553,11 @@ class ChunkedParquetStreamReader(SimpleDataSourceStreamReader):
     def _slice(self, lo: int, hi: int):
         import pyarrow.parquet as pq
 
-        table = pq.read_table(
-            self.path, columns=["event_id", "event_type", "value"]
-        ).slice(lo, hi - lo)
+        table = pq.read_table(self.path, columns=self.columns).slice(
+            lo, hi - lo
+        )
         return iter(
-            zip(
-                table.column("event_id").to_pylist(),
-                table.column("event_type").to_pylist(),
-                table.column("value").to_pylist(),
-            )
+            zip(*(table.column(c).to_pylist() for c in self.columns))
         )
 
     def initialOffset(self):
@@ -534,7 +586,9 @@ class ChunkedParquetStreamSource(DataSource):
         return "event_id bigint, event_type string, value double"
 
     def simpleStreamReader(self, schema):
-        return ChunkedParquetStreamReader(self.options["path"])
+        return ChunkedParquetStreamReader(
+            self.options["path"], columns=[f.name for f in schema.fields]
+        )
 
 
 # ---------------------------------------------------------------------------

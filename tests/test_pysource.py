@@ -117,7 +117,9 @@ def test_stream_reader_offset_protocol(tmp_path):
         }
     )
     pq.write_table(table, path)
-    r = ChunkedParquetStreamReader(path)
+    r = ChunkedParquetStreamReader(
+        path, columns=["event_id", "event_type", "value"]
+    )
     off = r.initialOffset()
     seen = []
     for _ in range(10):  # bounded: must catch up within CHUNKS reads
@@ -400,20 +402,21 @@ def test_commit_lock_release_spares_peer_lock(tmp_path):
 
     lock = str(tmp_path / "_manifest.json.lock")
 
-    # holder A elects, then stalls: backdate its lock past staleness
-    fd_a = _acquire_commit_lock(lock, stale_s=60.0)
+    # holder A elects, then stalls WITH a dead heartbeat (the one
+    # case the ownership check still guards): backdate its lock
+    fd_a = _acquire_commit_lock(lock, stale_s=60.0, heartbeat=False)
     past = os.stat(lock).st_mtime - 3600
     os.utime(lock, (past, past))
 
     # peer B judges A's lock stale, breaks it, holds its OWN lock
     fd_b = _acquire_commit_lock(lock, stale_s=60.0)
-    assert os.stat(lock).st_ino == os.fstat(fd_b).st_ino
-    assert os.stat(lock).st_ino != os.fstat(fd_a).st_ino
+    assert os.stat(lock).st_ino == os.fstat(fd_b.fd).st_ino
+    assert os.stat(lock).st_ino != os.fstat(fd_a.fd).st_ino
 
     # A's (late) release must leave B's live lock intact
     _release_commit_lock(lock, fd_a)
     assert os.path.exists(lock)
-    assert os.stat(lock).st_ino == os.fstat(fd_b).st_ino
+    assert os.stat(lock).st_ino == os.fstat(fd_b.fd).st_ino
 
     # B's release removes its own lock; the path is then free again
     _release_commit_lock(lock, fd_b)
@@ -421,6 +424,44 @@ def test_commit_lock_release_spares_peer_lock(tmp_path):
     fd_c = _acquire_commit_lock(lock, stale_s=60.0)
     _release_commit_lock(lock, fd_c)
     assert not os.path.exists(lock)
+
+
+def test_commit_lock_heartbeat_keeps_stalled_holder_live(tmp_path):
+    """A holder that legitimately stalls past `stale_s` (slow FS,
+    huge manifest merge) must KEEP its lock: the heartbeat refreshes
+    the lock's mtime from the held fd, so peers keep judging it live
+    and wait (then time out) instead of breaking it mid-critical-
+    section. Without the heartbeat, the same stall gets the lock
+    broken (asserted as the contrast case)."""
+    import os
+    import time
+
+    import pytest
+
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        _acquire_commit_lock,
+        _release_commit_lock,
+    )
+
+    lock = str(tmp_path / "_manifest.json.lock")
+    h = _acquire_commit_lock(lock, stale_s=0.4)
+    ino_a = os.fstat(h.fd).st_ino
+    time.sleep(1.2)  # stall 3x past the staleness horizon
+    # peer judges by the SAME stale_s: the heartbeat must have kept
+    # the mtime fresh, so the peer waits and times out
+    with pytest.raises(TimeoutError):
+        _acquire_commit_lock(lock, stale_s=0.4, timeout_s=0.5)
+    assert os.stat(lock).st_ino == ino_a  # still holder A's lock
+    _release_commit_lock(lock, h)
+    assert not os.path.exists(lock)
+
+    # contrast: the SAME stall with a dead heartbeat is broken
+    h2 = _acquire_commit_lock(lock, stale_s=0.4, heartbeat=False)
+    time.sleep(1.2)
+    h3 = _acquire_commit_lock(lock, stale_s=0.4, timeout_s=0.5)
+    assert os.fstat(h3.fd).st_ino != os.fstat(h2.fd).st_ino
+    _release_commit_lock(lock, h3)
+    _release_commit_lock(lock, h2)  # ownership check: no-op unlink
 
 
 def test_commit_lock_waits_for_live_holder(tmp_path):
@@ -455,13 +496,20 @@ def test_commit_runs_without_repo_on_sys_path(tmp_path):
     subprocess whose sys.path cannot see the repo."""
     import subprocess
     import sys
+    from pathlib import Path
 
     from pyspark import cloudpickle
 
+    import crime_data_batch_processing_spark
     from crime_data_batch_processing_spark.sources.pydatasource import (
         FileCommit,
         ManifestParquetWriter,
     )
+
+    # the ACTUAL directory the package imports from (r8 advisor fix:
+    # a substring filter like `"repo" not in p` removes nothing in a
+    # checkout whose path lacks the word, passing vacuously)
+    repo_root = str(Path(crime_data_batch_processing_spark.__file__).resolve().parents[1])
 
     writer = ManifestParquetWriter(str(tmp_path), overwrite=False)
     blob = tmp_path / "writer.pkl"
@@ -469,9 +517,20 @@ def test_commit_runs_without_repo_on_sys_path(tmp_path):
         cloudpickle.dump((writer, [FileCommit("data-x.parquet", 1)]), f)
 
     script = f"""
-import sys
-sys.path[:] = [p for p in sys.path if "repo" not in p]
-sys.modules.pop("crime_data_batch_processing_spark", None)
+import os.path, sys
+root = {repo_root!r}
+sys.path[:] = [
+    p for p in sys.path
+    if os.path.realpath(p or ".") != root
+    and not os.path.realpath(p or ".").startswith(root + os.sep)
+]
+for mod in [m for m in sys.modules if m.split(".")[0] == "crime_data_batch_processing_spark"]:
+    del sys.modules[mod]
+try:
+    import crime_data_batch_processing_spark  # noqa: F401
+    print("PKG_STILL_IMPORTABLE")  # filter failed: test would be vacuous
+except ImportError:
+    pass
 from pyspark import cloudpickle
 with open({str(blob)!r}, "rb") as f:
     writer, msgs = cloudpickle.load(f)
@@ -481,6 +540,10 @@ print("COMMIT_OK")
     r = subprocess.run(
         [sys.executable, "-c", script],
         capture_output=True, text=True, cwd="/",
+    )
+    assert "PKG_STILL_IMPORTABLE" not in r.stdout, (
+        "sys.path filter failed to hide the repo — the regression "
+        "context (module-less worker) was not reproduced"
     )
     assert "COMMIT_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
     assert (tmp_path / "_manifest.json").exists()
