@@ -55,50 +55,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # machinery has been touched since).  Keys verified green in round 2 at
 # unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
-    # (1) code or ORACLE CHANGED in round 8 — a stale green row
-    # proves nothing about changed code. BPE pair: oracle now
-    # GENERATED from BPE_ROUNDS with MATERIALIZED round CTEs;
-    # part_promotion: overflow-free q > tq - q threshold; the four
-    # pydatasource-backed keys: commit-lock helpers extracted +
-    # schema-derived read() projection; the remaining 13: call sites
-    # migrated to the consolidated exact.with_scalars prelude.
-    "text_bpe_train", "text_bpe_apply", "analytics_part_promotion",
+    # (1) NEW or code/ORACLE CHANGED in round 9 — a stale green row
+    # proves nothing about changed code. dedup_embedding_lsh_prod:
+    # new key (production-regime 64-bit/8×8-band embedding LSH over a
+    # planted-ground-truth corpus); dedup_simhash: output now bounded
+    # per doc (SIMHASH_TOPK, oracle replays the cap); the five
+    # pydatasource keys: commit-lock heartbeat + schema-derived
+    # simple-reader projection.
+    "dedup_embedding_lsh_prod", "dedup_simhash",
     "scan_pysource", "sink_pysource", "stream_sink_pysource",
     "stream_pysource", "stream_pysource_partitioned",
-    "agg_hll_intersection", "agg_moments", "analytics_important_parts",
-    "cluster_kmeans", "cluster_assign_incremental", "sample_mixture",
-    "sample_temperature", "pipeline_curate", "pipeline_dataset_card",
-    "profile_drift", "join_dpp", "sim_search_ivf", "sim_search_sq",
-    # ...and the round-8 scale fix: every consumer of the near-dup
-    # graph now builds on the banded `near_dup_pairs` base instead of
-    # the quadratic exact twin (BASELINE.md round-8 soak section) —
-    # same outputs under the guarded full-recall property, but the
-    # driver should re-prove all six.
-    "dedup_minhash", "dedup_clusters", "dedup_clusters_star",
-    "graph_bfs", "graph_triangles", "graph_pagerank",
-    # ...and the relational-soak fix: join_interval_overlap's fact
-    # side now pins shuffle_hash (explode defeats the size estimate;
-    # Catalyst broadcast the corpus side at the s3 tier).
-    "join_interval_overlap",
-    # (2) last driver-green in ROUND 3 — the final stale generation
-    # (round-7 verdict item 1: all 22 re-proved strict-green at
-    # sf0.01 by the judge; this front-load retires their driver rows
-    # too — 27 + 16 = 43 keys fit the ~50 cap together).
-    "cdc_upsert", "dedup_embedding", "join_asof",
-    "join_range_bucketed", "join_salted", "join_skew_aqe",
-    "join_theta", "rollup_hypertable", "sample_hash",
-    "sample_stratified", "scan_jdbc", "sim_search_lsh",
-    "snapshot_diff", "text_decontaminate", "text_repetition",
-    # (3) last driver-green in ROUND 4 — the next-oldest generation;
-    # ~11 of these make the ~50 cap this round, the rest are the
-    # round-9 front-load. Ordered: sketch/agg family, scan variants,
-    # dedup ladder, then windows/streaming.
-    "agg_approx_distinct", "agg_bitmap_distinct", "agg_count_min",
-    "agg_cube", "agg_regression", "agg_sketch_rollup",
-    "analytics_nation_volume", "analytics_waiting_suppliers",
-    "dedup_containment", "dedup_embedding_lsh", "dedup_incremental",
-    "dedup_ngram_jaccard", "join_bloom",
-    "join_scd2", "multimodal_dedup",
+    # (2) last driver-green in ROUND 4 — the oldest remaining
+    # generation (round-8 verdict item 1: all 34 judge-reproved
+    # bit-exact at sf0.01; this front-load retires their driver rows
+    # — 7 + 34 = 41 keys fit the ~50 cap together). Ordered:
+    # analytics, dedup ladder, joins, pipeline/profile, sampling,
+    # scans, sim/sink, streaming, text, udf, windows.
+    "analytics_waiting_suppliers", "dedup_containment",
+    "dedup_embedding_lsh", "dedup_incremental", "dedup_ngram_jaccard",
+    "join_bloom", "join_scd2", "multimodal_dedup",
     "pipeline_collapse", "profile_stats", "quality_expectations",
     "sample_bottomk", "sample_split", "scan_json_malformed",
     "scan_partition_prune", "scan_schema_evolution", "scan_text",
@@ -108,7 +83,22 @@ _VERIFY_FIRST = [
     "udf_arrow", "udtf_token_spans", "window_anomaly",
     "window_attribution", "window_ewma", "window_gap_fill",
     "window_paths", "window_rolling_median",
-    # keys green in rounds 5-7 on current code sort last in dict
+    # (3) last driver-green in ROUND 5 — the next-oldest generation;
+    # ~9 of these make the ~50 cap this round, the rest are the
+    # round-10 front-load.
+    "agg_ab_test", "agg_argmax", "agg_count_filter", "agg_distinct",
+    "agg_gini", "agg_grouping_sets", "agg_mad", "agg_multi",
+    "agg_percentile", "agg_rollup", "agg_weighted_median",
+    "analytics_customer_distribution", "filter_compound", "filter_eq",
+    "join_broadcast", "join_bucketed", "join_inner", "join_null_safe",
+    "join_outer", "join_semi_anti", "json_variant",
+    "pipeline_media_ingest", "pipeline_train_manifest", "project_expr",
+    "project_lit", "scan_csv_gzip", "scan_xml", "set_union",
+    "set_union_evolved", "sink_zorder", "sort_keyset", "sort_paginate",
+    "stream_pipeline", "stream_stream_left_join",
+    "stream_transform_state", "text_quality_model", "text_tfidf",
+    "window_cusum", "window_daily_kpis", "window_sessionize",
+    # keys green in rounds 6-8 on current code sort last in dict
     # order — unchanged code, freshest driver evidence.
 ]
 

@@ -100,9 +100,14 @@ def _hyperplanes(bits: int = LSH_BITS, dim: int = EMBED_DIM) -> list[list[int]]:
     return planes
 
 
-def _signature(vec) -> F.Column:
+def _signature(vec, bits: int = LSH_BITS) -> F.Column:
     """Sign signature: bit i = [dot(vec, plane_i) >= 0], computed as
     ONE Arrow-vectorized pandas UDF over the QUANTIZED int64 vectors.
+    `bits` selects the plane count (default: the weak-neighbor 18-bit
+    layout; `dedup_embedding_lsh_prod` uses 64). At bits=64 the packed
+    value wraps into the sign bit — numpy int64 wraparound is
+    two's-complement, the same bit pattern the SQL oracle's min-long
+    literal produces, so cross-engine equality holds for every width.
 
     The dot products are exact int64 arithmetic (integer planes ×
     integer quantized elements, no overflow per PLANE_SCALE bound), so
@@ -119,8 +124,10 @@ def _signature(vec) -> F.Column:
     import pandas as pd
     from pyspark.sql import types as T
 
-    planes = np.array(_hyperplanes(), dtype="int64").T  # (dim, bits)
-    weights = 1 << np.arange(planes.shape[1], dtype="int64")
+    planes = np.array(_hyperplanes(bits), dtype="int64").T  # (dim, bits)
+    weights = np.left_shift(
+        np.int64(1), np.arange(planes.shape[1], dtype="int64")
+    )
 
     @F.pandas_udf(T.LongType())
     def _sig(col):  # (pd.Series of arrays) -> pd.Series[int64]; hints
@@ -224,14 +231,18 @@ _SQL_QUANT = (
 )
 
 
-def sql_sig_expr() -> str:
+def sql_sig_expr(bits: int = LSH_BITS) -> str:
     """SQL expression computing the packed hyperplane signature of a
     quantized vector column named `qe`: each bit is `SUM(q_i·w_i) >= 0`
     over a literal integer plane, rendered with the proven
-    lockstep-unnest dot pattern. Shared by the `sim_search_lsh` and
-    `dedup_embedding_lsh` oracles — integer math end-to-end, so the
-    oracle's buckets ARE the Spark buckets."""
-    planes = _hyperplanes()
+    lockstep-unnest dot pattern. Shared by the `sim_search_lsh`,
+    `dedup_embedding_lsh`, and `dedup_embedding_lsh_prod` oracles —
+    integer math end-to-end, so the oracle's buckets ARE the Spark
+    buckets. At bits=64 the top bit is added as the min-long literal
+    (2^63 overflows a signed BIGINT; same two's-complement pattern
+    numpy's int64 wraparound produces — the idiom
+    llm_dedup._sql_simhash_pairs established)."""
+    planes = _hyperplanes(bits)
 
     def bit_dot(plane: list[int]) -> str:
         lit = "[" + ", ".join(str(w) for w in plane) + "]"
@@ -240,20 +251,29 @@ def sql_sig_expr() -> str:
             f"(SELECT unnest(qe) AS __qx, unnest({lit}) AS __wx))"
         )
 
+    def weight(i: int) -> str:
+        if i == 63:
+            return "(-9223372036854775807 - 1)"
+        return str(1 << i)
+
     return " + ".join(
-        f"CASE WHEN {bit_dot(p)} >= 0 THEN {1 << i} ELSE 0 END"
+        f"CASE WHEN {bit_dot(p)} >= 0 THEN {weight(i)} ELSE 0 END"
         for i, p in enumerate(planes)
     )
 
 
-def sql_bands_cte() -> str:
+def sql_bands_cte(bands: int = LSH_BANDS, band_bits: int = LSH_BAND_BITS) -> str:
     """SQL select (UNION ALL per band) exploding a `sig` CTE with
-    columns (vec_id, sig) into (vec_id, band, bval) rows."""
-    band_mask = (1 << LSH_BAND_BITS) - 1
+    columns (vec_id, sig) into (vec_id, band, bval) rows. DuckDB's
+    `>>` on BIGINT is an ARITHMETIC shift, but the band mask removes
+    every sign-extended bit, so the extraction agrees with Spark's
+    shiftrightunsigned+mask for negative (bit-63-set) signatures too
+    (probed both engines; relied on by the 64-bit prod layout)."""
+    band_mask = (1 << band_bits) - 1
     return " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, "
-        f"(sig >> {b * LSH_BAND_BITS}) & {band_mask} AS bval FROM sig"
-        for b in range(LSH_BANDS)
+        f"(sig >> {b * band_bits}) & {band_mask} AS bval FROM sig"
+        for b in range(bands)
     )
 
 

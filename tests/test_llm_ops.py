@@ -109,6 +109,96 @@ class TestDedup:
         for r in dedup_simhash(spark, sf_dir).collect():
             assert r.doc_a < r.doc_b
 
+    def test_simhash_output_bounded_per_doc(self, spark, sf_dir):
+        """The per-doc cap (SIMHASH_TOPK) is the operator's O(n·k)
+        output contract — the property that lets it run the
+        vocabulary-saturated soak tiers where the raw radius-7 pair
+        set is quadratic. On driver-scale data the cap must NOT bind
+        (max degree ever observed is 120): binding here would mean
+        the corpus shape changed and the BASELINE soak adjudication
+        needs re-reading."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            SIMHASH_TOPK,
+        )
+
+        deg = (
+            dedup_simhash(spark, sf_dir)
+            .groupBy("doc_a")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert deg is not None and deg < SIMHASH_TOPK
+
+    def test_embedding_lsh_prod_oracle_validity_full_recall(
+        self, spark, sf_dir
+    ):
+        """ORACLE-VALIDITY GUARD for `dedup_embedding_lsh_prod` (same
+        contract as the minhash guard above): the banded candidate set
+        must recover EVERY cos ≥ 0.85 pair of the planted-augmented
+        corpus on this data — and the planted pairs themselves must
+        all be found back (recall of the production regime, asserted
+        rather than assumed; analytically ≥ 0.9999 per pair at the
+        planted cos ≈ 0.9999). The registered oracle replays the
+        banding, so a recall miss would NOT driver-fail — this test is
+        what notices the approximation drifting on new data."""
+        from crime_data_batch_processing_spark.functions.veckit import (
+            descale,
+            idot,
+        )
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_EVERY,
+            PLANT_OFFSET,
+            PROD_COSINE_THRESHOLD,
+            _planted_quantized,
+            dedup_embedding_lsh_prod,
+        )
+        from crime_data_batch_processing_spark.sources.tables import (
+            load_table,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = _planted_quantized(emb).select(
+            "vec_id",
+            "q",
+            descale(idot(F.col("q"), F.col("q"))).alias("nsq"),
+        )
+        a = corpus.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("q").alias("qa"),
+            F.col("nsq").alias("na"),
+        )
+        b = corpus.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("q").alias("qb"),
+            F.col("nsq").alias("nb"),
+        )
+        exact = {
+            (r.vec_a, r.vec_b)
+            for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .where(
+                descale(idot(F.col("qa"), F.col("qb")))
+                / F.sqrt(F.col("na") * F.col("nb"))
+                >= PROD_COSINE_THRESHOLD
+            )
+            .collect()
+        }
+        prod = {
+            (r.vec_a, r.vec_b)
+            for r in dedup_embedding_lsh_prod(spark, sf_dir).collect()
+        }
+        planted = {
+            (v, v + PLANT_OFFSET)
+            for (v,) in emb.select("vec_id").collect()
+            if v % PLANT_EVERY == 0
+        }
+        assert planted, "corpus should yield planted near-dup pairs"
+        assert planted <= prod, "planted production-regime pairs missed"
+        assert prod == exact, (
+            f"banded 8x8 recall < 1.0 on this corpus: misses "
+            f"{sorted(exact - prod)[:5]}"
+        )
+
 
 class TestSimilarity:
     def test_lsh_recall_vs_brute_force(self, spark, sf_dir):

@@ -1210,3 +1210,44 @@ def test_interval_overlap_never_broadcasts_fact(spark, sf_dir):
     )
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_embedding_lsh_prod_candidates_carry_ids_only(spark, sf_dir):
+    """The production-regime LSH key (round 9): the 64-bit signature
+    is computed by ONE Arrow matmul into the persisted frame — the
+    band explode and both verify join-backs must read that cache
+    (InMemoryTableScan; the matmul itself runs once at
+    materialization); the candidate bucket self-join is keyed on
+    (band, bval) ID rows, never the 64-element quantized arrays
+    (they re-attach by key join AFTER candidate dedup); nothing
+    plans as a nested loop. (The plan STRING repeats the cached
+    build plan under every cache reference, so counting
+    ArrowEvalPython occurrences would be toString-brittle — the
+    round-7 lesson; cache-once is what InMemoryTableScan + the
+    materializing count() guarantee.)"""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["dedup_embedding_lsh_prod"](spark, sf_dir)
+    )
+    assert "InMemoryTableScan" in plan, plan
+    assert "bval" in plan, plan  # candidate join keyed on band value
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_simhash_cap_is_single_window_with_group_limit(spark, sf_dir):
+    """The per-doc output bound (round 9) must plan as ONE Window
+    operator (row_number over doc_a) downstream of the pair distinct
+    — and Spark's rank-limit pushdown must insert WindowGroupLimit,
+    which caps each doc's group to SIMHASH_TOPK rows BEFORE full
+    window evaluation (on a saturated corpus that pre-cut, not the
+    filter after the window, is what keeps the cap cheap)."""
+    import re
+
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["dedup_simhash"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1, plan
+    assert "row_number" in plan, plan

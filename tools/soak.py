@@ -36,6 +36,13 @@ def main() -> int:
     ap.add_argument("--driver-mem", default="16g",
                     help="local-mode JVM heap; the bench default (1g) "
                          "OOMs above the sf0.1-equivalent tier")
+    ap.add_argument("--materialize", choices=["collect", "noop"],
+                    default="collect",
+                    help="collect (default; row count = len) or noop "
+                         "sink write + count() — for keys whose tier "
+                         "output is too wide to ship to the Python "
+                         "driver (the timing then measures the full "
+                         "JVM-side plan, same as bench.py)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,10 +63,18 @@ def main() -> int:
     times: dict[str, list[float]] = {}
     for k in args.keys.split(","):
         runs = []
-        for _ in range(2):
+        for rep in range(2):
             t0 = time.time()
-            n = len(registry.QUERIES[k](spark, args.sf_dir).collect())
-            runs.append(round(time.time() - t0, 3))
+            df = registry.QUERIES[k](spark, args.sf_dir)
+            if args.materialize == "noop":
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+                # row count reported but NOT timed; computed once, on
+                # the warm rep, to avoid doubling the cold run
+                n = df.count() if rep == 1 else None
+            else:
+                n = len(df.collect())
+                runs.append(round(time.time() - t0, 3))
             cachekit.release_all()
         times[k] = runs
         print(f"# {k}: cold={runs[0]}s warm={runs[1]}s rows={n}",

@@ -48,6 +48,87 @@ def canon(v: object) -> str:
     return repr(v)
 
 
+def _recall_guard(spark, sf_dir: str) -> list[str]:
+    """Banded-vs-exact pair-set equality on THIS corpus — the
+    strict-sweep form of the tests/test_llm_ops.py oracle-validity
+    guards (those run only at the fixture SFs). Returns failure tags
+    for the final STRICT_FAILS line."""
+    from pyspark.sql import functions as F
+
+    from crime_data_batch_processing_spark.functions.veckit import (
+        descale,
+        idot,
+    )
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        PROD_COSINE_THRESHOLD,
+        _planted_quantized,
+        dedup_embedding_lsh_prod,
+        dedup_minhash,
+        dedup_ngram_jaccard,
+        _spread,
+    )
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    fails: list[str] = []
+
+    def pairs(df, a="doc_a", b="doc_b"):
+        return {(r[a], r[b]) for r in df.select(a, b).collect()}
+
+    exact = pairs(dedup_ngram_jaccard(spark, sf_dir))
+    banded = pairs(dedup_minhash(spark, sf_dir))
+    if banded == exact:
+        print(f"OK   recall-guard:minhash ({len(exact)} pairs)", flush=True)
+    else:
+        fails.append("recall-guard:minhash")
+        print(
+            "FAIL recall-guard:minhash — banded recall < 1.0 on this "
+            f"corpus (misses {sorted(exact - banded)[:5]}); the "
+            "exact-set oracles of dedup_minhash AND every "
+            "near_dup_pairs consumer (dedup_clusters*, graph_*) are "
+            "invalid here",
+            flush=True,
+        )
+
+    corpus = _planted_quantized(
+        _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    ).select(
+        "vec_id", "q", descale(idot(F.col("q"), F.col("q"))).alias("nsq")
+    )
+    a = corpus.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("nsq").alias("na"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("nsq").alias("nb"),
+    )
+    exact_e = pairs(
+        a.join(b, F.col("vec_a") < F.col("vec_b")).where(
+            descale(idot(F.col("qa"), F.col("qb")))
+            / F.sqrt(F.col("na") * F.col("nb"))
+            >= PROD_COSINE_THRESHOLD
+        ),
+        "vec_a",
+        "vec_b",
+    )
+    prod = pairs(dedup_embedding_lsh_prod(spark, sf_dir), "vec_a", "vec_b")
+    if prod == exact_e:
+        print(
+            f"OK   recall-guard:embedding_lsh_prod ({len(exact_e)} pairs)",
+            flush=True,
+        )
+    else:
+        fails.append("recall-guard:embedding_lsh_prod")
+        print(
+            "FAIL recall-guard:embedding_lsh_prod — 8x8-band recall "
+            f"< 1.0 on this corpus (misses {sorted(exact_e - prod)[:5]})",
+            flush=True,
+        )
+    return fails
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -55,6 +136,18 @@ def main() -> int:
                     help="local[N] master AND shuffle partition count")
     ap.add_argument("--keys", default="",
                     help="comma-separated subset (default: all, driver order)")
+    ap.add_argument("--recall-guard", action="store_true",
+                    help="also run the banded-vs-exact pair-set probes "
+                         "(the tests/test_llm_ops.py oracle-validity "
+                         "guards) against THIS sf-dir — run it on any "
+                         "NEW corpus before trusting the exact-set "
+                         "oracles of dedup_minhash, its near_dup_pairs "
+                         "consumers (dedup_clusters*, graph_*), and "
+                         "dedup_embedding_lsh_prod: their banded-LSH "
+                         "recall is a data-dependent property, and a "
+                         "miss surfaces as an opaque value mismatch "
+                         "across many keys instead of a named guard "
+                         "failure")
     args = ap.parse_args()
 
     import duckdb
@@ -82,6 +175,9 @@ def main() -> int:
 
     keys = args.keys.split(",") if args.keys else list(qs)
     fails: list[str] = []
+    if args.recall_guard:
+        fails += _recall_guard(spark, args.sf_dir)
+        cachekit.release_all()
     for k in keys:
         t0 = time.time()
         try:
