@@ -62,7 +62,9 @@ _VERIFY_FIRST = [
     # per doc (SIMHASH_TOPK, oracle replays the cap); the five
     # pydatasource keys: commit-lock heartbeat + schema-derived
     # simple-reader projection.
-    "dedup_embedding_lsh_prod", "dedup_simhash",
+    # multimodal_decode: new key (real P6 decode through the generic
+    # transform_media plumbing over fixture-written .ppm files).
+    "dedup_embedding_lsh_prod", "dedup_simhash", "multimodal_decode",
     "scan_pysource", "sink_pysource", "stream_sink_pysource",
     "stream_pysource", "stream_pysource_partitioned",
     # (2) last driver-green in ROUND 4 — the oldest remaining

@@ -216,27 +216,43 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours, latency medians weighted by request count.
 
     No engine builtin has pinned weighted-quantile semantics, so the
-    definition is computed explicitly: sort the group by value,
-    accumulate integer weights, take the smallest value whose doubled
-    cumulative weight reaches the group total. One exchange + sort per
-    group serves both window aggregates; weights are integral
-    (quantities), so every comparison is exact and the chosen value is
-    a pure function of the data — the (v, wt) sort tie-break pins even
-    equal-value orderings. The conditional-MIN finalizer replaces a
+    definition is computed explicitly: accumulate integer weights in
+    value order, take the smallest value whose doubled cumulative
+    weight reaches the group total. Weights are integral (quantities),
+    so every comparison is exact and the chosen value is a pure
+    function of the data. The conditional-MIN finalizer replaces a
     self-join against the total: one pass, no re-scan.
+
+    Scale shape (round-9 fix, caught by the s30 soak): the window
+    partitions on l_returnflag — THREE distinct values — so feeding it
+    raw lineitem serializes the whole corpus sort onto three tasks
+    (measured exp 1.11 at 19M rows, 29 of 32 cores idle; at 100 TB,
+    three executors sort everything). Weights are therefore FIRST
+    hash-aggregated per (group, value) — full parallelism, map-side
+    combine — and the per-group window runs over DISTINCT VALUES, so
+    its input is bounded by the value domain (2-decimal prices here),
+    not the corpus. Cumulative weight per distinct value crosses the
+    half-total at exactly the same value as the row form, so the
+    output is identical (the oracle keeps the row-level replay). For
+    a continuous value column the pre-aggregate would not bound the
+    domain — the production answer there is iterative quantile
+    bisection (broadcast threshold probes), a different operator.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").cast("long").alias("wt"),
     )
+    per_value = li.groupBy("l_returnflag", "v").agg(
+        F.sum("wt").alias("wt")
+    )
     w_cum = (
         Window.partitionBy("l_returnflag")
-        .orderBy(F.col("v").asc(), F.col("wt").asc())
+        .orderBy(F.col("v").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy("l_returnflag")
-    c = li.select(
+    c = per_value.select(
         "l_returnflag",
         "v",
         F.sum("wt").over(w_cum).alias("cum"),

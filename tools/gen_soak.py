@@ -111,11 +111,20 @@ def main() -> None:
                     help="only (re)generate the relational tables")
     ap.add_argument("--skip-relational", action="store_true",
                     help="only (re)generate documents/embeddings")
+    ap.add_argument("--tiers", default="",
+                    help="comma-separated tier subset (default: all) — "
+                         "generation is seeded/deterministic, so "
+                         "regenerating an existing tier is harmless "
+                         "but wasteful")
     args = ap.parse_args()
-    for tier, (n_docs, n_emb) in TIERS.items():
+    only = set(args.tiers.split(",")) if args.tiers else None
+    for tier in sorted(set(TIERS) | set(REL_TIERS)):
+        if only is not None and tier not in only:
+            continue
         d = os.path.join(args.base, tier)
         os.makedirs(d, exist_ok=True)
-        if not args.skip_text:
+        if not args.skip_text and tier in TIERS:
+            n_docs, n_emb = TIERS[tier]
             pq.write_table(
                 gen_documents(n_docs, args.seed),
                 os.path.join(d, "documents.parquet"),
@@ -160,11 +169,18 @@ E_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 #: (customer, supplier, part, orders, lineitem, events) rows per tier;
 #: s1 matches sf0.1 exactly (the generator-validation rung), s10 is
-#: the sf1-equivalent decade.
+#: the sf1-equivalent decade; s30 (round 9) extends the relational
+#: span a further half-decade (19M lineitem / 3.2M events) for the
+#: near-linear sort shapes the round-8 verdict flagged
+#: (agg_weighted_median 0.78, cdc_upsert 0.72, window_sessionize
+#: 0.71 — a third point either confirms sort-bound or exposes a
+#: constant). Relational-only: no text/embedding s30 (TIERS covers
+#: the text family through s100).
 REL_TIERS = {
     "s1": (15_000, 1_000, 20_000, 150_000, 600_000, 100_000),
     "s3": (47_434, 3_162, 63_245, 474_341, 1_897_366, 316_227),
     "s10": (150_000, 10_000, 200_000, 1_500_000, 6_000_000, 1_000_000),
+    "s30": (474_342, 31_623, 632_456, 4_743_416, 18_973_666, 3_162_277),
 }
 
 
