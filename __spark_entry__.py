@@ -55,41 +55,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # machinery has been touched since).  Keys verified green in round 2 at
 # unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
-    # (1) NEW or code/ORACLE CHANGED in round 9 — a stale green row
-    # proves nothing about changed code. dedup_embedding_lsh_prod:
-    # new key (production-regime 64-bit/8×8-band embedding LSH over a
-    # planted-ground-truth corpus); dedup_simhash: output now bounded
-    # per doc (SIMHASH_TOPK, oracle replays the cap); the five
-    # pydatasource keys: commit-lock heartbeat + schema-derived
-    # simple-reader projection.
-    # multimodal_decode: new key (real P6 decode through the generic
-    # transform_media plumbing over fixture-written .ppm files).
-    "dedup_embedding_lsh_prod", "dedup_simhash", "multimodal_decode",
-    "scan_pysource", "sink_pysource", "stream_sink_pysource",
-    "stream_pysource", "stream_pysource_partitioned",
-    # (2) last driver-green in ROUND 4 — the oldest remaining
-    # generation (round-8 verdict item 1: all 34 judge-reproved
-    # bit-exact at sf0.01; this front-load retires their driver rows
-    # — 7 + 34 = 41 keys fit the ~50 cap together). Ordered:
-    # analytics, dedup ladder, joins, pipeline/profile, sampling,
-    # scans, sim/sink, streaming, text, udf, windows.
-    "analytics_waiting_suppliers", "dedup_containment",
-    "dedup_embedding_lsh", "dedup_incremental", "dedup_ngram_jaccard",
-    "join_bloom", "join_scd2", "multimodal_dedup",
-    "pipeline_collapse", "profile_stats", "quality_expectations",
-    "sample_bottomk", "sample_split", "scan_json_malformed",
-    "scan_partition_prune", "scan_schema_evolution", "scan_text",
-    "scan_zone_map", "sim_search_pq", "sink_compacted",
-    "stream_anomaly", "stream_count_min", "stream_watermark_late",
-    "text_dedup_spans", "text_domain_mix", "text_ngrams",
-    "udf_arrow", "udtf_token_spans", "window_anomaly",
-    "window_attribution", "window_ewma", "window_gap_fill",
-    "window_paths", "window_rolling_median",
-    # (3) last driver-green in ROUND 5 — the next-oldest generation;
-    # ~9 of these make the ~50 cap this round, the rest are the
-    # round-10 front-load.
-    "agg_ab_test", "agg_argmax", "agg_count_filter", "agg_distinct",
-    "agg_gini", "agg_grouping_sets", "agg_mad", "agg_multi",
+    # (1) code CHANGED in round 10 — a stale green row proves nothing
+    # about changed code. dedup_embedding_lsh_prod: _planted_quantized
+    # gained the vec_id < PLANT_OFFSET collision guard (r9 advisor);
+    # the five pydatasource keys: commit-lock release now leaks the fd
+    # when the heartbeat thread never confirms exit (r9 advisor).
+    "dedup_embedding_lsh_prod", "scan_pysource", "sink_pysource",
+    "stream_sink_pysource", "stream_pysource",
+    "stream_pysource_partitioned",
+    # (2) last driver-green in ROUND 5 — the oldest remaining
+    # generation (round-9 verdict item 1: the judge strict-swept all
+    # 32 bit-exact at sf0.01; this front-load retires their driver
+    # rows — 6 + 32 = 38 keys fit the ~50 cap together).
     "agg_percentile", "agg_rollup", "agg_weighted_median",
     "analytics_customer_distribution", "filter_compound", "filter_eq",
     "join_broadcast", "join_bucketed", "join_inner", "join_null_safe",
@@ -100,7 +77,24 @@ _VERIFY_FIRST = [
     "stream_pipeline", "stream_stream_left_join",
     "stream_transform_state", "text_quality_model", "text_tfidf",
     "window_cusum", "window_daily_kpis", "window_sessionize",
-    # keys green in rounds 6-8 on current code sort last in dict
+    # (3) last driver-green in ROUND 6 — the next-oldest generation
+    # (45 keys); ~12 of these make the ~50 cap this round, the rest
+    # are the round-11 front-load.
+    "agg_approx_percentile", "agg_listagg", "agg_mode",
+    "analytics_market_share", "array_explode", "array_funcs",
+    "cond_funcs", "date_parts", "dedup_exact", "doc_chunks",
+    "latest_snapshot", "latest_snapshot_catalog", "map_json_funcs",
+    "math_funcs", "multimodal_cols", "multimodal_thumbnail",
+    "pack_sequences", "pipeline_pretrain", "pivot_wide",
+    "profile_observe", "scan_binary", "scan_catalog", "scan_csv",
+    "scan_csv_malformed", "scan_json", "scan_orc", "scan_source",
+    "set_intersect_except", "sim_search", "sink_partition_overwrite",
+    "sink_partitioned", "snapshot_as_of", "snapshot_expire",
+    "snapshot_restore", "sort_limit", "stream_file_sink",
+    "string_funcs", "subquery_exists", "subquery_in",
+    "subquery_scalar", "text_token_count", "topk_per_group",
+    "udaf_grouped", "udf_scalar", "unpivot_long",
+    # keys green in rounds 7-9 on current code sort last in dict
     # order — unchanged code, freshest driver evidence.
 ]
 

@@ -760,8 +760,33 @@ def _planted_quantized(emb: DataFrame) -> DataFrame:
     (vec_id, q) for every input vector, plus a jittered copy of every
     PLANT_EVERY-th one at vec_id + PLANT_OFFSET. The jitter is a pure
     function of (element value, vec_id) — integer arithmetic both
-    engines replay exactly; see the PLANT_* constants."""
-    base = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    engines replay exactly; see the PLANT_* constants.
+
+    Guard: a corpus with vec_id ≥ PLANT_OFFSET would let planted ids
+    collide with real ids (duplicate vec_id rows silently corrupting
+    the verify join-backs), so every input row asserts vec_id <
+    PLANT_OFFSET — as a FILTER on `assert_true` (always-NULL → the
+    filter keeps every row), not a select column, because column
+    pruning would silently drop an unreferenced guard column. Runs
+    JVM-side in codegen; a future over-sized tier fails loudly
+    instead of corrupting results. Current tiers top out at 32k
+    vectors, so the guard never fires today."""
+    guarded = emb.where(
+        F.assert_true(
+            F.col("vec_id") < F.lit(PLANT_OFFSET),
+            F.concat(
+                F.lit(
+                    "planted-duplicate id collision: corpus vec_id "
+                ),
+                F.col("vec_id").cast("string"),
+                F.lit(f" >= PLANT_OFFSET ({PLANT_OFFSET}); raise "
+                      "PLANT_OFFSET above max(vec_id)"),
+            ),
+        ).isNull()
+    )
+    base = guarded.select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
     # jitter FIRST, offset the id in a second select: with both in one
     # select list, Spark's lateral-column-alias resolution binds the
     # lambda's `vec_id` to the earlier `vec_id + OFFSET` alias rather

@@ -236,16 +236,30 @@ class _CommitLockHandle:
     inode — it can never freshen a peer's lock.
     """
 
+    #: how long `stop_heartbeat` waits for the thread to confirm exit
+    #: before declaring it stuck (class attribute so tests exercising
+    #: the stuck path don't pay the full production wait)
+    JOIN_TIMEOUT_S = 5.0
+
     def __init__(self, fd: int, stop, thread) -> None:
         self.fd = fd
         self._stop = stop
         self._thread = thread
 
-    def stop_heartbeat(self) -> None:
+    def stop_heartbeat(self) -> bool:
+        """Signal the heartbeat to exit and wait for it; returns True
+        once the thread has CONFIRMED exit (or never existed). A False
+        return means the thread may still be inside `os.utime(fd)`
+        (e.g. hung network FS) — the caller must then NOT close the
+        fd: a later utime on a recycled fd number would touch an
+        unrelated file."""
         if self._stop is not None:
             self._stop.set()
-            self._thread.join(timeout=5.0)
+            self._thread.join(timeout=self.JOIN_TIMEOUT_S)
+            if self._thread.is_alive():
+                return False
             self._stop = None
+        return True
 
 
 def _acquire_commit_lock(
@@ -345,17 +359,26 @@ def _release_commit_lock(lock: str, handle: _CommitLockHandle) -> None:
     only while the path still names the inode we created (fstat of
     our kept fd). Pinned by
     tests/test_pysource.py::test_commit_lock_release_spares_peer_lock.
+
+    If the heartbeat thread does NOT confirm exit within its join
+    timeout (stuck in `os.utime` on a hung network FS), the fd is
+    deliberately LEAKED instead of closed: a still-running heartbeat
+    utime on a recycled fd number would touch an unrelated file. The
+    unlink still happens (path-level; a late utime on our orphaned
+    inode is harmless). Pinned by
+    tests/test_pysource.py::test_commit_lock_release_leaks_fd_on_stuck_heartbeat.
     """
     import os
 
-    handle.stop_heartbeat()
+    heartbeat_exited = handle.stop_heartbeat()
     try:
         if os.stat(lock).st_ino == os.fstat(handle.fd).st_ino:
             os.unlink(lock)
     except FileNotFoundError:
         pass
     finally:
-        os.close(handle.fd)
+        if heartbeat_exited:
+            os.close(handle.fd)
 
 
 class ManifestParquetWriter(DataSourceArrowWriter):

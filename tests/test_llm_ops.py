@@ -199,6 +199,38 @@ class TestDedup:
             f"{sorted(exact - prod)[:5]}"
         )
 
+    def test_planted_quantized_rejects_id_collision(self, spark):
+        """A corpus with vec_id ≥ PLANT_OFFSET must fail LOUDLY at
+        plant time: planted ids would collide with real ids and
+        silently corrupt the verify join-backs. The guard is a
+        per-row `assert_true` filter (a select column would be
+        pruned away), so the failure surfaces as a job error."""
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import SparkRuntimeException
+
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_OFFSET,
+            _planted_quantized,
+        )
+
+        bad = spark.createDataFrame(
+            [(PLANT_OFFSET + 1, [0.1, 0.2])],
+            "vec_id: long, embedding: array<float>",
+        )
+        with pytest.raises(
+            (Py4JJavaError, SparkRuntimeException),
+            match="PLANT_OFFSET|planted",
+        ):
+            _planted_quantized(bad).collect()
+
+        ok = spark.createDataFrame(
+            [(1, [0.1, 0.2])],
+            "vec_id: long, embedding: array<float>",
+        )
+        # a legal corpus passes the guard untouched: 1 base + 0
+        # planted rows (vec_id % PLANT_EVERY != 0)
+        assert _planted_quantized(ok).count() == 1
+
 
 class TestSimilarity:
     def test_lsh_recall_vs_brute_force(self, spark, sf_dir):

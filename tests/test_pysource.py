@@ -443,25 +443,78 @@ def test_commit_lock_heartbeat_keeps_stalled_holder_live(tmp_path):
         _release_commit_lock,
     )
 
+    # margins: stale_s=2.0 → 0.5s beats; the heartbeat thread would
+    # need a >2.0s scheduler stall (vs >0.4s at the old margins) for
+    # the peer to wrongly judge the lock stale on a loaded CI host
     lock = str(tmp_path / "_manifest.json.lock")
-    h = _acquire_commit_lock(lock, stale_s=0.4)
+    h = _acquire_commit_lock(lock, stale_s=2.0)
     ino_a = os.fstat(h.fd).st_ino
-    time.sleep(1.2)  # stall 3x past the staleness horizon
+    time.sleep(2.4)  # stall 1.2x past the staleness horizon
     # peer judges by the SAME stale_s: the heartbeat must have kept
     # the mtime fresh, so the peer waits and times out
     with pytest.raises(TimeoutError):
-        _acquire_commit_lock(lock, stale_s=0.4, timeout_s=0.5)
+        _acquire_commit_lock(lock, stale_s=2.0, timeout_s=0.5)
     assert os.stat(lock).st_ino == ino_a  # still holder A's lock
     _release_commit_lock(lock, h)
     assert not os.path.exists(lock)
 
     # contrast: the SAME stall with a dead heartbeat is broken
-    h2 = _acquire_commit_lock(lock, stale_s=0.4, heartbeat=False)
-    time.sleep(1.2)
-    h3 = _acquire_commit_lock(lock, stale_s=0.4, timeout_s=0.5)
+    h2 = _acquire_commit_lock(lock, stale_s=2.0, heartbeat=False)
+    time.sleep(2.4)
+    h3 = _acquire_commit_lock(lock, stale_s=2.0, timeout_s=0.5)
     assert os.fstat(h3.fd).st_ino != os.fstat(h2.fd).st_ino
     _release_commit_lock(lock, h3)
     _release_commit_lock(lock, h2)  # ownership check: no-op unlink
+
+
+def test_commit_lock_release_leaks_fd_on_stuck_heartbeat(tmp_path):
+    """A heartbeat thread that never confirms exit (stuck in
+    `os.utime` on a hung network FS) must make release LEAK the fd
+    rather than close it: closing would recycle the fd number, and
+    the still-running thread's later utime would touch an unrelated
+    file. The lock file itself is still unlinked (path-level)."""
+    import os
+    import threading
+
+    from crime_data_batch_processing_spark.sources.pydatasource import (
+        _acquire_commit_lock,
+        _CommitLockHandle,
+        _release_commit_lock,
+    )
+
+    lock = str(tmp_path / "_manifest.json.lock")
+    h = _acquire_commit_lock(lock, stale_s=60.0, heartbeat=False)
+
+    # swap in a "stuck" heartbeat: ignores the stop event, exits only
+    # on its own private release event (simulates a hung utime)
+    release = threading.Event()
+    t = threading.Thread(target=release.wait, daemon=True)
+    t.start()
+    h._stop = threading.Event()
+    h._thread = t
+    h.JOIN_TIMEOUT_S = 0.2  # don't pay the production join wait
+
+    _release_commit_lock(lock, h)
+    assert not os.path.exists(lock)  # unlink still happened
+    os.fstat(h.fd)  # fd deliberately leaked: still valid, raises if closed
+
+    # once the thread really exits, stop_heartbeat confirms and the
+    # (re-called) release path may close; emulate the cleanup
+    release.set()
+    t.join(timeout=2.0)
+    assert h.stop_heartbeat() is True
+    os.close(h.fd)
+
+    # sanity: normal handles still close their fd on release
+    h2 = _acquire_commit_lock(lock, stale_s=60.0)
+    _release_commit_lock(lock, h2)
+    try:
+        os.fstat(h2.fd)
+    except OSError:
+        pass
+    else:  # pragma: no cover - fd must be closed
+        raise AssertionError("normal release must close the fd")
+    assert isinstance(h2, _CommitLockHandle)
 
 
 def test_commit_lock_waits_for_live_holder(tmp_path):

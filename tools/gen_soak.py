@@ -118,6 +118,15 @@ def main() -> None:
                          "but wasteful")
     args = ap.parse_args()
     only = set(args.tiers.split(",")) if args.tiers else None
+    if only is not None:
+        known = set(TIERS) | set(REL_TIERS)
+        unknown = sorted(only - known)
+        if unknown:
+            # a typo'd tier silently generating nothing would leave a
+            # soak run pointed at missing data — fail loudly instead
+            ap.error(
+                f"unknown tier(s) {unknown}; known: {sorted(known)}"
+            )
     for tier in sorted(set(TIERS) | set(REL_TIERS)):
         if only is not None and tier not in only:
             continue
