@@ -55,11 +55,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # machinery has been touched since).  Keys verified green in round 2 at
 # unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
-    # (1) code CHANGED in round 10 — a stale green row proves nothing
-    # about changed code. dedup_embedding_lsh_prod: _planted_quantized
-    # gained the vec_id < PLANT_OFFSET collision guard (r9 advisor);
-    # the five pydatasource keys: commit-lock release now leaks the fd
-    # when the heartbeat thread never confirms exit (r9 advisor).
+    # (1) NEW or code CHANGED in round 10 — a stale green row proves
+    # nothing about changed code. sample_weighted: NEW key
+    # (Efraimidis–Spirtes exactly-k weighted sample);
+    # dedup_embedding_lsh_prod: _planted_quantized gained the vec_id
+    # < PLANT_OFFSET collision guard (r9 advisor); the five
+    # pydatasource keys: commit-lock release now leaks the fd when
+    # the heartbeat thread never confirms exit (r9 advisor).
+    "sample_weighted",
     "dedup_embedding_lsh_prod", "scan_pysource", "sink_pysource",
     "stream_sink_pysource", "stream_pysource",
     "stream_pysource_partitioned",

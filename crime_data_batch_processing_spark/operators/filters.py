@@ -440,3 +440,79 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(sample_hash32(F.col("doc_id")) < F.col("thr"))
         .select("doc_id", "lang")
     )
+
+
+#: Efraimidis–Spirtes weighted sample: exact size + u-quantization.
+ES_K = 100
+ES_U_BITS = 12
+ES_U_DOM = 1 << ES_U_BITS  # 4096 u-buckets from the hash's TOP bits
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           ln((({sql_sample_hash32('doc_id')} >> {32 - ES_U_BITS}) + 1)
+              / {ES_U_DOM}.0) / n_chars AS es_key
+    FROM documents
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT {ES_K}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k WEIGHTED sample without replacement (weight =
+    n_chars), via the Efraimidis–Spirtes exponential-key trick: draw
+    u_i ~ Uniform(0,1] per row, rank by u_i^(1/w_i), keep the top k —
+    provably a weighted sample without replacement, in ONE pass with
+    no sequential state. The family's missing rung: `sample_hash` is
+    a rate knob, `sample_bottomk` a size knob, both UNIFORM; training
+    mixtures usually want size-k biased by length/quality/score.
+
+    Determinism (no RNG): u comes from the engine's multiplicative
+    key hash — the TOP ES_U_BITS bits (the well-mixed ones; a
+    multiplicative hash's low bits are striped), so u_i =
+    (h_top + 1)/4096 ∈ (0,1] is a pure function of doc_id, stable
+    across runs, partitionings, and engines, like every sample_* key.
+
+    Bit-exactness: rank by the monotone-equivalent ln(u)/w rather
+    than u^(1/w) — `pow` is a libm call with no cross-engine
+    guarantee (the `sample_temperature` docstring's rule). ln(u) is
+    looked up from a CONSTANT 4096-entry table computed with driver
+    Python's glibc `math.log` (= DuckDB's ln; the `text_tfidf`
+    log-table discipline, here with zero collect — the domain is
+    fixed, not data-dependent) over arguments that are exact doubles
+    ((h+1)/2^12: power-of-two division). The final ln(u)/w is one
+    IEEE double division of identical operands on both engines; ties
+    (same u-bucket, same weight) break on doc_id, a total order.
+
+    Scale shape: map-only scan → broadcast join against the CONSTANT
+    4096-row table → TakeOrderedAndProject (per-partition top-k heap
+    + k-row merge at the driver; no global sort, no shuffle of the
+    corpus). At 100 TB the cost is one pass over (doc_id, lang,
+    n_chars) — three pruned columns — plus k rows of driver traffic.
+    """
+    import math
+
+    lnu_table = spark.createDataFrame(
+        [(b, math.log((b + 1) / ES_U_DOM)) for b in range(ES_U_DOM)],
+        "ub bigint, lnu double",
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.shiftrightunsigned(
+            sample_hash32(F.col("doc_id")), 32 - ES_U_BITS
+        ).alias("ub"),
+    )
+    return (
+        docs.join(F.broadcast(lnu_table), "ub")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("lnu") / F.col("n_chars")).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(ES_K)
+    )

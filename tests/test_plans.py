@@ -213,6 +213,38 @@ def test_bottomk_sample_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_weighted_sample_is_broadcast_topk(spark, sf_dir):
+    """The Efraimidis–Spirtes sample must plan as a broadcast join
+    against the CONSTANT 4096-row ln(u) table plus a top-k — never a
+    shuffle of the corpus or a global sort. The only Exchange allowed
+    is the BroadcastExchange feeding the table side."""
+    import re
+
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["sample_weighted"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    exchanges = re.findall(r"\b(\w*Exchange)\b", plan)
+    assert set(exchanges) <= {"BroadcastExchange"}, plan
+
+
+def test_weighted_sample_favors_heavy_rows(spark, sf_dir):
+    """Weightedness invariant: with weight = n_chars, the sampled
+    mean length must exceed the corpus mean (the whole point of the
+    exponential-key trick vs the uniform sample_* keys)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample = registry.QUERIES["sample_weighted"](spark, sf_dir)
+    sample_mean = sample.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean, (
+        f"weighted sample mean {sample_mean} should exceed corpus "
+        f"mean {corpus_mean}"
+    )
+
+
 def test_stratified_sample_stays_in_codegen(spark, sf_dir):
     """Per-stratum thresholds compile to a CASE inside the same
     codegen'd filter as the hash — no UDF, no extra stage."""
