@@ -57,12 +57,15 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_FIRST = [
     # (1) NEW or code CHANGED in round 10 — a stale green row proves
     # nothing about changed code. sample_weighted: NEW key
-    # (Efraimidis–Spirtes exactly-k weighted sample);
+    # (Efraimidis–Spirtes exactly-k weighted sample); sim_search_rrf:
+    # NEW key (hybrid BM25+cosine reciprocal-rank fusion); text_bm25:
+    # body extracted into the shared _bm25_ranked helper (value chain
+    # unchanged, re-proven bit-exact at 3 SFs + s1);
     # dedup_embedding_lsh_prod: _planted_quantized gained the vec_id
     # < PLANT_OFFSET collision guard (r9 advisor); the five
     # pydatasource keys: commit-lock release now leaks the fd when
     # the heartbeat thread never confirms exit (r9 advisor).
-    "sample_weighted",
+    "sample_weighted", "sim_search_rrf", "text_bm25",
     "dedup_embedding_lsh_prod", "scan_pysource", "sink_pysource",
     "stream_sink_pysource", "stream_pysource",
     "stream_pysource_partitioned",

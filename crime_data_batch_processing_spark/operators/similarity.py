@@ -47,6 +47,9 @@ from crime_data_batch_processing_spark.functions.veckit import (
     sql_cosine,
 )
 from crime_data_batch_processing_spark.cachekit import track
+from crime_data_batch_processing_spark.operators.text_analysis import (
+    sql_bm25_ctes,
+)
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.functions.exact import (
     with_scalars,
@@ -156,7 +159,9 @@ def _scored(a: DataFrame, b: DataFrame, how) -> DataFrame:
     return a.join(b, how).select("qid", "vec_id", _PAIR_COS())
 
 
-def _with_norms(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _with_norms(
+    emb: DataFrame, n_queries: int = N_QUERIES
+) -> tuple[DataFrame, DataFrame]:
     """Quantize once per vector; `embedding` is the scaled-int64 array
     downstream (original floats are never needed again)."""
     corpus = emb.select(
@@ -167,7 +172,7 @@ def _with_norms(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         descale(idot(F.col("embedding"), F.col("embedding"))).alias("nsq"),
     )
     queries = (
-        corpus.where(F.col("vec_id") < N_QUERIES)
+        corpus.where(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qe"),
@@ -177,13 +182,13 @@ def _with_norms(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     return queries, corpus
 
 
-def _topk(scored: DataFrame) -> DataFrame:
+def _topk(scored: DataFrame, topk: int = TOP_K) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()  # total order: ties by id
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= topk)
         .select("qid", "rank", "vec_id", "cos_sim")
     )
 
@@ -943,3 +948,133 @@ def sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", _PAIR_COS())
     )
     return _topk(rr)
+
+
+#: Hybrid retrieval (RRF) geometry: doc/vec ids < RRF_N_Q are the
+#: queries (present in BOTH tables at every SF); each ranker
+#: contributes its top-RRF_POOL, fusion keeps the top-RRF_TOP.
+#: RRF_K0 = 60 is the constant from Cormack/Clarke/Buettcher (SIGIR
+#: 2009) — spelled once, parsed identically as an integer literal in
+#: both engines.
+RRF_N_Q = 4
+RRF_K0 = 60
+RRF_POOL = 20
+RRF_TOP = 10
+
+
+@query(
+    "sim_search_rrf",
+    oracle=f"""
+    WITH {sql_bm25_ctes(f"t.doc_id < {RRF_N_Q}", RRF_POOL, exclude_self=True)},
+    vscored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+               {sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id < {RRF_N_Q}
+         AND c.vec_id != q.vec_id
+    ), vecranked AS (
+        SELECT * FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY qid
+                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+            FROM vscored
+        ) WHERE rank <= {RRF_POOL}
+    ), fused AS (
+        SELECT COALESCE(l.query_id, v.qid) AS qid,
+               COALESCE(l.doc_id, v.vec_id) AS cand_id,
+               COALESCE(l.rank, 0) AS lex_rank,
+               COALESCE(v.rank, 0) AS vec_rank,
+               COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K0} + l.rank),
+                        CAST(0.0 AS DOUBLE))
+                 + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K0} + v.rank),
+                            CAST(0.0 AS DOUBLE)) AS rrf_score
+        FROM lexranked l FULL OUTER JOIN vecranked v
+          ON l.query_id = v.qid AND l.doc_id = v.vec_id
+    )
+    SELECT qid, rank, cand_id, lex_rank, vec_rank, rrf_score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid
+            ORDER BY rrf_score DESC, cand_id ASC) AS rank
+        FROM fused
+    ) WHERE rank <= {RRF_TOP}
+    """,
+)
+def sim_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranker and the exact-cosine vector ranker — the standard way a
+    RAG / retrieval-eval pipeline combines a term index with an
+    embedding index (rrf(d) = Σ_rankers 1/(k0 + rank_r(d)), k0=60).
+
+    Fusion operates on RANKS, never on scores, so the two rankers'
+    incomparable score scales (BM25 sums vs cosines) need no
+    calibration — which is also what makes it cheap to verify: both
+    rank sets are already bit-exact oracle-checked kernels
+    (`text_bm25` via the shared `_bm25_ranked` body, `sim_search`'s
+    broadcast-cosine helpers), and the fusion itself is integer
+    ranks → 1/(60+r) (one correctly-rounded IEEE division each) →
+    one two-term sum in fixed lex+vec order → total-order tiebreak.
+    Candidates present in only one ranker keep the missing rank as 0
+    (never NULL: a nullable int column round-trips as float64 in
+    pandas and would hash-mismatch the driver compare).
+
+    The two candidate universes deliberately differ (documents vs
+    embeddings rows) — real federated indexes cover different
+    snapshots; the full-outer fusion join is the shape that handles
+    it.
+
+    Scale shape: each ranker is its own proven sub-linear plan
+    (vocabulary-broadcast posting join / broadcast query cosine
+    scan); fusion touches only |Q|·2·RRF_POOL rank rows — a
+    full-outer join on (qid, cand_id) of two k-row-per-query sets,
+    constant work per query regardless of corpus size.
+    """
+    from crime_data_batch_processing_spark.operators.text_analysis import (
+        _bm25_ranked,
+    )
+
+    lex = _bm25_ranked(
+        spark,
+        sf_dir,
+        F.col("doc_id") < RRF_N_Q,
+        RRF_POOL,
+        exclude_self=True,
+    ).select(
+        F.col("query_id").alias("qid"),
+        F.col("doc_id").alias("cand_id"),
+        F.col("rank").alias("lrank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries, corpus = _with_norms(emb, RRF_N_Q)
+    vec = _topk(
+        _scored(
+            F.broadcast(queries), corpus, F.col("qid") != F.col("vec_id")
+        ),
+        RRF_POOL,
+    ).select(
+        "qid",
+        F.col("vec_id").alias("cand_id"),
+        F.col("rank").alias("vrank"),
+    )
+    fused = lex.join(vec, ["qid", "cand_id"], "full_outer")
+    rrf = (
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K0) + F.col("lrank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K0) + F.col("vrank")), F.lit(0.0)
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("rrf_score"), F.asc("cand_id")
+    )
+    return (
+        fused.select(
+            "qid",
+            "cand_id",
+            F.coalesce("lrank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("vrank", F.lit(0)).alias("vec_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= RRF_TOP)
+        .select("qid", "rank", "cand_id", "lex_rank", "vec_rank", "rrf_score")
+    )

@@ -743,10 +743,20 @@ BM25_QUERY_STRIDE = 250
 BM25_TOP_K = 10
 
 
-@query(
-    "text_bm25",
-    oracle=f"""
-    WITH tf AS (
+def sql_bm25_ctes(
+    query_pred: str, topk: int, exclude_self: bool = False
+) -> str:
+    """CTE chain (no leading WITH, no final SELECT) computing
+    BM25-ranked retrieval into a CTE named `lexranked` with columns
+    (query_id, doc_id, n_terms, score, rank ≤ topk). `query_pred` is
+    a predicate over `t.doc_id` choosing the query documents;
+    `exclude_self` drops the query document from its own candidate
+    set (the `sim_search` qid != vec_id convention). Shared by the
+    `text_bm25` oracle and the `sim_search_rrf` hybrid oracle — the
+    BPE pair's shared-prefix pattern, so the two oracles can never
+    drift apart on the scoring algebra."""
+    self_filter = "AND c.doc_id != q.query_id" if exclude_self else ""
+    return f"""tf AS (
         SELECT doc_id,
                len(string_split(text, ' ')) AS dl,
                unnest(string_split(text, ' ')) AS token
@@ -769,7 +779,7 @@ BM25_TOP_K = 10
     ), qterms AS (
         SELECT DISTINCT t.doc_id AS query_id, t.token
         FROM tf t
-        WHERE t.doc_id % {BM25_QUERY_STRIDE} = 0 AND len(t.token) >= 4
+        WHERE ({query_pred}) AND len(t.token) >= 4
     ), scored AS (
         SELECT q.query_id, c.doc_id,
                COUNT(*) AS n_terms,
@@ -781,51 +791,34 @@ BM25_TOP_K = 10
                                                 / s.avgdl))))
                    AS DECIMAL(28,6))) AS DOUBLE) AS score
         FROM counts c
-        JOIN qterms q ON q.token = c.token
+        JOIN qterms q ON q.token = c.token {self_filter}
         JOIN df d ON d.token = c.token
         JOIN idf i ON i.df = d.df
         CROSS JOIN stats s
         GROUP BY q.query_id, c.doc_id
-    )
-    SELECT query_id, doc_id, n_terms, score, rank FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id
-            ORDER BY score DESC, doc_id ASC) AS rank
-        FROM scored
-    ) WHERE rank <= {BM25_TOP_K}
-    """,
-)
-def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval: top-k documents per query — the
-    retrieval half of decontamination/eval tooling that
-    `text_decontaminate`'s membership probe stops short of, and the
-    lexical sibling of the `sim_search` embedding ladder.
+    ), lexranked AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {topk}
+    )"""
 
-    score(q,d) = Σ_t idf(df_t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)),
-    k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)) — the
-    Robertson-Sparck-Jones formulation Lucene uses.
 
-    Bit-exactness: reuses `text_tfidf`'s glibc-log discipline
-    verbatim — idf is precomputed in PYTHON over the bounded distinct
-    observed df values (capped + overflow-asserted at IDF_TABLE_CAP)
-    and broadcast, so the JVM's 1-ULP-divergent Math.log never enters
-    the value chain. Every other op in the per-term score is a plain
-    IEEE +,·,/ with the SAME parenthesization and the SAME parsed
-    literals on both engines (2.2/0.25 spelled as literals because
-    1.2+1.0 and 1.0-0.75 happen to be exact; avgdl is one exact-int
-    division both sides), so per-term scores are bit-identical and
-    the per-(query,doc) fold is the order-independent decimal dsum.
-
-    Scale shape — term-at-a-time retrieval: corpus tf table (one
-    explode + one aggregate, dl carried as a group key so no
-    doc-length join), df/idf tables vocabulary-sized and broadcast;
-    the posting join keys on token against the query-term table —
-    stride-derived here for oracle reproducibility, standing in for
-    an external bounded query workload; its join strategy is left to
-    AQE (a bounded query set auto-broadcasts; a corpus-scale one
-    key-partitions instead of OOMing — the `text_lm_score` lesson).
-    Top-k per query is one window with a total-order tiebreak.
-    """
+def _bm25_ranked(
+    spark: SparkSession,
+    sf_dir: str,
+    query_pred,
+    topk: int,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BM25-ranked retrieval (query_id, doc_id, n_terms, score,
+    rank ≤ topk). `query_pred` is a Column predicate over `doc_id`
+    choosing the query documents; see :func:`text_bm25` for the
+    scoring algebra, bit-exactness discipline, and scale shape —
+    this is its body, parameterized so `sim_search_rrf` reuses the
+    identical value chain."""
     import math
 
     from crime_data_batch_processing_spark import cachekit
@@ -872,10 +865,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     qterms = (
-        counts.filter(
-            (F.col("doc_id") % BM25_QUERY_STRIDE == 0)
-            & (F.length("token") >= 4)
-        )
+        counts.filter(query_pred & (F.length("token") >= 4))
         .select(F.col("doc_id").alias("query_id"), "token")
         .distinct()
     )
@@ -890,9 +880,11 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(BM25_1MB) + F.lit(BM25_B) * (dlD / F.lit(avgdl)))
         )
     )
+    postings = counts.join(qterms, "token")
+    if exclude_self:
+        postings = postings.filter(F.col("doc_id") != F.col("query_id"))
     scored = (
-        counts.join(qterms, "token")
-        .join(F.broadcast(dft), "token")
+        postings.join(F.broadcast(dft), "token")
         .join(F.broadcast(idf_table), "df")
         .groupBy("query_id", "doc_id")
         .agg(
@@ -907,8 +899,57 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOP_K)
+        .filter(F.col("rank") <= topk)
         .select("query_id", "doc_id", "n_terms", "score", "rank")
+    )
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH {sql_bm25_ctes(f"t.doc_id % {BM25_QUERY_STRIDE} = 0", BM25_TOP_K)}
+    SELECT query_id, doc_id, n_terms, score, rank FROM lexranked
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents per query — the
+    retrieval half of decontamination/eval tooling that
+    `text_decontaminate`'s membership probe stops short of, and the
+    lexical sibling of the `sim_search` embedding ladder.
+
+    score(q,d) = Σ_t idf(df_t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)),
+    k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)) — the
+    Robertson-Sparck-Jones formulation Lucene uses.
+
+    Bit-exactness: reuses `text_tfidf`'s glibc-log discipline
+    verbatim — idf is precomputed in PYTHON over the bounded distinct
+    observed df values (capped + overflow-asserted at IDF_TABLE_CAP)
+    and broadcast, so the JVM's 1-ULP-divergent Math.log never enters
+    the value chain. Every other op in the per-term score is a plain
+    IEEE +,·,/ with the SAME parenthesization and the SAME parsed
+    literals on both engines (2.2/0.25 spelled as literals because
+    1.2+1.0 and 1.0-0.75 happen to be exact; avgdl is one exact-int
+    division both sides), so per-term scores are bit-identical and
+    the per-(query,doc) fold is the order-independent decimal dsum.
+
+    Scale shape — term-at-a-time retrieval: corpus tf table (one
+    explode + one aggregate, dl carried as a group key so no
+    doc-length join), df/idf tables vocabulary-sized and broadcast;
+    the posting join keys on token against the query-term table —
+    stride-derived here for oracle reproducibility, standing in for
+    an external bounded query workload; its join strategy is left to
+    AQE (a bounded query set auto-broadcasts; a corpus-scale one
+    key-partitions instead of OOMing — the `text_lm_score` lesson).
+    Top-k per query is one window with a total-order tiebreak.
+
+    Body lives in :func:`_bm25_ranked` (parameterized by query
+    predicate) so `sim_search_rrf` fuses the identical value chain.
+    """
+    return _bm25_ranked(
+        spark,
+        sf_dir,
+        F.col("doc_id") % BM25_QUERY_STRIDE == 0,
+        BM25_TOP_K,
     )
 
 

@@ -791,3 +791,55 @@ class TestBM25:
             assert [r.doc_id for r in g] == [d for d, _ in expected[qid]], qid
             for r, (_, s) in zip(g, expected[qid]):
                 assert abs(r.score - s) < 1e-9, (qid, r.doc_id, r.score, s)
+
+
+class TestHybridRRF:
+    def test_fusion_invariants_and_formula(self, spark, sf_dir):
+        """Structure + exact formula replay for `sim_search_rrf`:
+        every query returns RRF_TOP rows ranked 1..RRF_TOP with
+        non-increasing scores; each candidate carries at least one
+        real ranker rank (0 = absent encoding, never both); and the
+        fused score equals 1/(60+r) per present ranker, recomputed
+        here with the identical IEEE ops — any wiring error in the
+        full-outer join / coalesce / ordering breaks equality."""
+        from crime_data_batch_processing_spark import registry
+        from crime_data_batch_processing_spark.operators.similarity import (
+            RRF_K0,
+            RRF_N_Q,
+            RRF_POOL,
+            RRF_TOP,
+        )
+
+        rows = registry.QUERIES["sim_search_rrf"](spark, sf_dir).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r)
+        assert set(by_q) == set(range(RRF_N_Q))
+        for qid, group in by_q.items():
+            assert sorted(r.rank for r in group) == list(
+                range(1, RRF_TOP + 1)
+            )
+            ordered = sorted(group, key=lambda r: r.rank)
+            for a, b in zip(ordered, ordered[1:]):
+                # total order: score desc, then cand_id asc on ties
+                assert a.rrf_score > b.rrf_score or (
+                    a.rrf_score == b.rrf_score and a.cand_id < b.cand_id
+                )
+            for r in group:
+                assert 0 <= r.lex_rank <= RRF_POOL
+                assert 0 <= r.vec_rank <= RRF_POOL
+                assert r.lex_rank > 0 or r.vec_rank > 0
+                expected = (
+                    1.0 / (RRF_K0 + r.lex_rank) if r.lex_rank else 0.0
+                ) + (1.0 / (RRF_K0 + r.vec_rank) if r.vec_rank else 0.0)
+                assert r.rrf_score == expected, (qid, r)
+
+    def test_both_rankers_contribute(self, spark, sf_dir):
+        """The fused top must draw from BOTH rankers somewhere in the
+        result (else the fusion is vacuously one index): at least one
+        row with lex_rank > 0 and at least one with vec_rank > 0."""
+        from crime_data_batch_processing_spark import registry
+
+        rows = registry.QUERIES["sim_search_rrf"](spark, sf_dir).collect()
+        assert any(r.lex_rank > 0 for r in rows)
+        assert any(r.vec_rank > 0 for r in rows)
