@@ -21,7 +21,11 @@ with every pass total in "totals" and the first (coldest) pass in
 ±15% under VM-neighbor load (BASELINE.md's variance note); a
 median-of-3 headline stops round-over-round comparisons from reading
 that noise as regression. Per-query timings are the per-key median
-across passes.
+across passes. A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S,
+default 900) stops STARTING new passes once crossed, so the headline
+degrades to median-of-fewer instead of risking an external runner's
+timeout losing the record entirely; "totals" shows how many passes
+actually ran.
 
 Each query executes end-to-end through the `noop` sink so the full
 physical plan runs JVM-side (scan → compute → materialize) with no
@@ -59,6 +63,13 @@ TOTAL_REPS = int(
 #: clean isolated re-runs of individual outliers per the BASELINE.md
 #: protocol (timings contend hard with concurrent Spark work)
 KEYS = [k for k in os.environ.get("SPARK_GRAFT_BENCH_KEYS", "").split(",") if k]
+#: wall-clock budget for the multi-pass loop: once a FINISHED pass
+#: crosses this, no further pass starts and the medians come from the
+#: passes done — the median-of-3 headline must degrade to
+#: median-of-fewer rather than risk an external runner's timeout
+#: producing NO record at all (passes are never cut mid-way, so every
+#: reported pass total is a complete suite)
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
 
 
 def sf_from_dir(path: str) -> float:
@@ -82,7 +93,15 @@ def main() -> None:
     per_key: dict[str, list[float]] = {k: [] for k in keys}
     failed: set[str] = set()
     pass_totals: list[float] = []
+    t_start = time.monotonic()
     for _pass in range(TOTAL_REPS):
+        if pass_totals and time.monotonic() - t_start > BUDGET_S:
+            print(
+                f"# bench budget ({BUDGET_S:.0f}s) reached after "
+                f"{len(pass_totals)} pass(es); skipping the rest",
+                file=sys.stderr,
+            )
+            break
         pass_total = 0.0
         for key in keys:
             if key in failed:
