@@ -65,7 +65,9 @@ _VERIFY_FIRST = [
     # < PLANT_OFFSET collision guard (r9 advisor); the five
     # pydatasource keys: commit-lock release now leaks the fd when
     # the heartbeat thread never confirms exit (r9 advisor).
-    "sample_weighted", "sim_search_rrf", "text_bm25",
+    # udf_model_iter: NEW key (iterator-form pandas UDF — once-per-
+    # worker model init, the batch-inference shape).
+    "sample_weighted", "sim_search_rrf", "text_bm25", "udf_model_iter",
     "dedup_embedding_lsh_prod", "scan_pysource", "sink_pysource",
     "stream_sink_pysource", "stream_pysource",
     "stream_pysource_partitioned",

@@ -22,6 +22,13 @@ cardinality per key, never by a skewed key without salting.
 
 from __future__ import annotations
 
+# module level (not inside the function): PEP-563 stringified hints
+# are resolved against the function's GLOBALS by pandas_udf's
+# signature inspection — a locally-imported name is invisible there
+# (udf_model_iter's Iterator hint selects the iterator evaluation
+# mode, so it must resolve)
+from collections.abc import Iterator  # noqa: F401
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -220,4 +227,85 @@ def udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.pos, t.token, t.start_off
         FROM udtf_docs d, LATERAL token_spans(d.text) t
         """
+    )
+
+
+#: Deterministic integer "model" for the iterator-UDF key: weights
+#: over four text features. The values are arbitrary; what matters is
+#: that scoring is pure int64 arithmetic both engines replay exactly.
+MODEL_W_CHARS = 3
+MODEL_W_TOKENS = 7
+MODEL_W_DIGITS = 11
+MODEL_W_UPPER = 13
+
+
+@query(
+    "udf_model_iter",
+    oracle=f"""
+    SELECT doc_id,
+           {MODEL_W_CHARS} * length(text)
+           + {MODEL_W_TOKENS} * (length(text)
+                - length(replace(text, ' ', '')) + 1)
+           + {MODEL_W_DIGITS} * (length(text)
+                - length(regexp_replace(text, '[0-9]', '', 'g')))
+           + {MODEL_W_UPPER} * (length(text)
+                - length(regexp_replace(text, '[A-Z]', '', 'g')))
+               AS model_score
+    FROM documents
+    """,
+)
+def udf_model_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (`Iterator[pd.Series] →
+    Iterator[pd.Series]`) — the batch-inference shape of the UDF
+    surface: expensive state (a model, a tokenizer, an ONNX session)
+    is initialized ONCE per worker before the loop, then every Arrow
+    batch of the task streams through it. The plain scalar
+    `pandas_udf` re-enters Python per batch with no place to hang
+    state; at 100 TB the difference is loading a model once per
+    executor vs once per batch — the pattern every LLM
+    scoring/embedding pass over a corpus uses.
+
+    The "model" here is a deterministic integer-weighted feature
+    scorer (chars / tokens / digits / uppercase counts) so the ORACLE
+    can check the machinery — argument streaming, per-batch yield,
+    init-before-loop — by replaying the identical int64 arithmetic;
+    real users put the un-SQL-able model in `_load_model`. Feature
+    extraction is vectorized pandas `.str` ops; counts are exact
+    integers on both engines (the [0-9]/[A-Z] classes have identical
+    semantics in Python re and DuckDB's RE2).
+
+    Defined NESTED so cloudpickle ships it by value (Iterator itself
+    is imported at MODULE level — PEP-563 string hints resolve
+    against the function's globals, and the Iterator hint is what
+    selects pandas_udf's iterator evaluation mode); plans as ONE
+    ArrowEvalPython over a pruned 2-column scan, map-only, zero
+    shuffle (plan-asserted).
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # once-per-worker init: real pipelines load the model here
+        def _load_model() -> dict[str, int]:
+            return {
+                "chars": MODEL_W_CHARS,
+                "tokens": MODEL_W_TOKENS,
+                "digits": MODEL_W_DIGITS,
+                "upper": MODEL_W_UPPER,
+            }
+
+        w = _load_model()
+        for texts in batches:
+            n_chars = texts.str.len().astype("int64")
+            n_tokens = texts.str.count(" ").astype("int64") + 1
+            n_digits = texts.str.count("[0-9]").astype("int64")
+            n_upper = texts.str.count("[A-Z]").astype("int64")
+            yield (
+                w["chars"] * n_chars
+                + w["tokens"] * n_tokens
+                + w["digits"] * n_digits
+                + w["upper"] * n_upper
+            )
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", _score(F.col("text")).alias("model_score")
     )

@@ -1283,3 +1283,56 @@ def test_simhash_cap_is_single_window_with_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert len(re.findall(r"\(\d+\) Window\n", plan)) == 1, plan
     assert "row_number" in plan, plan
+
+
+def test_model_iter_udf_is_arrow_map_only(spark, sf_dir):
+    """The iterator-form pandas UDF must plan as ArrowEvalPython over
+    the pruned 2-column scan with NO Exchange anywhere — per-worker
+    model init plus streaming batches is a pure map."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(registry.QUERIES["udf_model_iter"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_model_iter_udf_streams_multiple_batches(spark, sf_dir):
+    """Force tiny Arrow batches so each task's iterator sees MANY
+    batches, and verify the scores still match a pure-Python replay —
+    catches an implementation that only consumes the first batch or
+    leaks state between batches."""
+    import pyarrow.parquet as pq
+
+    from crime_data_batch_processing_spark.operators.udfs import (
+        MODEL_W_CHARS,
+        MODEL_W_DIGITS,
+        MODEL_W_TOKENS,
+        MODEL_W_UPPER,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        got = {
+            r.doc_id: r.model_score
+            for r in registry.QUERIES["udf_model_iter"](
+                spark, sf_dir
+            ).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    tab = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    for doc_id, text in zip(
+        tab.column("doc_id").to_pylist(), tab.column("text").to_pylist()
+    ):
+        expected = (
+            MODEL_W_CHARS * len(text)
+            + MODEL_W_TOKENS * (text.count(" ") + 1)
+            + MODEL_W_DIGITS * sum(c.isdigit() for c in text)
+            + MODEL_W_UPPER * sum("A" <= c <= "Z" for c in text)
+        )
+        assert got[doc_id] == expected, doc_id
