@@ -67,6 +67,11 @@ _VERIFY_FIRST = [
     # the heartbeat thread never confirms exit (r9 advisor).
     # udf_model_iter: NEW key (iterator-form pandas UDF — once-per-
     # worker model init, the batch-inference shape).
+    # pipeline_eval_decontaminate: NEW key (release-gate manifest:
+    # exact 5-gram verdict + BM25 retrieval audit + shard manifest);
+    # sim_search_rrf re-listed because _bm25_ranked/sql_bm25_ctes
+    # gained the candidate_pred parameter it shares.
+    "pipeline_eval_decontaminate",
     "sample_weighted", "sim_search_rrf", "text_bm25", "udf_model_iter",
     "dedup_embedding_lsh_prod", "scan_pysource", "sink_pysource",
     "stream_sink_pysource", "stream_pysource",

@@ -744,18 +744,28 @@ BM25_TOP_K = 10
 
 
 def sql_bm25_ctes(
-    query_pred: str, topk: int, exclude_self: bool = False
+    query_pred: str,
+    topk: int,
+    exclude_self: bool = False,
+    candidate_pred: str | None = None,
 ) -> str:
     """CTE chain (no leading WITH, no final SELECT) computing
     BM25-ranked retrieval into a CTE named `lexranked` with columns
     (query_id, doc_id, n_terms, score, rank ≤ topk). `query_pred` is
     a predicate over `t.doc_id` choosing the query documents;
     `exclude_self` drops the query document from its own candidate
-    set (the `sim_search` qid != vec_id convention). Shared by the
-    `text_bm25` oracle and the `sim_search_rrf` hybrid oracle — the
-    BPE pair's shared-prefix pattern, so the two oracles can never
-    drift apart on the scoring algebra."""
+    set (the `sim_search` qid != vec_id convention); `candidate_pred`
+    (over `c.doc_id`) restricts the CANDIDATE universe — ranks are
+    then computed within that universe, not post-filtered after the
+    cut. Shared by the `text_bm25`, `sim_search_rrf`, and
+    `pipeline_eval_decontaminate` oracles — the BPE shared-prefix
+    pattern, so the oracles can never drift apart on the scoring
+    algebra. Corpus statistics (avgdl, df, idf) stay corpus-wide
+    regardless of `candidate_pred`: the index is built once over the
+    whole corpus; a query-time candidate restriction must not change
+    term weights."""
     self_filter = "AND c.doc_id != q.query_id" if exclude_self else ""
+    cand_filter = f"AND ({candidate_pred})" if candidate_pred else ""
     return f"""tf AS (
         SELECT doc_id,
                len(string_split(text, ' ')) AS dl,
@@ -791,7 +801,7 @@ def sql_bm25_ctes(
                                                 / s.avgdl))))
                    AS DECIMAL(28,6))) AS DOUBLE) AS score
         FROM counts c
-        JOIN qterms q ON q.token = c.token {self_filter}
+        JOIN qterms q ON q.token = c.token {self_filter} {cand_filter}
         JOIN df d ON d.token = c.token
         JOIN idf i ON i.df = d.df
         CROSS JOIN stats s
@@ -812,13 +822,17 @@ def _bm25_ranked(
     query_pred,
     topk: int,
     exclude_self: bool = False,
+    candidate_pred=None,
 ) -> DataFrame:
     """BM25-ranked retrieval (query_id, doc_id, n_terms, score,
     rank ≤ topk). `query_pred` is a Column predicate over `doc_id`
-    choosing the query documents; see :func:`text_bm25` for the
-    scoring algebra, bit-exactness discipline, and scale shape —
-    this is its body, parameterized so `sim_search_rrf` reuses the
-    identical value chain."""
+    choosing the query documents; `candidate_pred` (also over
+    `doc_id`, optional) restricts the candidate universe BEFORE
+    ranking, while corpus statistics stay corpus-wide (see
+    :func:`sql_bm25_ctes`). See :func:`text_bm25` for the scoring
+    algebra, bit-exactness discipline, and scale shape — this is its
+    body, parameterized so `sim_search_rrf` and
+    `pipeline_eval_decontaminate` reuse the identical value chain."""
     import math
 
     from crime_data_batch_processing_spark import cachekit
@@ -883,6 +897,8 @@ def _bm25_ranked(
     postings = counts.join(qterms, "token")
     if exclude_self:
         postings = postings.filter(F.col("doc_id") != F.col("query_id"))
+    if candidate_pred is not None:
+        postings = postings.filter(candidate_pred)
     scored = (
         postings.join(F.broadcast(dft), "token")
         .join(F.broadcast(idf_table), "df")

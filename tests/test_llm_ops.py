@@ -843,3 +843,81 @@ class TestHybridRRF:
         rows = registry.QUERIES["sim_search_rrf"](spark, sf_dir).collect()
         assert any(r.lex_rank > 0 for r in rows)
         assert any(r.vec_rank > 0 for r in rows)
+
+
+class TestEvalDecontaminate:
+    def test_gate_matches_decontaminate_verdict(self, spark, sf_dir):
+        """Cross-kernel consistency: the manifest's flagged-doc total
+        must equal `text_decontaminate`'s contaminated verdict
+        restricted to the manifest's gate+dedup survivors — the two
+        registered keys share the 5-gram semantics, so they may never
+        disagree on who is contaminated."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            text_decontaminate,
+        )
+        from crime_data_batch_processing_spark.operators.pipeline import (
+            pipeline_eval_decontaminate,
+        )
+        from crime_data_batch_processing_spark.operators.text_analysis import (
+            QM_THRESHOLD,
+            text_quality_model,
+        )
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            BENCH_MOD,
+        )
+        from crime_data_batch_processing_spark.sources.tables import (
+            load_table,
+        )
+
+        manifest = pipeline_eval_decontaminate(spark, sf_dir)
+        rows = manifest.collect()
+        got_flagged = sum(r.n_flagged for r in rows)
+
+        # independent reconstruction of the survivor set from the
+        # registered quality-model key + exact keep-first dedup
+        keep = (
+            text_quality_model(spark, sf_dir)
+            .where(F.col("quality_score") >= QM_THRESHOLD)
+            .where(F.col("doc_id") % BENCH_MOD != 0)
+            .select("doc_id")
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("digest")
+        )
+        kept = docs.join(keep, "doc_id")
+        survivors = kept.join(
+            kept.groupBy("digest").agg(F.min("doc_id").alias("keep_id")),
+            "digest",
+        ).where(F.col("doc_id") == F.col("keep_id"))
+        want_flagged = (
+            text_decontaminate(spark, sf_dir)
+            .where(F.col("contaminated"))
+            .join(survivors, "doc_id")
+            .count()
+        )
+        assert got_flagged == want_flagged
+        # the audit column can never exceed the flag column
+        for r in rows:
+            assert 0 <= r.n_flagged_retrieved <= r.n_flagged, r
+        # survivor accounting: kept + flagged == survivors
+        assert (
+            sum(r.n_docs for r in rows) + got_flagged == survivors.count()
+        )
+
+    def test_retrieval_audit_hits_on_planted_near_dup(
+        self, spark, sf_oracle_dir
+    ):
+        """At sf0.01 (the driver's compare tier) exactly one
+        contaminated doc survives the gate — the flag must fire there
+        (at sf0.001 the true answer is zero: both contaminated docs
+        fail the quality gate, which the oracle compare already
+        pins). The audit column can never exceed the flag column."""
+        from crime_data_batch_processing_spark.operators.pipeline import (
+            pipeline_eval_decontaminate,
+        )
+
+        rows = pipeline_eval_decontaminate(spark, sf_oracle_dir).collect()
+        assert sum(r.n_flagged for r in rows) >= 1
+        assert sum(r.n_flagged_retrieved for r in rows) <= sum(
+            r.n_flagged for r in rows
+        )

@@ -1336,3 +1336,20 @@ def test_model_iter_udf_streams_multiple_batches(spark, sf_dir):
             + MODEL_W_UPPER * sum("A" <= c <= "Z" for c in text)
         )
         assert got[doc_id] == expected, doc_id
+
+
+def test_eval_decontaminate_broadcast_probe_and_pool_cut(spark, sf_dir):
+    """The release-gate composition must keep its two scale-critical
+    shapes: the eval-gram probe is a BROADCAST join (eval suites are
+    MBs against a corpus-sized explode — the text_decontaminate
+    shape), and the BM25 audit pool's per-query top-k window is
+    pre-cut by WindowGroupLimit so pool candidates are trimmed before
+    the rank shuffle, not after."""
+    from crime_data_batch_processing_spark.plans import (
+        physical_plan,
+        uses_broadcast_join,
+    )
+
+    df = registry.QUERIES["pipeline_eval_decontaminate"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert "WindowGroupLimit" in physical_plan(df)

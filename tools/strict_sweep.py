@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import datetime as dt
 import decimal
+import os
 import sys
 import time
 from pathlib import Path
@@ -147,8 +148,28 @@ def main() -> int:
                          "recall is a data-dependent property, and a "
                          "miss surfaces as an opaque value mismatch "
                          "across many keys instead of a named guard "
-                         "failure")
+                         "failure. Implied automatically whenever "
+                         "--sf-dir points outside /root/testdata (a "
+                         "corpus the guards have never vetted); pass "
+                         "--no-recall-guard to suppress that.")
+    ap.add_argument("--no-recall-guard", action="store_true",
+                    help="suppress the implicit recall guard on "
+                         "non-driver sf-dirs (e.g. re-sweeping a soak "
+                         "tier the guard already vetted this session)")
     args = ap.parse_args()
+    # The guard is a data property, not a code property: driver tiers
+    # under /root/testdata are vetted every round by the driver's own
+    # compare, but ANY other corpus (soak tiers, user data) must prove
+    # banded-LSH recall before its exact-set oracles mean anything —
+    # so sweeping one implies the guard unless explicitly suppressed.
+    if not args.recall_guard and not args.no_recall_guard:
+        inside_driver = os.path.realpath(args.sf_dir).startswith(
+            "/root/testdata/"
+        )
+        if not inside_driver:
+            args.recall_guard = True
+            print("# non-driver sf-dir: recall guard implied "
+                  "(--no-recall-guard suppresses)", flush=True)
 
     import duckdb
     from pyspark.sql import SparkSession
