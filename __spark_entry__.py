@@ -71,7 +71,9 @@ _VERIFY_FIRST = [
     # exact 5-gram verdict + BM25 retrieval audit + shard manifest);
     # sim_search_rrf re-listed because _bm25_ranked/sql_bm25_ctes
     # gained the candidate_pred parameter it shares.
-    "pipeline_eval_decontaminate",
+    # stream_decontaminate: NEW key (stateless Arrow ingest gate vs
+    # the static eval-gram broadcast).
+    "pipeline_eval_decontaminate", "stream_decontaminate",
     "sample_weighted", "sim_search_rrf", "text_bm25", "udf_model_iter",
     "dedup_embedding_lsh_prod", "scan_pysource", "sink_pysource",
     "stream_sink_pysource", "stream_pysource",

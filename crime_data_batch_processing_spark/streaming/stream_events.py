@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crime_data_batch_processing_spark.functions.exact import dsum, sql_dsum
+from crime_data_batch_processing_spark.functions.textkit import sql_shingles
+from crime_data_batch_processing_spark.operators.llm_dedup import (
+    BENCH_MOD,
+    DECON_K,
+)
 from crime_data_batch_processing_spark.registry import query
 
 #: Physical schema of events.parquet files whose ts is int64 NANOS on
@@ -171,21 +176,22 @@ def run_stream_to_parquet(
     return spark.read.parquet(out_dir)
 
 
-def _stream_src(sf_dir: str) -> str:
+def _stream_src(sf_dir: str, table: str = "events") -> str:
     """Expose a table's single parquet file through a scratch
     directory (file stream sources need a directory), copy-free.
 
-    The scratch key hashes the ABSOLUTE sf_dir — basename-only keying
-    would silently share (stale) data between two sf dirs with the
-    same basename. `lexists` (not `exists`) sees dangling symlinks, and
-    a link pointing at a different target is re-pointed, so leftover
-    state from a deleted testdata tree can't shadow the real input.
+    The scratch key hashes the ABSOLUTE target path (sf_dir + table) —
+    basename-only keying would silently share (stale) data between two
+    sf dirs with the same basename. `lexists` (not `exists`) sees
+    dangling symlinks, and a link pointing at a different target is
+    re-pointed, so leftover state from a deleted testdata tree can't
+    shadow the real input.
     """
-    target = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    target = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     key = hashlib.sha256(target.encode()).hexdigest()[:16]
     src = f"/tmp/cdbp_stream_src/{key}"
     os.makedirs(src, exist_ok=True)
-    link = os.path.join(src, "events.parquet")
+    link = os.path.join(src, f"{table}.parquet")
     if os.path.lexists(link):
         if os.path.realpath(link) != os.path.realpath(target):
             os.unlink(link)
@@ -193,6 +199,24 @@ def _stream_src(sf_dir: str) -> str:
     else:
         os.symlink(target, link)
     return src
+
+
+def streaming_documents(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over a directory of documents parquet files.
+
+    The declared schema is DERIVED from the files already present
+    (metadata-only batch read of the footers — the round-9 discipline:
+    never hardcode a physical schema the driver may regenerate).
+    Documents have no event-time column, so no ts flavor probe is
+    needed.
+    """
+    schema = spark.read.parquet(src_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(src_dir)
 
 
 @query(
@@ -1633,4 +1657,151 @@ def stream_sink_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             dsum("value").alias("sum_value"),
         )
+    )
+
+
+#: The streaming gate checks against a FIXED-SIZE eval set (the first
+#: STREAM_EVAL_DOCS bench doc_ids): a real eval suite is constant-
+#: sized while ingest grows without bound, and the per-document
+#: verdict cost is O(|doc grams| + |eval grams|) — an eval set growing
+#: with the corpus (every BENCH_MOD-th doc, the synthetic workload's
+#: artifact) would make the gate quadratic in corpus size. 64 covers
+#: EVERY bench doc at all driver SFs (52 at sf0.1), so driver outputs
+#: equal the unbounded form; only the soak tiers see the bound.
+STREAM_EVAL_DOCS = 64
+
+
+@query(
+    "stream_decontaminate",
+    oracle=f"""
+    WITH bg AS (
+        SELECT DISTINCT unnest({sql_shingles('text', DECON_K)}) AS g
+        FROM documents
+        WHERE doc_id % {BENCH_MOD} = 0
+          AND doc_id < {BENCH_MOD * STREAM_EVAL_DOCS}
+    ), hits AS (
+        SELECT e.doc_id, COUNT(DISTINCT e.g) AS n_matched
+        FROM (SELECT doc_id, unnest({sql_shingles('text', DECON_K)}) AS g
+              FROM documents WHERE doc_id % {BENCH_MOD} <> 0) e
+        JOIN bg USING (g)
+        GROUP BY e.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           CAST(h.n_matched AS BIGINT) AS n_matched_grams
+    FROM documents d JOIN hits h USING (doc_id)
+    """,
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest decontamination: documents STREAM in and each
+    one is gated, in-flight, against the static held-out eval set —
+    contaminated docs (sharing any 5-gram with an eval doc) are
+    emitted to the quarantine sink with their matched-gram count.
+
+    The streaming form of `text_decontaminate`, and the gate a
+    continuously-crawled corpus runs at ingest instead of re-running
+    the batch verdict over the whole corpus per release. The topology
+    is the cheapest legal one — STATELESS map-only:
+
+    - the eval set's distinct 5-grams are a broadcast side-input
+      (eval suites are MBs), probed by an Arrow-batched `mapInPandas`
+      gate that builds the membership set ONCE per worker batch and
+      checks each document in O(|doc grams|) — see `_decon_gate` for
+      why the JVM-only `array_intersect` form loses 10x here;
+    - each streamed document is ONE row, so its verdict completes
+      within its own micro-batch: no explode-join (whose
+      per-output-gram generator re-evaluation is the
+      `text_decontaminate` lesson, and whose per-doc re-aggregation
+      would need stateful ops), no watermark, no state store at all —
+      asserted by the zero-state-operators test.
+
+    At 100 TB-of-ingest scale the per-doc cost is O(|doc grams|) and
+    the stream never shuffles; a real deployment persists the eval
+    gram set and swaps the file source for Kafka, changing nothing
+    else. The eval set is FIXED-SIZE (see STREAM_EVAL_DOCS — constant
+    in production, and the constant covers every bench doc at all
+    driver SFs), which is what keeps the broadcast O(1) in corpus
+    size. The oracle replays the verdict relationally
+    (explode + join + count distinct) over the same corpus — the
+    streamed gate and the batch SQL must name the same docs with the
+    same match counts.
+    """
+    return _run_bounded(
+        _decon_gate(spark, sf_dir), "cdbp_stream_decontaminate", "append"
+    )
+
+
+def _decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming flagged-documents frame behind
+    `stream_decontaminate` (shared with the zero-state plan test).
+
+    The eval gram set is collected ONCE to the driver (bounded:
+    eval-suite-sized by construction — the idf-table precedent) and
+    shipped as a broadcast variable; each Arrow batch probes it as a
+    Python frozenset built once per batch. The first JVM-only form
+    (single-row broadcast join + per-row `array_intersect`) was
+    measured 10x slower at the s10 soak tier: ArrayIntersect rebuilds
+    the eval-gram hash set PER ROW (~|eval grams| hash ops per
+    document), where the set should be built once per worker — the
+    case the UDF guidance reserves Arrow batching for. Shingle
+    semantics (split on single space, k-gram join, distinct) are
+    replayed in Python exactly as textkit/SQL define them; counts are
+    exact ints, so the relational oracle still matches bit-for-bit.
+    """
+    from crime_data_batch_processing_spark.functions.textkit import (
+        shingles_of,
+        tokens,
+    )
+    from crime_data_batch_processing_spark.sources.tables import load_table
+
+    k = DECON_K
+    bench_rows = (
+        load_table(spark, sf_dir, "documents")
+        .where(
+            (F.col("doc_id") % BENCH_MOD == 0)
+            & (F.col("doc_id") < BENCH_MOD * STREAM_EVAL_DOCS)
+        )
+        .select("doc_id", tokens("text").alias("toks"))
+        .select(F.explode(shingles_of(F.col("toks"), k)).alias("g"))
+        .distinct()
+        .collect()
+    )
+    bench_bc = spark.sparkContext.broadcast(
+        frozenset(r.g for r in bench_rows)
+    )
+
+    out_schema = (
+        "doc_id long, lang string, source string, n_chars long, "
+        "n_matched_grams long"
+    )
+
+    # NESTED function: streaming Python workers get no repo on
+    # sys.path, so the UDF must ship by value (streaming/stateful.py
+    # documents the rule)
+    def gate(batches):
+        bench = bench_bc.value
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            n_matched = [
+                len(
+                    frozenset(
+                        " ".join(t[i : i + k])
+                        for i in range(len(t) - k + 1)
+                    )
+                    & bench
+                )
+                if len(t) >= k
+                else 0
+                for t in toks
+            ]
+            pdf = pdf.assign(n_matched_grams=n_matched)
+            hit = pdf[pdf["n_matched_grams"] > 0]
+            yield hit[
+                ["doc_id", "lang", "source", "n_chars", "n_matched_grams"]
+            ]
+
+    return (
+        streaming_documents(spark, _stream_src(sf_dir, "documents"))
+        .where(F.col("doc_id") % BENCH_MOD != 0)
+        .select("doc_id", "lang", "source", "n_chars", "text")
+        .mapInPandas(gate, out_schema)
     )

@@ -473,3 +473,48 @@ def test_partitioned_stream_source_reads_in_parallel_tasks(
             f"micro-batch {batch_id} read from a single task: {pids} — "
             "reads are not executor-distributed"
         )
+
+
+def test_stream_decontaminate_is_stateless_map_only(spark):
+    """The ingest gate must hold ZERO streaming state: the verdict is
+    an array_intersect against one broadcast static row, completed
+    within each document's own micro-batch — no dropDuplicates, no
+    aggregation, no watermark. A state store appearing here means the
+    topology regressed to the explode-join-reaggregate shape whose
+    state grows with the contaminated-doc count."""
+    import pyspark.sql.functions as F
+
+    from crime_data_batch_processing_spark.streaming.stream_events import (
+        _scratch_ckpt,
+        _stream_src,
+        stream_decontaminate,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    # run the registered key once so its flagged-stream plan is the
+    # one probed below (same builder path, fresh memory sink)
+    rows = stream_decontaminate(spark, sf_dir).collect()
+    assert len(rows) > 0  # vacuous-gate guard (2 docs at sf0.001)
+    assert all(r.n_matched_grams >= 1 for r in rows)
+    # re-run THE SAME builder manually to capture the query handle
+    from crime_data_batch_processing_spark.streaming.stream_events import (
+        _decon_gate,
+    )
+
+    flagged = _decon_gate(spark, sf_dir)
+    ckpt = _scratch_ckpt()
+    q = (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdbp_stream_decon_probe")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        progress = q.lastProgress
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    assert progress is not None
+    assert progress["stateOperators"] == [], progress["stateOperators"]
