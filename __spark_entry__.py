@@ -72,8 +72,10 @@ _VERIFY_FIRST = [
     # sim_search_rrf re-listed because _bm25_ranked/sql_bm25_ctes
     # gained the candidate_pred parameter it shares.
     # stream_decontaminate: NEW key (stateless Arrow ingest gate vs
-    # the static eval-gram broadcast).
+    # the static eval-gram broadcast). sample_hard_negatives: NEW key
+    # (BM25 hard-negative mining w/ pre-aggregation pair exclusion).
     "pipeline_eval_decontaminate", "stream_decontaminate",
+    "sample_hard_negatives",
     "sample_weighted", "sim_search_rrf", "text_bm25", "udf_model_iter",
     "dedup_embedding_lsh_prod", "scan_pysource", "sink_pysource",
     "stream_sink_pysource", "stream_pysource",

@@ -1078,3 +1078,108 @@ def sim_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= RRF_TOP)
         .select("qid", "rank", "cand_id", "lex_rank", "vec_rank", "rrf_score")
     )
+
+
+#: Hard-negative mining geometry: a fixed panel of HN_N_Q query
+#: documents (first doc_ids — the bounded external query workload, as
+#: in `sim_search_rrf`), mined HN_POOL deep. Mining depth is
+#: top-hundreds in production (DPR/ANCE-style trainers sample
+#: negatives from deep pools); depth also makes the near-verbatim
+#: exclusion OBSERVABLE on this vocabulary-saturated corpus, where
+#: even copies rank in the hundreds lexically (text_bm25's note).
+HN_N_Q = 16
+HN_POOL = 400
+#: Near-verbatim exclusion unit: a shared 5-token shingle (the
+#: decontamination gram) — a candidate sharing one is a positive/
+#: near-dup, not a negative; 3-gram sharing would exclude nearly
+#: everything under this corpus's saturated vocabulary.
+HN_EXCL_K = 5
+
+
+def _sql_hn_excl() -> str:
+    from crime_data_batch_processing_spark.functions.textkit import (
+        sql_shingles,
+    )
+
+    return f"""excl AS (
+        SELECT a.doc_id AS query_id, b.doc_id AS doc_id
+        FROM (SELECT doc_id, unnest({sql_shingles('text', HN_EXCL_K)}) AS g
+              FROM documents WHERE doc_id < {HN_N_Q}) a
+        JOIN (SELECT doc_id, unnest({sql_shingles('text', HN_EXCL_K)}) AS g
+              FROM documents) b ON a.g = b.g
+        GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "sample_hard_negatives",
+    oracle=f"""
+    WITH {_sql_hn_excl()},
+    {sql_bm25_ctes(
+        f"t.doc_id < {HN_N_Q}",
+        HN_POOL,
+        exclude_self=True,
+        exclude_pairs_cte="excl",
+    )}
+    SELECT query_id, doc_id, n_terms, score, rank FROM lexranked
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: per
+    query document, the HN_POOL highest-BM25 candidates AFTER
+    removing the query itself and every near-verbatim candidate
+    (sharing any 5-token shingle with the query) — lexically close
+    but non-duplicate documents, exactly what a DPR/ANCE-style
+    trainer wants as negatives (a near-dup labeled "negative" is a
+    false negative that poisons the contrastive loss).
+
+    Composes verified kernels: `_bm25_ranked` (the `text_bm25` body)
+    with its new `exclude_pairs` anti-join — exclusion applies BEFORE
+    the per-(query, doc) aggregation, so ranks are computed over the
+    surviving candidates, not post-filtered; and the 5-gram pair
+    probe from the decontamination family (query-side grams are a
+    panel-sized broadcast; the corpus streams map-only through
+    explode → broadcast join → distinct pair set).
+
+    Scale shape: the query panel is FIXED-SIZE (external workload —
+    the `sim_search_rrf` discipline), so the mining pass is one
+    O(corpus) posting join + the pair probe, and the exclusion set is
+    panel-bounded. The persisted-shingle discipline avoids the
+    explode re-evaluation trap on the corpus side.
+    """
+    from crime_data_batch_processing_spark.functions.textkit import (
+        shingles_of,
+        tokens,
+    )
+    from crime_data_batch_processing_spark.operators.text_analysis import (
+        _bm25_ranked,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_sh = track(
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id", shingles_of(F.col("toks"), HN_EXCL_K).alias("sh")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    qgrams = (
+        with_sh.where(F.col("doc_id") < HN_N_Q)
+        .select(
+            F.col("doc_id").alias("query_id"), F.explode("sh").alias("g")
+        )
+    )
+    excl = (
+        with_sh.select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(qgrams), "g")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    return _bm25_ranked(
+        spark,
+        sf_dir,
+        F.col("doc_id") < HN_N_Q,
+        HN_POOL,
+        exclude_self=True,
+        exclude_pairs=excl,
+    )

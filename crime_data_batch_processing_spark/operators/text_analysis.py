@@ -748,6 +748,7 @@ def sql_bm25_ctes(
     topk: int,
     exclude_self: bool = False,
     candidate_pred: str | None = None,
+    exclude_pairs_cte: str | None = None,
 ) -> str:
     """CTE chain (no leading WITH, no final SELECT) computing
     BM25-ranked retrieval into a CTE named `lexranked` with columns
@@ -763,9 +764,18 @@ def sql_bm25_ctes(
     algebra. Corpus statistics (avgdl, df, idf) stay corpus-wide
     regardless of `candidate_pred`: the index is built once over the
     whole corpus; a query-time candidate restriction must not change
-    term weights."""
+    term weights. `exclude_pairs_cte` names an earlier CTE with
+    (query_id, doc_id) columns whose pairs are removed from the
+    candidate set BEFORE aggregation, so ranks are computed over the
+    surviving candidates (the hard-negative-mining exclusion)."""
     self_filter = "AND c.doc_id != q.query_id" if exclude_self else ""
     cand_filter = f"AND ({candidate_pred})" if candidate_pred else ""
+    pair_filter = (
+        f"AND NOT EXISTS (SELECT 1 FROM {exclude_pairs_cte} x "
+        f"WHERE x.query_id = q.query_id AND x.doc_id = c.doc_id)"
+        if exclude_pairs_cte
+        else ""
+    )
     return f"""tf AS (
         SELECT doc_id,
                len(string_split(text, ' ')) AS dl,
@@ -802,6 +812,7 @@ def sql_bm25_ctes(
                    AS DECIMAL(28,6))) AS DOUBLE) AS score
         FROM counts c
         JOIN qterms q ON q.token = c.token {self_filter} {cand_filter}
+            {pair_filter}
         JOIN df d ON d.token = c.token
         JOIN idf i ON i.df = d.df
         CROSS JOIN stats s
@@ -823,16 +834,21 @@ def _bm25_ranked(
     topk: int,
     exclude_self: bool = False,
     candidate_pred=None,
+    exclude_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """BM25-ranked retrieval (query_id, doc_id, n_terms, score,
     rank ≤ topk). `query_pred` is a Column predicate over `doc_id`
     choosing the query documents; `candidate_pred` (also over
     `doc_id`, optional) restricts the candidate universe BEFORE
     ranking, while corpus statistics stay corpus-wide (see
-    :func:`sql_bm25_ctes`). See :func:`text_bm25` for the scoring
-    algebra, bit-exactness discipline, and scale shape — this is its
-    body, parameterized so `sim_search_rrf` and
-    `pipeline_eval_decontaminate` reuse the identical value chain."""
+    :func:`sql_bm25_ctes`); `exclude_pairs` (optional DataFrame with
+    query_id, doc_id columns) anti-joins specific (query, candidate)
+    pairs out of the posting set before aggregation, so ranks are
+    computed over the survivors. See :func:`text_bm25` for the
+    scoring algebra, bit-exactness discipline, and scale shape — this
+    is its body, parameterized so `sim_search_rrf`,
+    `pipeline_eval_decontaminate`, and `sample_hard_negatives` reuse
+    the identical value chain."""
     import math
 
     from crime_data_batch_processing_spark import cachekit
@@ -899,6 +915,12 @@ def _bm25_ranked(
         postings = postings.filter(F.col("doc_id") != F.col("query_id"))
     if candidate_pred is not None:
         postings = postings.filter(candidate_pred)
+    if exclude_pairs is not None:
+        postings = postings.join(
+            exclude_pairs.select("query_id", "doc_id"),
+            ["query_id", "doc_id"],
+            "left_anti",
+        )
     scored = (
         postings.join(F.broadcast(dft), "token")
         .join(F.broadcast(idf_table), "df")

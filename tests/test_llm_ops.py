@@ -921,3 +921,79 @@ class TestEvalDecontaminate:
         assert sum(r.n_flagged_retrieved for r in rows) <= sum(
             r.n_flagged for r in rows
         )
+
+
+class TestHardNegatives:
+    def test_no_returned_negative_shares_a_gram(self, spark, sf_dir):
+        """The whole point of the exclusion: no mined negative may
+        share a 5-token shingle with its query (a near-verbatim doc
+        labeled 'negative' poisons a contrastive loss), and the query
+        itself may never appear. Ranks must be dense from 1 per query
+        (computed AFTER exclusion, not post-filtered)."""
+        from crime_data_batch_processing_spark.functions.textkit import (
+            shingles_of,
+            tokens,
+        )
+        from crime_data_batch_processing_spark.operators.similarity import (
+            HN_EXCL_K,
+            HN_N_Q,
+            sample_hard_negatives,
+        )
+        from crime_data_batch_processing_spark.sources.tables import (
+            load_table,
+        )
+
+        rows = sample_hard_negatives(spark, sf_dir).collect()
+        assert rows
+        assert all(r.doc_id != r.query_id for r in rows)
+        # dense ranks per query
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r.rank)
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        # gram-sharing ground truth recomputed independently
+        sh = {
+            r.doc_id: set(r.sh)
+            for r in load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                shingles_of(tokens("text"), HN_EXCL_K).alias("sh"),
+            )
+            .collect()
+        }
+        for r in rows:
+            assert not (sh[r.query_id] & sh[r.doc_id]), (
+                r.query_id,
+                r.doc_id,
+            )
+
+    def test_exclusion_changes_the_pool(self, spark, sf_oracle_dir):
+        """At sf0.01 the gram-sharing exclusion provably bites: the
+        mined pool differs from the unexcluded BM25 pool (if it never
+        bound, the anti-join would be dead machinery)."""
+        from crime_data_batch_processing_spark.operators.similarity import (
+            HN_N_Q,
+            HN_POOL,
+            sample_hard_negatives,
+        )
+        from crime_data_batch_processing_spark.operators.text_analysis import (
+            _bm25_ranked,
+        )
+        import pyspark.sql.functions as F
+
+        mined = {
+            (r.query_id, r.doc_id, r.rank)
+            for r in sample_hard_negatives(spark, sf_oracle_dir).collect()
+        }
+        plain = {
+            (r.query_id, r.doc_id, r.rank)
+            for r in _bm25_ranked(
+                spark,
+                sf_oracle_dir,
+                F.col("doc_id") < HN_N_Q,
+                HN_POOL,
+                exclude_self=True,
+            ).collect()
+        }
+        assert mined - plain, "exclusion never changed any rank"

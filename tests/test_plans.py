@@ -1353,3 +1353,19 @@ def test_eval_decontaminate_broadcast_probe_and_pool_cut(spark, sf_dir):
     df = registry.QUERIES["pipeline_eval_decontaminate"](spark, sf_dir)
     assert uses_broadcast_join(df)
     assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_hard_negatives_broadcast_probe_and_pool_cut(spark, sf_dir):
+    """The near-verbatim exclusion probe joins the corpus's exploded
+    grams against the panel-sized query-gram set — that side must
+    BROADCAST (a shuffled gram join would move the whole exploded
+    corpus); the mining pool's per-query top-k window must pre-cut
+    via WindowGroupLimit before its rank Exchange."""
+    from crime_data_batch_processing_spark.plans import (
+        physical_plan,
+        uses_broadcast_join,
+    )
+
+    df = registry.QUERIES["sample_hard_negatives"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert "WindowGroupLimit" in physical_plan(df)
