@@ -74,8 +74,10 @@ _VERIFY_FIRST = [
     # stream_decontaminate: NEW key (stateless Arrow ingest gate vs
     # the static eval-gram broadcast). sample_hard_negatives: NEW key
     # (BM25 hard-negative mining w/ pre-aggregation pair exclusion).
+    # sample_cluster_balanced: NEW key (exactly-k per learned
+    # k-means cluster by deterministic hash order).
     "pipeline_eval_decontaminate", "stream_decontaminate",
-    "sample_hard_negatives",
+    "sample_hard_negatives", "sample_cluster_balanced",
     "sample_weighted", "sim_search_rrf", "text_bm25", "udf_model_iter",
     "dedup_embedding_lsh_prod", "scan_pysource", "sink_pysource",
     "stream_sink_pysource", "stream_pysource",

@@ -35,7 +35,7 @@ determinism survives even where the rounding lands.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -371,3 +371,69 @@ def cluster_assign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = spark.read.parquet(cents_path)
     inc = _corpus(emb.where(is_inc))
     return assign(inc, cents)
+
+
+#: Cluster-balanced sampling quota: exactly min(CB_QUOTA, |cluster|)
+#: vectors per learned cluster. 64 sits INSIDE the driver-data
+#: cluster-size range (51-69 at sf0.001/sf0.01), so both behaviors
+#: are exercised there — head clusters are capped, tail clusters are
+#: taken whole — and every cluster caps at sf0.1 (216-293).
+CB_QUOTA = 64
+
+
+def _sql_cluster_balanced() -> str:
+    from crime_data_batch_processing_spark.operators.filters import (
+        sql_sample_hash32,
+    )
+
+    return f"""
+    WITH base AS ({_sql_kmeans()})
+    SELECT cid, vec_id, cluster_size, pick FROM (
+        SELECT cid, vec_id, cluster_size,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cid
+                   ORDER BY {sql_sample_hash32('vec_id')} ASC, vec_id ASC
+               ) AS pick
+        FROM base
+    ) WHERE pick <= {CB_QUOTA}
+    """
+
+
+@query("sample_cluster_balanced", oracle=_sql_cluster_balanced())
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: exactly min(CB_QUOTA, |cluster|)
+    vectors per LEARNED k-means cluster — the diversity-preserving
+    selection a pretraining curation pass runs so head clusters
+    (boilerplate-dense semantic regions) cannot dominate the sampled
+    corpus, while tail clusters survive whole. `sample_stratified`
+    caps strata the data DECLARES (lang); this caps strata the data
+    EXHIBITS — the module docstring's "cluster-balanced sampling" use
+    case, closed end-to-end (SemDeDup-adjacent curation).
+
+    Composes verified kernels in one lazy plan: `cluster_kmeans`'s
+    integer-exact assignment (broadcast-centroid, map-only — the
+    oracle replays both Lloyd sweeps value-for-value), then the
+    key-deterministic uniform order within each cluster
+    (`sample_hash32`, the `sample_split` discipline — re-runs and
+    engines agree on WHICH vectors are picked, not just how many)
+    with a vec_id tie-break, cut by one per-cluster top-k window.
+
+    Scale shape: the only work beyond the clustering itself is one
+    window over (cid)-partitions, and the top-k cut plans as
+    WindowGroupLimit — per-partition heaps trim to CB_QUOTA before
+    the rank shuffle, so the sample pass moves O(k·quota) rows, not
+    the corpus.
+    """
+    from crime_data_batch_processing_spark.operators.filters import (
+        sample_hash32,
+    )
+
+    labels = cluster_kmeans(spark, sf_dir)
+    w = Window.partitionBy("cid").orderBy(
+        sample_hash32(F.col("vec_id")).asc(), F.col("vec_id").asc()
+    )
+    return (
+        labels.withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= CB_QUOTA)
+        .select("cid", "vec_id", "cluster_size", "pick")
+    )

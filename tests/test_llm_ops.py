@@ -997,3 +997,35 @@ class TestHardNegatives:
             ).collect()
         }
         assert mined - plain, "exclusion never changed any rank"
+
+
+class TestClusterBalancedSample:
+    def test_quota_and_hash_order_semantics(self, spark, sf_dir):
+        """Per cluster: exactly min(CB_QUOTA, |cluster|) rows, and the
+        picked set is the hash-order PREFIX of the cluster (key-
+        determinism: which vectors are picked is a pure function of
+        vec_id — re-runs and engines must agree on identity, not just
+        count)."""
+        from crime_data_batch_processing_spark.operators.clustering import (
+            CB_QUOTA,
+            cluster_kmeans,
+            sample_cluster_balanced,
+        )
+        from crime_data_batch_processing_spark.operators.filters import (
+            SAMPLE_A,
+            SAMPLE_M,
+        )
+
+        picked = {}
+        for r in sample_cluster_balanced(spark, sf_dir).collect():
+            picked.setdefault(r.cid, set()).add(r.vec_id)
+        full = {}
+        for r in cluster_kmeans(spark, sf_dir).collect():
+            full.setdefault(r.cid, set()).add(r.vec_id)
+        assert picked and set(picked) == set(full)
+        h = lambda k: (k % SAMPLE_M) * SAMPLE_A % SAMPLE_M
+        for cid, members in full.items():
+            want = set(
+                sorted(members, key=lambda v: (h(v), v))[:CB_QUOTA]
+            )
+            assert picked[cid] == want, cid

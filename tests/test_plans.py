@@ -1369,3 +1369,14 @@ def test_hard_negatives_broadcast_probe_and_pool_cut(spark, sf_dir):
     df = registry.QUERIES["sample_hard_negatives"](spark, sf_dir)
     assert uses_broadcast_join(df)
     assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_cluster_balanced_sample_has_group_limit(spark, sf_dir):
+    """The per-cluster quota cut must plan as WindowGroupLimit:
+    per-partition top-k heaps trim to CB_QUOTA before the rank
+    shuffle, so the sampling pass moves O(k·quota) rows — a plain
+    Window would sort and shuffle every assignment row."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    df = registry.QUERIES["sample_cluster_balanced"](spark, sf_dir)
+    assert "WindowGroupLimit" in physical_plan(df)
