@@ -366,6 +366,73 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Keyword extraction: top-K_KEYWORDS tokens per document by tf-idf.
+#: Candidate tokens are >= KEYWORD_MIN_LEN chars (the BM25 query-term
+#: discipline — short function words are never keywords; it also
+#: subsumes the stopword list, whose members are all shorter).
+K_KEYWORDS = 5
+KEYWORD_MIN_LEN = 4
+
+
+@query(
+    "text_keyword_extract",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+    ), df AS (
+        SELECT token, COUNT(*) AS df FROM counts GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT c.doc_id, c.token, c.tf, d.df,
+               c.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS tfidf
+        FROM counts c JOIN df d USING (token) CROSS JOIN n
+        WHERE len(c.token) >= {KEYWORD_MIN_LEN}
+    )
+    SELECT doc_id, token, tf, df, tfidf, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id
+            ORDER BY tfidf DESC, token ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {K_KEYWORDS}
+    """,
+)
+def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keywords: the K_KEYWORDS highest-tf-idf tokens of
+    each document — the topic-tagging / domain-labeling pass a corpus
+    card or a mixture-weighting stage consumes (tf-idf keyword
+    extraction is the classic zero-training baseline; a learned
+    tagger drops into the same plan shape).
+
+    Composes the registered `text_tfidf` kernel unchanged — including
+    its Python-glibc idf log-table discipline, so the ranking doubles
+    are bit-identical cross-engine and the rank cut is replayable —
+    then filters to candidate tokens (>= KEYWORD_MIN_LEN chars) and
+    cuts one per-document top-k window with a total-order tiebreak
+    (tfidf DESC, token ASC).
+
+    Scale shape: everything up to the window is `text_tfidf`'s
+    verified shape (explode → two hash aggregates → two broadcast
+    joins); the per-doc cut plans as WindowGroupLimit, so each
+    partition trims to k rows per document before the rank shuffle —
+    the shuffle moves O(docs · k) rows, not the corpus's token
+    multiset.
+    """
+    scored = text_tfidf(spark, sf_dir).where(
+        F.length("token") >= KEYWORD_MIN_LEN
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K_KEYWORDS)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
 #: PII patterns restricted to regex constructs with identical
 #: semantics in Java (Spark) and RE2 (DuckDB): char classes, \d, \b,
 #: bounded quantifiers. No lookarounds, no backrefs.

@@ -1380,3 +1380,17 @@ def test_cluster_balanced_sample_has_group_limit(spark, sf_dir):
 
     df = registry.QUERIES["sample_cluster_balanced"](spark, sf_dir)
     assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_keyword_extract_group_limit_and_broadcasts(spark, sf_dir):
+    """The per-doc keyword cut must plan as WindowGroupLimit (trim to
+    k per document before the rank shuffle), riding text_tfidf's
+    verified broadcast shape for the df/idf joins."""
+    from crime_data_batch_processing_spark.plans import (
+        physical_plan,
+        uses_broadcast_join,
+    )
+
+    df = registry.QUERIES["text_keyword_extract"](spark, sf_dir)
+    assert "WindowGroupLimit" in physical_plan(df)
+    assert uses_broadcast_join(df)
