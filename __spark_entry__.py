@@ -77,9 +77,10 @@ _VERIFY_FIRST = [
     # sample_cluster_balanced: NEW key (exactly-k per learned
     # k-means cluster by deterministic hash order).
     # text_keyword_extract: NEW key (top-k tf-idf keywords per doc).
+    # graph_label_propagation: NEW key (sync LPA communities).
     "pipeline_eval_decontaminate", "stream_decontaminate",
     "sample_hard_negatives", "sample_cluster_balanced",
-    "text_keyword_extract",
+    "text_keyword_extract", "graph_label_propagation",
     "sample_weighted", "sim_search_rrf", "text_bm25", "udf_model_iter",
     "dedup_embedding_lsh_prod", "scan_pysource", "sink_pysource",
     "stream_sink_pysource", "stream_pysource",

@@ -313,3 +313,95 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier.select(
         F.col("node").alias("doc_id"), F.col("dist").cast("long").alias("dist")
     )
+
+
+#: Label propagation: fixed synchronous sweeps (the k-means/BFS
+#: bounded-iteration discipline — at 100 TB you run R sweeps, not to
+#: convergence; sync + total-order tie-break also sidesteps async
+#: LPA's run-order nondeterminism, which would be un-oracle-able).
+LPA_ROUNDS = 3
+
+
+def _sql_lpa_round(i: int) -> str:
+    return f"""l{i} AS (
+        SELECT node, label FROM (
+            SELECT e.u AS node, l.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.u
+                       ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM und e JOIN l{i - 1} l ON l.node = e.v
+            GROUP BY e.u, l.label
+        ) WHERE rn = 1
+    )"""
+
+
+def _sql_lpa() -> str:
+    rounds = ", ".join(_sql_lpa_round(i) for i in range(1, LPA_ROUNDS + 1))
+    return f"""
+    WITH {_SQL_UND_BASE}, l0 AS (
+        SELECT DISTINCT u AS node, u AS label FROM und
+    ), {rounds},
+    sized AS (
+        SELECT label AS community, COUNT(*) AS community_size
+        FROM l{LPA_ROUNDS} GROUP BY label
+    )
+    SELECT l.node AS doc_id, l.label AS community,
+           CAST(s.community_size AS BIGINT) AS community_size
+    FROM l{LPA_ROUNDS} l JOIN sized s ON s.community = l.label
+    """
+
+
+@query("graph_label_propagation", oracle=_sql_lpa())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup graph by synchronous
+    label propagation (Raghavan et al.): LPA_ROUNDS sweeps where each
+    node adopts the most frequent label among its neighbors (ties →
+    smallest label), starting from self-labels.
+
+    Communities are a DIFFERENT lens than `dedup_clusters`' connected
+    components: components answer "what is transitively linked at
+    all" (the dedup collapse unit), LPA splits a component along its
+    dense cores — template families inside a loosely-bridged blob —
+    the signal a curation pass uses to collapse per-family instead of
+    per-component when bridges are spurious.
+
+    Determinism (the oracle-ability problem with classic LPA): async
+    update order is run-dependent, so this is the SYNCHRONOUS variant
+    with a (count DESC, label ASC) total-order vote and a FIXED sweep
+    count — every round is a pure function of the edge set, replayed
+    row-for-row by the unrolled-CTE oracle (the `graph_bfs`
+    discipline; bipartite oscillation is bounded by the fixed R, not
+    hidden by convergence luck).
+
+    Scale shape per sweep: one edges⋈labels hash join (labels shuffle
+    on node id — never the corpus) + one (node, label) aggregate +
+    one per-node WindowGroupLimit argmax; `localCheckpoint` truncates
+    lineage between sweeps so the plan stays O(1) deep. Pair base:
+    `near_dup_pairs` (banded, guarded recall), as all graph_* keys.
+    """
+    _, und = _und_edges(spark, sf_dir)
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    sized = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("community")
+        )
+        .join(F.broadcast(sized), "community")
+        .select("doc_id", "community", "community_size")
+    )

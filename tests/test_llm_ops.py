@@ -1029,3 +1029,37 @@ class TestClusterBalancedSample:
                 sorted(members, key=lambda v: (h(v), v))[:CB_QUOTA]
             )
             assert picked[cid] == want, cid
+
+
+class TestLabelPropagation:
+    def test_communities_refine_components(self, spark, sf_dir):
+        """Sync LPA labels can only travel along edges, so every
+        community must sit INSIDE one connected component (LPA refines
+        the component partition — that refinement is the operator's
+        reason to exist next to dedup_clusters). Also: labels are node
+        ids from the graph, and sizes must sum to the node count."""
+        from crime_data_batch_processing_spark.operators.graph import (
+            graph_label_propagation,
+        )
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            dedup_clusters,
+        )
+
+        rows = graph_label_propagation(spark, sf_dir).collect()
+        assert rows
+        comp = {
+            r.doc_id: r.cluster_id
+            for r in dedup_clusters(spark, sf_dir).collect()
+        }
+        seen_nodes = set()
+        by_comm = {}
+        for r in rows:
+            assert r.doc_id not in seen_nodes  # one label per node
+            seen_nodes.add(r.doc_id)
+            by_comm.setdefault(r.community, set()).add(r.doc_id)
+        for community, members in by_comm.items():
+            comps = {comp[m] for m in members}
+            assert len(comps) == 1, (community, comps)
+        sizes = {r.community: r.community_size for r in rows}
+        for community, members in by_comm.items():
+            assert sizes[community] == len(members)
