@@ -8,24 +8,53 @@ per-query timings; the other line is a short always-fits summary):
     {"metric": "total_query_wall", "value": N, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1, ...}
     {"metric": "total_query_wall", "value": N, "unit": "sec",
-     "sf": 0.1, "keys": 217, "failed": [], "totals": [...], ...}
+     "sf": 0.1, "keys": 226, "failed": [], "totals": [...], ...}
 
 The driver records only a bounded TAIL of stdout; the full per-query
 line outgrew it at ~215 keys, so the short second line exists to keep
-the headline in the permanent record even when the long line is cut.
+the headline in the permanent record even when the long line is cut,
+and the COMPLETE per-query payload is additionally written to a repo
+sidecar file (BENCH_PERKEY_r{N}.json, N inferred from the newest
+BENCH_r*.json already on disk, overridable via
+SPARK_GRAFT_BENCH_ROUND) so all per-key figures survive in git even
+when the driver's stdout tail truncates the long line.
 
 Headline protocol: the suite runs SPARK_GRAFT_BENCH_TOTAL_REPS full
 passes (default 3) and reports "value" = MEDIAN of the pass totals,
 with every pass total in "totals" and the first (coldest) pass in
-"value_rep1". Same-host re-runs of identical code historically read
+"value_rep1". For an EVEN pass count the median is the MEAN of the
+two middle elements — round 10 recorded sorted[n//2] (the UPPER
+element), which for a 2-pass run enshrined the single worst pass as
+the headline. Same-host re-runs of identical code historically read
 ±15% under VM-neighbor load (BASELINE.md's variance note); a
 median-of-3 headline stops round-over-round comparisons from reading
 that noise as regression. Per-query timings are the per-key median
-across passes. A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S,
-default 900) stops STARTING new passes once crossed, so the headline
-degrades to median-of-fewer instead of risking an external runner's
-timeout losing the record entirely; "totals" shows how many passes
-actually ran.
+across passes (same even-count rule).
+
+Budget is PER-PASS, not per-run: a new pass starts unless the
+remaining budget (SPARK_GRAFT_BENCH_BUDGET_S, default 900) is smaller
+than the cost of the most expensive pass so far — one slow loaded
+first pass must not eat the budget the protocol needs to recover a
+true median (round 10's failure mode: a 614s loaded pass 1 left room
+for only one more pass, and the then-upper-median picked pass 1).
+Passes are never cut midway, so every reported total is a complete
+suite.
+
+Load honesty: os.getloadavg() is stamped into both JSON lines —
+"load_at_launch" plus a per-pass "loads" list — so a contaminated
+record is self-describing. If the 1-min load exceeds
+SPARK_GRAFT_BENCH_LOAD_GATE (default 2.0) at launch, the harness
+waits in 15s steps up to SPARK_GRAFT_BENCH_LOAD_WAIT_S (default 300)
+for the host to go quiet before starting; it then proceeds either
+way (a stamped record beats no record) and the stamp plus
+"load_gate_waited_s" makes the conditions part of the permanent
+record.
+
+Failure consistency: once a key fails, it is excluded from EVERY
+pass total, including passes that already completed — otherwise the
+totals inside one run cover different key sets and a transient
+single-pass failure silently deflates the headline. Failed keys are
+named in "failed" and carry -1.0 in "queries".
 
 Each query executes end-to-end through the `noop` sink so the full
 physical plan runs JVM-side (scan → compute → materialize) with no
@@ -50,26 +79,32 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: compares medians, not a single sample subject to scheduling noise).
 #: Setting REPS>1 is the per-key BASELINE protocol — it implies a
 #: single pass unless TOTAL_REPS is set explicitly.
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
 #: full-suite passes for the median-of-N headline (see module
 #: docstring); defaults to 1 when REPS>1 (the two protocols measure
-#: different things and should not be mixed implicitly)
-TOTAL_REPS = int(
-    os.environ.get(
-        "SPARK_GRAFT_BENCH_TOTAL_REPS", "1" if REPS > 1 else "3"
-    )
+#: different things and should not be mixed implicitly); clamped to
+#: >=1 so an env-var 0 cannot produce an empty totals list
+TOTAL_REPS = max(
+    1,
+    int(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_TOTAL_REPS", "1" if REPS > 1 else "3"
+        )
+    ),
 )
 #: comma-separated subset of query keys to bench (default: all) — for
 #: clean isolated re-runs of individual outliers per the BASELINE.md
 #: protocol (timings contend hard with concurrent Spark work)
 KEYS = [k for k in os.environ.get("SPARK_GRAFT_BENCH_KEYS", "").split(",") if k]
-#: wall-clock budget for the multi-pass loop: once a FINISHED pass
-#: crosses this, no further pass starts and the medians come from the
-#: passes done — the median-of-3 headline must degrade to
-#: median-of-fewer rather than risk an external runner's timeout
-#: producing NO record at all (passes are never cut mid-way, so every
-#: reported pass total is a complete suite)
+#: wall-clock budget, applied PER-PASS (see module docstring): pass
+#: N+1 starts iff remaining >= max(cost of passes so far) — the
+#: median-of-3 headline must degrade to median-of-fewer rather than
+#: risk an external runner's timeout producing NO record at all
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+#: 1-min loadavg above which the harness delays the start (module
+#: docstring "Load honesty"); <=0 disables the gate
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0"))
+LOAD_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "300"))
 
 
 def sf_from_dir(path: str) -> float:
@@ -77,9 +112,56 @@ def sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else float("nan")
 
 
+def median(values: list[float]) -> float:
+    """True median: mean of the two middles for even counts — never
+    the upper element alone (the round-10 headline bug)."""
+    s = sorted(values)
+    n = len(s)
+    if n % 2:
+        return s[n // 2]
+    return (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def infer_round() -> int:
+    """Sidecar round number: env override, else newest BENCH_r*.json
+    on disk + 1 (the driver writes BENCH_r{N}.json AFTER this run, so
+    at run time the newest existing file is round N-1)."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if env:
+        return int(env)
+    seen = [
+        int(m.group(1))
+        for p in REPO.glob("BENCH_r*.json")
+        if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
+    ]
+    return (max(seen) + 1) if seen else 0
+
+
+def wait_for_quiet_host() -> tuple[float, float]:
+    """Return (load_at_launch, seconds_waited). Delays the start while
+    the 1-min load exceeds LOAD_GATE, up to LOAD_WAIT_S — then
+    proceeds regardless (a stamped record beats no record)."""
+    load0 = os.getloadavg()[0]
+    waited = 0.0
+    load = load0
+    while LOAD_GATE > 0 and load > LOAD_GATE and waited < LOAD_WAIT_S:
+        step = min(15.0, LOAD_WAIT_S - waited)
+        print(
+            f"# bench load gate: 1-min load {load:.2f} > {LOAD_GATE:.1f}, "
+            f"waiting {step:.0f}s ({waited:.0f}/{LOAD_WAIT_S:.0f}s used)",
+            file=sys.stderr,
+        )
+        time.sleep(step)
+        waited += step
+        load = os.getloadavg()[0]
+    return load0, waited
+
+
 def main() -> None:
     from crime_data_batch_processing_spark import cachekit, registry
     from crime_data_batch_processing_spark.session import get_spark
+
+    load_at_launch, gate_waited = wait_for_quiet_host()
 
     registry.load_all_operators()
     spark = get_spark(app_name="cdbp-bench")
@@ -92,17 +174,22 @@ def main() -> None:
     keys = KEYS or sorted(registry.QUERIES)
     per_key: dict[str, list[float]] = {k: [] for k in keys}
     failed: set[str] = set()
-    pass_totals: list[float] = []
+    pass_loads: list[float] = []
+    pass_costs: list[float] = []  # wall cost incl. failed-key time
     t_start = time.monotonic()
     for _pass in range(TOTAL_REPS):
-        if pass_totals and time.monotonic() - t_start > BUDGET_S:
-            print(
-                f"# bench budget ({BUDGET_S:.0f}s) reached after "
-                f"{len(pass_totals)} pass(es); skipping the rest",
-                file=sys.stderr,
-            )
-            break
-        pass_total = 0.0
+        if pass_costs:
+            remaining = BUDGET_S - (time.monotonic() - t_start)
+            if remaining < max(pass_costs):
+                print(
+                    f"# bench budget: {remaining:.0f}s left < worst "
+                    f"pass {max(pass_costs):.0f}s; stopping at "
+                    f"{len(pass_costs)} pass(es)",
+                    file=sys.stderr,
+                )
+                break
+        pass_loads.append(round(os.getloadavg()[0], 2))
+        t_pass = time.monotonic()
         for key in keys:
             if key in failed:
                 continue
@@ -116,7 +203,12 @@ def main() -> None:
                     samples.append(time.perf_counter() - t0)
                 except Exception as exc:  # keep benching; surface it
                     samples = []
+                    # drop the key from EVERY pass (module docstring
+                    # "Failure consistency") — per_key[key] is wiped
+                    # so prior-pass contributions vanish from the
+                    # recomputed totals below
                     failed.add(key)
+                    per_key[key] = []
                     print(
                         f"# bench FAILED {key}: {exc}", file=sys.stderr
                     )
@@ -127,34 +219,50 @@ def main() -> None:
                     # executor-memory pool
                     cachekit.release_all()
             if samples:
-                med = sorted(samples)[len(samples) // 2]
-                per_key[key].append(med)
-                pass_total += med
-        pass_totals.append(round(pass_total, 3))
+                per_key[key].append(median(samples))
+        pass_costs.append(round(time.monotonic() - t_pass, 3))
 
+    # pass totals recomputed from per_key AFTER all passes, so every
+    # total covers the identical (non-failed) key set
+    n_passes = len(pass_costs)
+    pass_totals = [
+        round(
+            sum(v[i] for v in per_key.values() if len(v) > i), 3
+        )
+        for i in range(n_passes)
+    ]
     timings = {
-        k: (-1.0 if k in failed or not v
-            else round(sorted(v)[len(v) // 2], 3))
+        k: (-1.0 if k in failed or not v else round(median(v), 3))
         for k, v in per_key.items()
     }
-    totals_sorted = sorted(pass_totals)
-    total = totals_sorted[len(totals_sorted) // 2]
+    total = round(median(pass_totals), 3)
+    stamp = {
+        "load_at_launch": round(load_at_launch, 2),
+        "load_gate_waited_s": round(gate_waited, 1),
+        "loads": pass_loads,
+    }
     # compact separators + 3-decimal seconds: the driver records only a
-    # bounded tail of stdout, and the ~220-key payload must fit inside
+    # bounded tail of stdout, and the ~226-key payload must fit inside
     # it whole or the per-query timings are unparseable (round 2's
     # BENCH capture lost the head of the line)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(SF_DIR),
-            },
-            separators=(",", ":"),
-        )
+    long_line = json.dumps(
+        {
+            "metric": "total_query_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_from_dir(SF_DIR),
+            **stamp,
+        },
+        separators=(",", ":"),
     )
+    print(long_line)
+    # durable sidecar: the full per-query record, committed per round,
+    # so the driver's stdout tail can truncate the long line without
+    # losing two-thirds of the per-key history (round-10 verdict)
+    if not KEYS:  # only full-suite runs overwrite the round record
+        sidecar = REPO / f"BENCH_PERKEY_r{infer_round():02d}.json"
+        sidecar.write_text(long_line + "\n")
     # short always-fits summary line (see module docstring)
     print(
         json.dumps(
@@ -166,7 +274,9 @@ def main() -> None:
                 "keys": len(timings),
                 "failed": sorted(failed),
                 "totals": pass_totals,
-                "value_rep1": pass_totals[0],
+                "pass_costs": pass_costs,
+                "value_rep1": pass_totals[0] if pass_totals else -1.0,
+                **stamp,
             },
             separators=(",", ":"),
         )

@@ -452,7 +452,7 @@ ES_U_DOM = 1 << ES_U_BITS  # 4096 u-buckets from the hash's TOP bits
     "sample_weighted",
     oracle=f"""
     SELECT doc_id, lang, n_chars,
-           ln((({sql_sample_hash32('doc_id')} >> {32 - ES_U_BITS}) + 1)
+           ln((({sql_sample_hash32('doc_id')} >> {32 - ES_U_BITS}) + 0.5)
               / {ES_U_DOM}.0) / n_chars AS es_key
     FROM documents
     ORDER BY es_key DESC, doc_id ASC
@@ -471,8 +471,15 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism (no RNG): u comes from the engine's multiplicative
     key hash — the TOP ES_U_BITS bits (the well-mixed ones; a
     multiplicative hash's low bits are striped), so u_i =
-    (h_top + 1)/4096 ∈ (0,1] is a pure function of doc_id, stable
+    (h_top + 0.5)/4096 ∈ (0,1) is a pure function of doc_id, stable
     across runs, partitionings, and engines, like every sample_* key.
+    The interval is OPEN at both ends on purpose: mapping the top
+    bucket to u=1 would make ln(u)=0 — the global maximum — for
+    every doc in that bucket REGARDLESS of weight, so once the
+    corpus exceeds ~ES_K*4096 docs all k winners would come from
+    bucket 4095 tie-broken by doc_id, a weight-blind sample.
+    Efraimidis–Spirtes requires u in (0,1); the half-bucket offset
+    keeps every u strictly inside it (r10 advisor finding).
 
     Bit-exactness: rank by the monotone-equivalent ln(u)/w rather
     than u^(1/w) — `pow` is a libm call with no cross-engine
@@ -481,7 +488,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python's glibc `math.log` (= DuckDB's ln; the `text_tfidf`
     log-table discipline, here with zero collect — the domain is
     fixed, not data-dependent) over arguments that are exact doubles
-    ((h+1)/2^12: power-of-two division). The final ln(u)/w is one
+    ((h+0.5)/2^12: power-of-two division). The final ln(u)/w is one
     IEEE double division of identical operands on both engines; ties
     (same u-bucket, same weight) break on doc_id, a total order.
 
@@ -494,7 +501,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     lnu_table = spark.createDataFrame(
-        [(b, math.log((b + 1) / ES_U_DOM)) for b in range(ES_U_DOM)],
+        [(b, math.log((b + 0.5) / ES_U_DOM)) for b in range(ES_U_DOM)],
         "ub bigint, lnu double",
     )
     docs = load_table(spark, sf_dir, "documents").select(

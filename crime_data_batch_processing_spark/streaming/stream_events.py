@@ -1669,6 +1669,14 @@ def stream_sink_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: EVERY bench doc at all driver SFs (52 at sf0.1), so driver outputs
 #: equal the unbounded form; only the soak tiers see the bound.
 STREAM_EVAL_DOCS = 64
+#: hard cap on the COLLECTED eval gram set (grams, not docs):
+#: STREAM_EVAL_DOCS bounds how many documents contribute but not the
+#: grams per document, so one oversized eval doc could balloon the
+#: driver collect + broadcast silently. Mirror the text_tfidf
+#: IDF_TABLE_CAP discipline — limit(CAP+1) then overflow-assert, so
+#: an oversized panel fails LOUDLY instead of degrading the driver
+#: (r10 advisor finding).
+DECON_GRAM_CAP = 200_000
 
 
 @query(
@@ -1763,7 +1771,12 @@ def _decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokens("text").alias("toks"))
         .select(F.explode(shingles_of(F.col("toks"), k)).alias("g"))
         .distinct()
+        .limit(DECON_GRAM_CAP + 1)
         .collect()
+    )
+    assert len(bench_rows) <= DECON_GRAM_CAP, (
+        f"eval gram set overflowed DECON_GRAM_CAP={DECON_GRAM_CAP} — "
+        "an eval panel this large must not be broadcast silently"
     )
     bench_bc = spark.sparkContext.broadcast(
         frozenset(r.g for r in bench_rows)

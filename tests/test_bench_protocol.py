@@ -1,0 +1,59 @@
+"""Protocol-level tests for bench.py (no Spark session needed).
+
+Round 10's permanent record was contaminated by two protocol bugs the
+judge adjudicated (VERDICT r10 "What's wrong"): the even-count median
+picked the UPPER element (a 2-pass run enshrined the worst pass as
+the headline), and the per-run budget let one slow loaded pass eat
+the room the median needed to recover. These tests pin the fixes.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+bench = importlib.import_module("bench")
+
+
+def test_median_odd_is_middle_element():
+    assert bench.median([3.0, 1.0, 2.0]) == 2.0
+
+
+def test_median_even_is_mean_of_middles():
+    """The round-10 bug: sorted[n//2] on [331.7, 614.4] returned
+    614.4 — the single worst pass. A true median averages the two
+    middles."""
+    assert bench.median([614.4, 331.7]) == (331.7 + 614.4) / 2.0
+    assert bench.median([4.0, 1.0, 3.0, 2.0]) == 2.5
+
+
+def test_median_single_sample():
+    assert bench.median([7.0]) == 7.0
+
+
+def test_total_reps_clamped_to_at_least_one():
+    """TOTAL_REPS=0 via env must not produce an empty totals list and
+    an IndexError at the summary line (r10 advisor)."""
+    assert bench.TOTAL_REPS >= 1
+    assert bench.REPS >= 1
+
+
+def test_infer_round_prefers_env(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "42")
+    assert bench.infer_round() == 42
+
+
+def test_infer_round_is_newest_record_plus_one(monkeypatch):
+    """At run time the newest BENCH_r{N}.json on disk is the PREVIOUS
+    round's — the driver writes the current round's file after this
+    run — so the sidecar belongs to N+1."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ROUND", raising=False)
+    newest = max(
+        int(p.stem.split("_r")[1]) for p in REPO.glob("BENCH_r*.json")
+    )
+    assert bench.infer_round() == newest + 1

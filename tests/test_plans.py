@@ -245,6 +245,23 @@ def test_weighted_sample_favors_heavy_rows(spark, sf_dir):
     )
 
 
+def test_weighted_sample_u_interval_is_open(spark, sf_dir):
+    """Regression (r10 advisor): u must lie strictly inside (0,1).
+    Mapping the top hash bucket to u=1 makes ln(u)=0 — the global
+    maximum regardless of weight — so past ~ES_K*4096 docs every
+    winner would come from that one bucket, a weight-blind sample.
+    With the half-bucket offset every es_key = ln(u)/w is strictly
+    negative; es_key == 0.0 can only mean u=1 leaked back in."""
+    from pyspark.sql import functions as F
+
+    sample = registry.QUERIES["sample_weighted"](spark, sf_dir)
+    max_key = sample.agg(F.max("es_key")).first()[0]
+    assert max_key < 0.0, (
+        f"max es_key {max_key} must be strictly negative — a zero "
+        "means some u-bucket mapped to u=1 (weight-blind winners)"
+    )
+
+
 def test_stratified_sample_stays_in_codegen(spark, sf_dir):
     """Per-stratum thresholds compile to a CASE inside the same
     codegen'd filter as the hash — no UDF, no extra stage."""

@@ -477,11 +477,12 @@ def test_partitioned_stream_source_reads_in_parallel_tasks(
 
 def test_stream_decontaminate_is_stateless_map_only(spark):
     """The ingest gate must hold ZERO streaming state: the verdict is
-    an array_intersect against one broadcast static row, completed
-    within each document's own micro-batch — no dropDuplicates, no
-    aggregation, no watermark. A state store appearing here means the
-    topology regressed to the explode-join-reaggregate shape whose
-    state grows with the contaminated-doc count."""
+    a broadcast-frozenset set-intersection inside one Arrow
+    mapInPandas stage (the eval gram set built once per worker, each
+    document judged within its own micro-batch) — no dropDuplicates,
+    no aggregation, no watermark. A state store appearing here means
+    the topology regressed to the explode-join-reaggregate shape
+    whose state grows with the contaminated-doc count."""
     import pyspark.sql.functions as F
 
     from crime_data_batch_processing_spark.streaming.stream_events import (
