@@ -1183,3 +1183,178 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude_self=True,
         exclude_pairs=excl,
     )
+
+
+#: Corpus-wide kNN graph: per-vector neighbor count. 8 matches the
+#: SemDeDup/kNN-graph literature's small-k regime (the consumer keeps
+#: the graph sparse: |E| = k·N, never N²).
+KNN_K = 8
+
+
+def _sql_knn_graph() -> str:
+    """Full-value DuckDB oracle for `sim_search_knn_graph`: replay the
+    signature → banding → bucket-collision candidates → exact-cosine
+    scoring (the `dedup_embedding_lsh` pipeline verbatim), then
+    symmetrize each undirected candidate pair into both directions and
+    keep every vector's top-KNN_K by (cos_sim DESC, dst ASC)."""
+    return f"""
+    WITH q AS (
+        SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS qe
+        FROM embeddings
+    ), sig AS (
+        SELECT vec_id, ({sql_sig_expr()}) AS sig FROM q
+    ), bands AS (
+        {sql_bands_cte()}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+    ), scored AS (
+        SELECT cand.vec_a, cand.vec_b,
+               {sql_cosine('ea.embedding', 'eb.embedding')} AS cos_sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.vec_a
+        JOIN embeddings eb ON eb.vec_id = cand.vec_b
+    ), directed AS (
+        SELECT vec_a AS src, vec_b AS dst, cos_sim FROM scored
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst, cos_sim FROM scored
+    )
+    SELECT src, rank, dst, cos_sim FROM (
+        SELECT src, dst, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY cos_sim DESC, dst ASC) AS rank
+        FROM directed
+    ) WHERE rank <= {KNN_K}
+    """
+
+
+@query("sim_search_knn_graph", oracle=_sql_knn_graph())
+def sim_search_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph: for EVERY vector, its top-k
+    semantic neighbors — the input graph a SemDeDup-style semantic
+    curation pass consumes, and the one retrieval shape the family's
+    other keys don't serve (`sim_search_*` retrieve for a FIXED query
+    panel; `dedup_embedding*` emit threshold pairs, not per-doc
+    ranked neighbors).
+
+    Composition of two verified kernels, no new machinery: the
+    `dedup_embedding_lsh` candidate pipeline (signature once per
+    vector into a persisted frame, band-explode, ID-only bucket
+    self-join so 64-element arrays never cross the candidate shuffle,
+    exact-cosine scoring on join-back) feeds a per-source top-k
+    window — each undirected candidate pair is scored ONCE, then
+    symmetrized into both directions before ranking, since vector
+    cosine is symmetric but "a's neighbors" and "b's neighbors" are
+    distinct rows of the graph. The (cos_sim DESC, dst ASC) total
+    order makes ranks deterministic cross-engine; precision of
+    returned neighbors is exact (every candidate is exactly scored),
+    only recall vs the brute-force graph is probabilistic — asserted
+    against the quadratic ground truth in tests, never relied on by
+    the oracle, which replays the same bucketing bit-for-bit.
+
+    Band geometry: the weak-neighbor 18-bit/6×3 layout shared with
+    `sim_search_lsh` — this corpus's true neighbors sit at cosine
+    0.3-0.5 where tighter bands collapse recall (the constants'
+    docstring). A production embedding corpus (near-dup neighbors at
+    cos ≥ 0.85) flips to the 64-bit/8×8 constants exactly as
+    `dedup_embedding_lsh_prod` does — same code path, and at that
+    geometry the candidate mass is ~3%, which is what makes k·N
+    output over a 100 TB corpus reachable: every stage is linear in
+    corpus + collisions (signature scan, band explode = 6 rows/vec,
+    bucket-equijoin, two key join-backs), the window is per-src
+    top-k (WindowGroupLimit pre-cuts per partition before the rank
+    shuffle — plan-asserted), and no stage ever materializes N².
+    """
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        _spread,
+    )
+
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    # quantize + norm + signature ONCE per vector into the persisted
+    # frame — banding and both join-backs read the cache (an
+    # un-persisted sig inlined under the explode would re-run the
+    # Arrow matmul per emitted band row; dedup_embedding_lsh's note)
+    with_q = (
+        emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .select(
+            "vec_id",
+            "q",
+            descale(idot(F.col("q"), F.col("q"))).alias("nsq"),
+            _signature(F.col("q")).alias("sig"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
+    with_q.count()
+    bands = with_q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * LSH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << LSH_BAND_BITS) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bval")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    a = with_q.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("nsq").alias("na"),
+    )
+    b = with_q.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("nsq").alias("nb"),
+    )
+    scored = (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                descale(idot(F.col("qa"), F.col("qb")))
+                / F.sqrt(F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+    )
+    directed = scored.select(
+        F.col("vec_a").alias("src"),
+        F.col("vec_b").alias("dst"),
+        "cos_sim",
+    ).unionByName(
+        scored.select(
+            F.col("vec_b").alias("src"),
+            F.col("vec_a").alias("dst"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "rank", "dst", "cos_sim")
+    )

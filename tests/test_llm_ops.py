@@ -271,6 +271,49 @@ class TestSimilarity:
         recall = len(lsh & exact) / max(1, len(exact))
         assert recall >= 0.5, f"embedding-LSH recall {recall:.2f} below floor"
 
+    def test_knn_graph_recall_and_shape(self, spark, sf_dir):
+        """Corpus-wide kNN graph: recall vs the brute-force per-vector
+        top-k (numpy ground truth over all pairs) must clear the weak-
+        geometry floor, every src's ranks must be consecutive from 1,
+        and cos_sim must be non-increasing in rank (the total order
+        actually ordered)."""
+        import numpy as np
+
+        from crime_data_batch_processing_spark.operators.similarity import (
+            KNN_K,
+            sim_search_knn_graph,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        ids = np.array([r.vec_id for r in emb])
+        mat = np.stack([np.array(r.embedding, dtype="float64") for r in emb])
+        normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = normed @ normed.T
+        np.fill_diagonal(cos, -2.0)
+        truth = set()
+        for i in range(len(ids)):
+            top = np.argsort(-cos[i])[:KNN_K]
+            truth |= {(int(ids[i]), int(ids[j])) for j in top}
+
+        rows = sim_search_knn_graph(spark, sf_dir).collect()
+        got = {(r.src, r.dst) for r in rows}
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.5, f"kNN-graph recall {recall:.2f} below floor"
+
+        by_src: dict[int, list] = {}
+        for r in rows:
+            by_src.setdefault(r.src, []).append(r)
+        for src, edges in by_src.items():
+            edges.sort(key=lambda r: r.rank)
+            assert [e.rank for e in edges] == list(
+                range(1, len(edges) + 1)
+            ), f"src {src}: ranks not consecutive"
+            sims = [e.cos_sim for e in edges]
+            assert sims == sorted(sims, reverse=True), (
+                f"src {src}: cos_sim not monotone in rank"
+            )
+            assert len(edges) <= KNN_K
+
     def test_embedding_lsh_strong_threshold_regime(self):
         """Evidence for the docstring's production claim: at cos≥0.85
         duplicates, 8 bands × 8 bits of a 64-bit hyperplane signature

@@ -1285,6 +1285,26 @@ def test_embedding_lsh_prod_candidates_carry_ids_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_knn_graph_is_banded_with_group_limit(spark, sf_dir):
+    """The corpus-wide kNN graph must inherit both families'
+    disciplines at once: candidates come from the banded bucket
+    equijoin over cached (band, bval) ID rows — never an all-pairs
+    join of the corpus — and the per-src top-k must be pre-cut by
+    WindowGroupLimit before the rank Exchange (at k·N output over a
+    100 TB corpus the pre-cut, not the post-window filter, is what
+    bounds the shuffle)."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["sim_search_knn_graph"](spark, sf_dir)
+    )
+    assert "InMemoryTableScan" in plan, plan  # signature cached once
+    assert "bval" in plan, plan  # candidate join keyed on band value
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_simhash_cap_is_single_window_with_group_limit(spark, sf_dir):
     """The per-doc output bound (round 9) must plan as ONE Window
     operator (row_number over doc_a) downstream of the pair distinct
