@@ -723,3 +723,194 @@ def pipeline_eval_decontaminate(
             F.sum("hr").cast("long").alias("n_flagged_retrieved"),
         )
     )
+
+
+@query(
+    "pipeline_release",
+    oracle=f"""
+    WITH qsh AS (
+        SELECT DISTINCT unnest({sql_shingles('text', DECON_K)}) AS g
+        FROM documents WHERE doc_id % {BENCH_MOD} = 0
+    ), contaminated AS (
+        SELECT DISTINCT e.doc_id
+        FROM (SELECT doc_id, unnest({sql_shingles('text', DECON_K)}) AS g
+              FROM documents WHERE doc_id % {BENCH_MOD} <> 0) e
+        JOIN qsh q ON e.g = q.g
+    ), kept AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_toks
+        FROM documents
+        WHERE doc_id % {BENCH_MOD} <> 0
+          AND ({QM_BIAS}
+               + {QM_W_TOKENS} * len(string_split(text, ' '))
+               + {QM_W_STOP} * len(list_filter(string_split(text, ' '),
+                                               t -> t IN ('the', 'a')))
+               + {QM_W_DISTINCT}
+                   * len(list_distinct(string_split(text, ' ')))
+               + {QM_W_LONG} * len(list_filter(string_split(text, ' '),
+                                               t -> len(t) > 12)))
+              >= {QM_THRESHOLD}
+    ), dedup AS (
+        SELECT k.doc_id, k.lang, k.n_toks FROM kept k
+        WHERE k.doc_id = (SELECT MIN(k2.doc_id) FROM kept k2
+                          WHERE md5(k2.text) = md5(k.text))
+    ), clean AS (
+        SELECT d.doc_id, d.lang, d.n_toks,
+               (d.doc_id IN (SELECT doc_id FROM contaminated)) AS fl
+        FROM dedup d
+    ), per AS (
+        SELECT lang,
+               CAST(SUM(CASE WHEN NOT fl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs,
+               CAST(SUM(CASE WHEN NOT fl THEN n_toks ELSE 0 END)
+                    AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged
+        FROM clean GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS grand_total,
+               md5(string_agg(
+                   lang || ':' || n_docs || ':' || n_tokens, '|'
+                   ORDER BY lang)) AS release_digest
+        FROM per
+    )
+    SELECT lang, n_docs, n_tokens, n_flagged,
+           CAST(n_docs AS DOUBLE) / CAST(grand_total AS DOUBLE)
+               AS doc_share,
+           release_digest
+    FROM per, tot
+    """,
+)
+def pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact set a corpus RELEASE ships (the r10 verdict's
+    stretch composition): the per-language dataset card of the fully
+    cleaned release — quality gate → exact keep-first dedup →
+    decontamination gate — plus a content-derived RELEASE DIGEST
+    pinning the whole card, all as ONE lazy plan.
+
+    Per language: documents and tokens in the release, documents the
+    decontamination gate removed, and the language's share of the
+    release — `pipeline_dataset_card`'s report recomputed over the
+    RELEASE survivors instead of the raw corpus, so the card describes
+    what ships, not what was scanned. The `release_digest` column is
+    md5 over the (lang, n_docs, n_tokens) rows concatenated in lang
+    order — the version pin a release manifest records: two runs, two
+    engines, or two sites must produce the identical digest or the
+    release is not reproducible (dated publication of the pinned
+    artifact is the `sink_partitioned`/`snapshot_*` family's job —
+    this key produces the thing worth pinning). The digest is a pure
+    function of the card, so the DuckDB oracle replays it exactly
+    (string_agg ORDER BY lang == sort_array over the collected
+    structs; integers render identically in both engines' string
+    casts).
+
+    Composition of verified kernels only: the quality logit and
+    keep-first dedup are `pipeline_train_manifest`'s, the broadcast
+    5-gram gate is `text_decontaminate`'s (eval grams are
+    eval-suite-sized — broadcast; the corpus streams map-only through
+    the probe), the card aggregation is `pipeline_dataset_card`'s,
+    and the single-row digest/total broadcast is the `with_scalars`
+    scalar idiom. Scale shape: two corpus passes (shingles for the
+    gate, quality/digest for the manifest — the card aggregates the
+    second), one corpus-sized shuffle (the dedup digest aggregate),
+    one gram-probe shuffle bounded by the contaminated-doc count, a
+    language-sized final aggregate, and a 1-row broadcast back onto
+    ~|langs| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+
+    # persisted: the shingle arrays feed both the bench-gram branch
+    # and the corpus probe (the text_decontaminate explode lesson)
+    with_sh = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles_of(F.col("toks"), DECON_K).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
+    qgrams = (
+        with_sh.where(is_bench)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        with_sh.where(~is_bench)
+        .select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(qgrams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+
+    toks = tokens("text")
+    logit = (
+        F.lit(QM_BIAS)
+        + F.lit(QM_W_TOKENS) * F.size(toks)
+        + F.lit(QM_W_STOP)
+        * F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+        + F.lit(QM_W_DISTINCT) * F.size(F.array_distinct(toks))
+        + F.lit(QM_W_LONG)
+        * F.size(F.filter(toks, lambda t: F.length(t) > 12))
+    )
+    kept = docs.where(~is_bench).where(logit >= QM_THRESHOLD).select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("digest"),
+        F.size(tokens("text")).alias("n_toks"),
+    )
+    first = kept.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    dedup = (
+        kept.join(first, "digest")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "n_toks")
+    )
+    clean = dedup.join(
+        contaminated.withColumn("fl_", F.lit(True)), "doc_id", "left"
+    ).select(
+        "lang", "n_toks", F.coalesce("fl_", F.lit(False)).alias("fl")
+    )
+    per = clean.groupBy("lang").agg(
+        F.sum(F.when(~F.col("fl"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs"),
+        F.sum(F.when(~F.col("fl"), F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(F.when(F.col("fl"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("grand_total"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("lang", "n_docs", "n_tokens")
+                            )
+                        ),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s["lang"],
+                            s["n_docs"].cast("string"),
+                            s["n_tokens"].cast("string"),
+                        ),
+                    ),
+                ),
+                "UTF-8",
+            )
+        ).alias("release_digest"),
+    )
+    return with_scalars(per, tot).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_flagged",
+        (
+            F.col("n_docs").cast("double")
+            / F.col("grand_total").cast("double")
+        ).alias("doc_share"),
+        "release_digest",
+    )

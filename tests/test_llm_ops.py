@@ -966,6 +966,78 @@ class TestEvalDecontaminate:
         )
 
 
+class TestRelease:
+    def test_release_digest_is_reproducible_and_card_consistent(
+        self, spark, sf_dir
+    ):
+        """The release digest must be exactly md5 over the
+        lang-ordered (lang, n_docs, n_tokens) rows — recomputed here
+        in pure Python from the card itself (pins the digest formula
+        both engines replay), shares one value across every row, and
+        doc_share must sum to 1 over the card."""
+        import hashlib
+
+        from crime_data_batch_processing_spark.operators.pipeline import (
+            pipeline_release,
+        )
+
+        rows = pipeline_release(spark, sf_dir).collect()
+        assert len(rows) > 1  # several languages — non-vacuous
+        digests = {r.release_digest for r in rows}
+        assert len(digests) == 1
+        expected = hashlib.md5(
+            "|".join(
+                f"{r.lang}:{r.n_docs}:{r.n_tokens}"
+                for r in sorted(rows, key=lambda r: r.lang)
+            ).encode()
+        ).hexdigest()
+        assert digests == {expected}
+        assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-12
+
+    def test_release_counts_match_component_kernels(self, spark, sf_dir):
+        """Cross-kernel consistency: the card's kept+flagged doc total
+        must equal the quality-gated, keep-first-deduped, non-bench
+        survivor count reconstructed from the registered
+        `text_quality_model` key — the same invariant
+        TestEvalDecontaminate pins for the shard manifest."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            BENCH_MOD,
+        )
+        from crime_data_batch_processing_spark.operators.pipeline import (
+            pipeline_release,
+        )
+        from crime_data_batch_processing_spark.operators.text_analysis import (
+            QM_THRESHOLD,
+            text_quality_model,
+        )
+        from crime_data_batch_processing_spark.sources.tables import (
+            load_table,
+        )
+
+        rows = pipeline_release(spark, sf_dir).collect()
+        got_total = sum(r.n_docs + r.n_flagged for r in rows)
+
+        keep = (
+            text_quality_model(spark, sf_dir)
+            .where(F.col("quality_score") >= QM_THRESHOLD)
+            .where(F.col("doc_id") % BENCH_MOD != 0)
+            .select("doc_id")
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("digest")
+        )
+        kept = docs.join(keep, "doc_id")
+        first = kept.groupBy("digest").agg(
+            F.min("doc_id").alias("keep_id")
+        )
+        expected = (
+            kept.join(first, "digest")
+            .where(F.col("doc_id") == F.col("keep_id"))
+            .count()
+        )
+        assert got_total == expected
+
+
 class TestHardNegatives:
     def test_no_returned_negative_shares_a_gram(self, spark, sf_dir):
         """The whole point of the exclusion: no mined negative may
