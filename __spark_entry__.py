@@ -70,8 +70,12 @@ _VERIFY_FIRST = [
     # pipeline_release: NEW key (end-to-end release artifact set:
     #   decontamination-gated manifest + per-language dataset card;
     #   r10 verdict stretch).
+    # sim_search_knn_graph_prod: NEW key (the kNN graph at the
+    #   production 64-bit/8×8 geometry over the planted corpus — the
+    #   rung that holds where the weak layout's candidate mass
+    #   saturates; r11 soak adjudication).
     "sample_weighted", "stream_decontaminate", "sim_search_knn_graph",
-    "pipeline_release",
+    "pipeline_release", "sim_search_knn_graph_prod",
     # (2) last driver-green in ROUND 6 — the oldest remaining
     # generation (43 keys; r10 verdict item 2: the judge strict-swept
     # all 43 bit-exact at sf0.01 this session, so this front-load is

@@ -969,6 +969,189 @@ def dedup_embedding_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_knn_graph_prod() -> str:
+    """Full-value DuckDB oracle for `sim_search_knn_graph_prod`:
+    replay the planted augmentation, the 64-bit signature, the 8×8-bit
+    banding, the exact quantized-cosine scoring (all shared with
+    `dedup_embedding_lsh_prod` — see `_sql_embedding_lsh_prod` for the
+    single-rounding equivalence argument), then symmetrize each
+    undirected candidate pair and keep every vector's top-KNN_K by
+    (cos_sim DESC, dst ASC)."""
+    from crime_data_batch_processing_spark.operators.similarity import (
+        _SQL_QUANT,
+        KNN_K,
+        sql_bands_cte,
+        sql_sig_expr,
+    )
+
+    def qdot(a: str, b: str) -> str:
+        return (
+            "(SELECT CAST(SUM(__ax * __bx) AS DOUBLE) / 1000000000000.0 "
+            f"FROM (SELECT unnest({a}) AS __ax, unnest({b}) AS __bx))"
+        )
+
+    qcos = (
+        f"({qdot('ca.qe', 'cb.qe')} / "
+        f"sqrt({qdot('ca.qe', 'ca.qe')} * {qdot('cb.qe', 'cb.qe')}))"
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS qe
+        FROM embeddings
+    ), corpus AS MATERIALIZED (
+        SELECT vec_id, qe FROM base
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+               list_transform(qe,
+                   x -> x + ((abs(x) * 7 + vec_id) % 2001) - 1000) AS qe
+        FROM base WHERE vec_id % {PLANT_EVERY} = 0
+    ), q AS (SELECT vec_id, qe FROM corpus
+    ), sig AS (
+        SELECT vec_id, ({sql_sig_expr(PROD_LSH_BITS)}) AS sig FROM q
+    ), bands AS (
+        {sql_bands_cte(PROD_LSH_BANDS, PROD_LSH_BAND_BITS)}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+    ), scored AS (
+        SELECT cand.vec_a, cand.vec_b, {qcos} AS cos_sim
+        FROM cand
+        JOIN corpus ca ON ca.vec_id = cand.vec_a
+        JOIN corpus cb ON cb.vec_id = cand.vec_b
+    ), directed AS (
+        SELECT vec_a AS src, vec_b AS dst, cos_sim FROM scored
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst, cos_sim FROM scored
+    )
+    SELECT src, rank, dst, cos_sim FROM (
+        SELECT src, dst, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY cos_sim DESC, dst ASC) AS rank
+        FROM directed
+    ) WHERE rank <= {KNN_K}
+    """
+
+
+@query("sim_search_knn_graph_prod", oracle=_sql_knn_graph_prod())
+def sim_search_knn_graph_prod(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The corpus-wide kNN graph at the PRODUCTION band geometry —
+    the rung that holds where `sim_search_knn_graph`'s weak layout
+    saturates. Same composition (signature once per vector,
+    band-explode, ID-only bucket self-join, exact-cosine join-back,
+    symmetrize, per-src top-k under WindowGroupLimit) at the 64-bit
+    signature banded 8×8, over the PLANTED corpus
+    (`_planted_quantized`) so the graph has ground-truth structure to
+    find: every planted copy's rank-1 neighbor must be its source at
+    cos ≈ 0.9999 (asserted in tests, analogous to the lsh_prod
+    recall contract).
+
+    Why both rungs exist: the r11 soak measured the weak 18-bit/6×3
+    layout at a FLAT 55% candidate mass on structureless corpora
+    (quadratic pair term — s100 DNF), while these constants hold
+    3.7–3.8% on the same data (BASELINE round-11 probes). A
+    production embedding corpus has near-dup neighbors at cos ≥ 0.85
+    (per-bit agreement ≥ 0.95 → recall across 8 bands ≈ 0.9998),
+    which is exactly the planted regime this key verifies. The weak
+    key stays registered because the driver corpus's far neighbors
+    (cos 0.3–0.5) are below any geometry that prunes — recall there
+    is the point; here, pruning is.
+    """
+    from crime_data_batch_processing_spark.operators.similarity import (
+        KNN_K,
+        _signature,
+    )
+
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    corpus = _planted_quantized(emb)
+    with_q = (
+        corpus.select(
+            "vec_id",
+            "q",
+            descale(idot(F.col("q"), F.col("q"))).alias("nsq"),
+            _signature(F.col("q"), bits=PROD_LSH_BITS).alias("sig"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
+    with_q.count()
+    bands = with_q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("sig"), b * PROD_LSH_BAND_BITS
+                        )
+                        .bitwiseAND(F.lit((1 << PROD_LSH_BAND_BITS) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(PROD_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bval")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    a = with_q.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("nsq").alias("na"),
+    )
+    b = with_q.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("nsq").alias("nb"),
+    )
+    scored = (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                descale(idot(F.col("qa"), F.col("qb")))
+                / F.sqrt(F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+    )
+    directed = scored.select(
+        F.col("vec_a").alias("src"),
+        F.col("vec_b").alias("dst"),
+        "cos_sim",
+    ).unionByName(
+        scored.select(
+            F.col("vec_b").alias("src"),
+            F.col("vec_a").alias("dst"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "rank", "dst", "cos_sim")
+    )
+
+
 #: Safety bound for label propagation — near-dup components are
 #: shallow (diameter ≈ cluster size, and clusters are small), so
 #: convergence is typically 2-4 rounds; 20 means "something is wrong".

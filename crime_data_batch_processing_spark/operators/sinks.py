@@ -446,6 +446,12 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Z-order layout: 8 output files, 8 bits per dimension (256 buckets).
 ZORDER_FILES = 8
+#: Fixture kind for the z-ordered rewrite — shared with the footer-
+#: stats layout test so a kind bump can never desync them again: the
+#: round-5 bump to v2 left the test globbing the pre-v2 path, where it
+#: silently validated STALE round-4 files for five rounds until the
+#: leftover /tmp state finally aged out (round-11 failure).
+ZORDER_KIND = "zorder_v2"
 
 
 def _morton8(bx, by) -> F.Column:
@@ -508,7 +514,7 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # v2: boundary scalars moved inside build() + sidecar-persisted;
     # pre-v2 fixture dirs lack bounds.json, so the kind must change
-    base = scratch_dir("zorder_v2", sf_dir, "orders")
+    base = scratch_dir(ZORDER_KIND, sf_dir, "orders")
     zdir = f"{base}/zorder"
     bounds_path = f"{base}/bounds.json"
     o = load_table(spark, sf_dir, "orders")

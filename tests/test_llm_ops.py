@@ -314,7 +314,29 @@ class TestSimilarity:
             )
             assert len(edges) <= KNN_K
 
-    def test_embedding_lsh_strong_threshold_regime(self):
+    def test_knn_graph_prod_finds_planted_neighbors(self, spark, sf_dir):
+        """The production-geometry kNN graph must recover the planted
+        structure: every planted copy's rank-1 neighbor is its source
+        vector at cos ≈ 0.9999 (and symmetrically the source's rank-1
+        is the copy — nothing else in this corpus comes close to a
+        planted pair). The lsh_prod recall contract, restated for the
+        graph shape."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_EVERY,
+            PLANT_OFFSET,
+            sim_search_knn_graph_prod,
+        )
+
+        rows = sim_search_knn_graph_prod(spark, sf_dir).collect()
+        rank1 = {r.src: r for r in rows if r.rank == 1}
+        planted = [s for s in rank1 if s >= PLANT_OFFSET]
+        assert planted, "no planted vectors in the graph"
+        for s in planted:
+            r = rank1[s]
+            assert r.dst == s - PLANT_OFFSET, (s, r)
+            assert r.cos_sim > 0.99, (s, r)
+            back = rank1[r.dst]
+            assert back.dst == s, (r.dst, back)
         """Evidence for the docstring's production claim: at cos≥0.85
         duplicates, 8 bands × 8 bits of a 64-bit hyperplane signature
         recalls ≥70% of planted pairs while keeping <15% of all pairs

@@ -638,9 +638,14 @@ def test_zorder_files_are_rectangles_in_both_dims(spark, sf_dir):
     import pyarrow.parquet as pq
 
     from crime_data_batch_processing_spark.fixtures import scratch_dir
+    from crime_data_batch_processing_spark.operators.sinks import ZORDER_KIND
 
     registry.QUERIES["sink_zorder"](spark, sf_dir)  # build fixture
-    zdir = f"{scratch_dir('zorder', sf_dir, 'orders')}/zorder"
+    # the kind is imported from the operator, never spelled here: the
+    # round-5 v2 bump left a literal 'zorder' globbing the PRE-bump
+    # path, where this test silently validated stale round-4 files
+    # until the leftover /tmp state aged out (round-11)
+    zdir = f"{scratch_dir(ZORDER_KIND, sf_dir, 'orders')}/zorder"
     files = sorted(glob.glob(f"{zdir}/part-*.parquet"))
     assert len(files) > 1
     spans = []
