@@ -74,8 +74,13 @@ _VERIFY_FIRST = [
     #   production 64-bit/8×8 geometry over the planted corpus — the
     #   rung that holds where the weak layout's candidate mass
     #   saturates; r11 soak adjudication).
+    # dedup_semantic: NEW key (the SemDeDup keep/drop verdict over
+    #   the prod kNN graph). dedup_embedding_lsh_prod: its oracle
+    #   string reformatted into the shared _sql_prod_scored_ctes
+    #   prefix (value chain unchanged, re-swept bit-exact).
     "sample_weighted", "stream_decontaminate", "sim_search_knn_graph",
-    "pipeline_release", "sim_search_knn_graph_prod",
+    "pipeline_release", "sim_search_knn_graph_prod", "dedup_semantic",
+    "dedup_embedding_lsh_prod",
     # (2) last driver-green in ROUND 6 — the oldest remaining
     # generation (43 keys; r10 verdict item 2: the judge strict-swept
     # all 43 bit-exact at sf0.01 this session, so this front-load is

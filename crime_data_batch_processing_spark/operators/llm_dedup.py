@@ -808,15 +808,18 @@ def _planted_quantized(emb: DataFrame) -> DataFrame:
     return base.unionByName(planted)
 
 
-def _sql_embedding_lsh_prod() -> str:
-    """Full-value DuckDB oracle for `dedup_embedding_lsh_prod`:
-    replay the planted augmentation, the 64-bit signature, the
-    8×8-bit banding, and the exact quantized-cosine verify. The
-    cosine here runs over the QUANTIZED arrays (the planted copies
-    never had float form): exact integer dot → one HUGEINT→DOUBLE
-    rounding → /10^12 (exactly representable) — the same single
-    rounding as Spark's descale(idot(...)), so the values are
-    bit-identical."""
+def _sql_prod_scored_ctes() -> str:
+    """Shared WITH-body prefix for every production-geometry oracle
+    (`dedup_embedding_lsh_prod`, `sim_search_knn_graph_prod`,
+    `dedup_semantic`): the planted augmentation, the 64-bit
+    signature, the 8×8-bit banding, the bucket-collision candidates,
+    and the exact quantized-cosine scoring. The cosine runs over the
+    QUANTIZED arrays (the planted copies never had float form): exact
+    integer dot → one HUGEINT→DOUBLE rounding → /10^12 (exactly
+    representable) — the same single rounding as Spark's
+    descale(idot(...)), so the values are bit-identical. Ends with
+    the `scored(vec_a, vec_b, cos_sim)` CTE; callers append their own
+    final shape."""
     from crime_data_batch_processing_spark.operators.similarity import (
         _SQL_QUANT,
         sql_bands_cte,
@@ -833,8 +836,7 @@ def _sql_embedding_lsh_prod() -> str:
         f"({qdot('ca.qe', 'cb.qe')} / "
         f"sqrt({qdot('ca.qe', 'ca.qe')} * {qdot('cb.qe', 'cb.qe')}))"
     )
-    return f"""
-    WITH base AS (
+    return f"""base AS (
         SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS qe
         FROM embeddings
     ), corpus AS MATERIALIZED (
@@ -858,7 +860,15 @@ def _sql_embedding_lsh_prod() -> str:
         FROM cand
         JOIN corpus ca ON ca.vec_id = cand.vec_a
         JOIN corpus cb ON cb.vec_id = cand.vec_b
-    )
+    )"""
+
+
+def _sql_embedding_lsh_prod() -> str:
+    """Full-value DuckDB oracle for `dedup_embedding_lsh_prod` — the
+    shared prod CTE chain (see `_sql_prod_scored_ctes`) cut at the
+    production threshold."""
+    return f"""
+    WITH {_sql_prod_scored_ctes()}
     SELECT vec_a, vec_b, cos_sim FROM scored
     WHERE cos_sim >= {PROD_COSINE_THRESHOLD}
     """
@@ -969,67 +979,43 @@ def dedup_embedding_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_knn_graph_prod() -> str:
-    """Full-value DuckDB oracle for `sim_search_knn_graph_prod`:
-    replay the planted augmentation, the 64-bit signature, the 8×8-bit
-    banding, the exact quantized-cosine scoring (all shared with
-    `dedup_embedding_lsh_prod` — see `_sql_embedding_lsh_prod` for the
-    single-rounding equivalence argument), then symmetrize each
-    undirected candidate pair and keep every vector's top-KNN_K by
-    (cos_sim DESC, dst ASC)."""
-    from crime_data_batch_processing_spark.operators.similarity import (
-        _SQL_QUANT,
-        KNN_K,
-        sql_bands_cte,
-        sql_sig_expr,
-    )
-
-    def qdot(a: str, b: str) -> str:
-        return (
-            "(SELECT CAST(SUM(__ax * __bx) AS DOUBLE) / 1000000000000.0 "
-            f"FROM (SELECT unnest({a}) AS __ax, unnest({b}) AS __bx))"
-        )
-
-    qcos = (
-        f"({qdot('ca.qe', 'cb.qe')} / "
-        f"sqrt({qdot('ca.qe', 'ca.qe')} * {qdot('cb.qe', 'cb.qe')}))"
-    )
-    return f"""
-    WITH base AS (
-        SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS qe
-        FROM embeddings
-    ), corpus AS MATERIALIZED (
-        SELECT vec_id, qe FROM base
-        UNION ALL
-        SELECT vec_id + {PLANT_OFFSET} AS vec_id,
-               list_transform(qe,
-                   x -> x + ((abs(x) * 7 + vec_id) % 2001) - 1000) AS qe
-        FROM base WHERE vec_id % {PLANT_EVERY} = 0
-    ), q AS (SELECT vec_id, qe FROM corpus
-    ), sig AS (
-        SELECT vec_id, ({sql_sig_expr(PROD_LSH_BITS)}) AS sig FROM q
-    ), bands AS (
-        {sql_bands_cte(PROD_LSH_BANDS, PROD_LSH_BAND_BITS)}
-    ), cand AS (
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
-    ), scored AS (
-        SELECT cand.vec_a, cand.vec_b, {qcos} AS cos_sim
-        FROM cand
-        JOIN corpus ca ON ca.vec_id = cand.vec_a
-        JOIN corpus cb ON cb.vec_id = cand.vec_b
-    ), directed AS (
+def _sql_knn_graph_prod_ctes() -> str:
+    """Shared prod kNN-graph CTE chain: the prod scored pairs
+    symmetrized and ranked into `ranked(src, rank, dst, cos_sim)`.
+    Used by the `sim_search_knn_graph_prod` oracle and, as the edge
+    input, by `dedup_semantic`'s."""
+    return f"""{_sql_prod_scored_ctes()}, directed AS (
         SELECT vec_a AS src, vec_b AS dst, cos_sim FROM scored
         UNION ALL
         SELECT vec_b AS src, vec_a AS dst, cos_sim FROM scored
+    ), ranked AS (
+        SELECT src, rank, dst, cos_sim FROM (
+            SELECT src, dst, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY cos_sim DESC, dst ASC)
+                       AS rank
+            FROM directed
+        ) WHERE rank <= {_knn_k()}
+    )"""
+
+
+def _knn_k() -> int:
+    from crime_data_batch_processing_spark.operators.similarity import (
+        KNN_K,
     )
-    SELECT src, rank, dst, cos_sim FROM (
-        SELECT src, dst, cos_sim,
-               ROW_NUMBER() OVER (PARTITION BY src
-                                  ORDER BY cos_sim DESC, dst ASC) AS rank
-        FROM directed
-    ) WHERE rank <= {KNN_K}
+
+    return KNN_K
+
+
+def _sql_knn_graph_prod() -> str:
+    """Full-value DuckDB oracle for `sim_search_knn_graph_prod`:
+    the shared prod CTE chain (plant → signature → banding →
+    quantized-cosine scoring, see `_sql_prod_scored_ctes`) symmetrized
+    into both directions and cut to every vector's top-KNN_K by
+    (cos_sim DESC, dst ASC)."""
+    return f"""
+    WITH {_sql_knn_graph_prod_ctes()}
+    SELECT src, rank, dst, cos_sim FROM ranked
     """
 
 
@@ -1149,6 +1135,100 @@ def sim_search_knn_graph_prod(
         directed.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= KNN_K)
         .select("src", "rank", "dst", "cos_sim")
+    )
+
+
+#: SemDeDup decision threshold: a document is dropped when any of its
+#: kNN-graph neighbors sits at cosine ≥ TAU with a LOWER id (keep-
+#: first, the dedup family's canonical rule). 0.9 separates planted
+#: copies (cos ≈ 0.9999) from everything the corpus exhibits
+#: naturally (max 0.60) by a wide margin on both sides.
+SEMDEDUP_TAU = 0.9
+
+
+def _sql_semantic_dedup() -> str:
+    """Full-value DuckDB oracle for `dedup_semantic`: the shared prod
+    kNN-graph chain, then per src the MINIMUM lower-id neighbor at
+    cos ≥ TAU as the drop witness, left-joined onto the full corpus.
+    Sentinels (-1 / 0.0) instead of NULLs for kept rows: a nullable
+    int column round-trips float64 in pandas and breaks the driver's
+    hash compare (the sim_search_rrf lesson)."""
+    return f"""
+    WITH {_sql_knn_graph_prod_ctes()},
+    witness AS (
+        SELECT src AS vec_id, dst AS witness_id, cos_sim AS witness_cos
+        FROM (
+            SELECT src, dst, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY dst ASC) AS rn
+            FROM ranked
+            WHERE cos_sim >= {SEMDEDUP_TAU} AND dst < src
+        ) WHERE rn = 1
+    )
+    SELECT c.vec_id,
+           (w.vec_id IS NULL) AS kept,
+           CAST(COALESCE(w.witness_id, -1) AS BIGINT) AS witness_id,
+           CAST(COALESCE(w.witness_cos, 0.0) AS DOUBLE) AS witness_cos
+    FROM corpus c LEFT JOIN witness w ON c.vec_id = w.vec_id
+    """
+
+
+@query("dedup_semantic", oracle=_sql_semantic_dedup())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's curation decision, as a key: per corpus vector, the
+    KEEP/DROP verdict derived from the corpus-wide kNN graph — drop a
+    document when any of its graph neighbors sits at cosine ≥
+    SEMDEDUP_TAU with a lower id (keep-first), and report the witness
+    (the smallest such neighbor and its cosine). This is the step a
+    semantic-curation pass actually executes over the kNN graph the
+    `sim_search_knn_graph*` keys build; the output IS the cleaned-
+    corpus manifest plus the audit trail of what was dropped and why.
+
+    Composes two verified kernels and nothing else: the
+    production-geometry graph (`sim_search_knn_graph_prod` — planted
+    corpus, so there is real structure to drop: every planted copy's
+    rank-1 neighbor is its lower-id source at cos ≈ 0.9999, hence
+    dropped; nothing natural in this corpus reaches 0.60) and a
+    per-src min-witness window + one left join against the corpus
+    ids. Drop decisions consult ONLY the k·N graph edges — never the
+    pair universe — so the decision stage is O(k·N) regardless of
+    corpus size; witness selection is deterministic (min dst) and the
+    kept rows carry sentinels (-1/0.0) instead of NULLs (nullable
+    ints round-trip float64 in pandas and break the driver compare).
+
+    Exact SemDeDup (Abbas et al.) clusters first and thresholds
+    within clusters; the kNN-graph formulation subsumes it — any
+    within-cluster above-threshold neighbor IS a graph neighbor at
+    these k — while staying one lazy plan over already-verified
+    machinery.
+    """
+    from crime_data_batch_processing_spark.operators.similarity import (
+        KNN_K,  # noqa: F401 — documents the graph's k in the plan
+    )
+
+    graph = sim_search_knn_graph_prod(spark, sf_dir)
+    qual = graph.where(
+        (F.col("cos_sim") >= SEMDEDUP_TAU)
+        & (F.col("dst") < F.col("src"))
+    )
+    w = Window.partitionBy("src").orderBy(F.asc("dst"))
+    witness = (
+        qual.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("witness_id"),
+            F.col("cos_sim").alias("witness_cos"),
+        )
+    )
+    corpus_ids = _planted_quantized(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id")
+    return corpus_ids.join(witness, "vec_id", "left").select(
+        "vec_id",
+        F.col("witness_id").isNull().alias("kept"),
+        F.coalesce("witness_id", F.lit(-1)).cast("long").alias("witness_id"),
+        F.coalesce("witness_cos", F.lit(0.0)).alias("witness_cos"),
     )
 
 

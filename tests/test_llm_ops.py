@@ -337,6 +337,33 @@ class TestSimilarity:
             assert r.cos_sim > 0.99, (s, r)
             back = rank1[r.dst]
             assert back.dst == s, (r.dst, back)
+
+    def test_semantic_dedup_drops_exactly_the_planted_copies(
+        self, spark, sf_dir
+    ):
+        """The SemDeDup verdict must drop EXACTLY the planted copies:
+        every planted id (≥ PLANT_OFFSET) is dropped with its source
+        as the witness at cos > 0.99, and every natural corpus vector
+        is kept with sentinel witness fields (nothing natural reaches
+        SEMDEDUP_TAU — corpus max cosine is 0.60)."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_OFFSET,
+            dedup_semantic,
+        )
+
+        rows = dedup_semantic(spark, sf_dir).collect()
+        dropped = {r.vec_id for r in rows if not r.kept}
+        planted = {r.vec_id for r in rows if r.vec_id >= PLANT_OFFSET}
+        assert planted, "no planted rows in the verdict"
+        assert dropped == planted, sorted(dropped ^ planted)[:5]
+        for r in rows:
+            if r.kept:
+                assert (r.witness_id, r.witness_cos) == (-1, 0.0), r
+            else:
+                assert r.witness_id == r.vec_id - PLANT_OFFSET, r
+                assert r.witness_cos > 0.99, r
+
+    def test_embedding_lsh_strong_threshold_regime(self):
         """Evidence for the docstring's production claim: at cos≥0.85
         duplicates, 8 bands × 8 bits of a 64-bit hyperplane signature
         recalls ≥70% of planted pairs while keeping <15% of all pairs
