@@ -122,6 +122,22 @@ def median(values: list[float]) -> float:
     return (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
+def pass_totals_over_common_keys(
+    per_key: dict[str, list[float]], n_passes: int
+) -> list[float]:
+    """Per-pass totals over the IDENTICAL (non-failed) key set: a key
+    that fails in pass N has been wiped from per_key, so it vanishes
+    from every pass's total — totals within one run always cover the
+    same keys (module docstring "Failure consistency"). A key with
+    fewer samples than the pass index contributes nothing to that
+    pass (it can only happen by failure-wipe, which empties the list
+    entirely)."""
+    return [
+        round(sum(v[i] for v in per_key.values() if len(v) > i), 3)
+        for i in range(n_passes)
+    ]
+
+
 def infer_round() -> int:
     """Sidecar round number: env override, else newest BENCH_r*.json
     on disk + 1 (the driver writes BENCH_r{N}.json AFTER this run, so
@@ -224,13 +240,7 @@ def main() -> None:
 
     # pass totals recomputed from per_key AFTER all passes, so every
     # total covers the identical (non-failed) key set
-    n_passes = len(pass_costs)
-    pass_totals = [
-        round(
-            sum(v[i] for v in per_key.values() if len(v) > i), 3
-        )
-        for i in range(n_passes)
-    ]
+    pass_totals = pass_totals_over_common_keys(per_key, len(pass_costs))
     timings = {
         k: (-1.0 if k in failed or not v else round(median(v), 3))
         for k, v in per_key.items()

@@ -43,6 +43,28 @@ def test_total_reps_clamped_to_at_least_one():
     assert bench.REPS >= 1
 
 
+def test_failed_key_vanishes_from_every_pass_total():
+    """Failure consistency (r10 advisor): a key that fails in pass 2
+    is wiped from per_key, so pass 1's total must no longer include
+    its pass-1 sample — totals within one run always cover the
+    identical key set, and a transient single-pass failure can never
+    silently deflate the headline relative to earlier passes."""
+    per_key = {
+        "a": [1.0, 1.1, 1.2],
+        "b": [],  # failed in pass 2 → wiped retroactively
+        "c": [2.0, 2.1, 2.2],
+    }
+    assert bench.pass_totals_over_common_keys(per_key, 3) == [
+        3.0,
+        3.2,
+        3.4,
+    ]
+
+
+def test_pass_totals_with_zero_passes_is_empty():
+    assert bench.pass_totals_over_common_keys({"a": []}, 0) == []
+
+
 def test_infer_round_prefers_env(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "42")
     assert bench.infer_round() == 42
