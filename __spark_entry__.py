@@ -78,9 +78,18 @@ _VERIFY_FIRST = [
     #   the prod kNN graph). dedup_embedding_lsh_prod: its oracle
     #   string reformatted into the shared _sql_prod_scored_ctes
     #   prefix (value chain unchanged, re-swept bit-exact).
+    # sim_search_knn_inc: NEW key (incremental kNN — new vectors
+    #   probe the persisted signature index; edges proven equal to a
+    #   full rebuild's restriction).
+    # (dedup_embedding_lsh_prod sorts at position 51, just past the
+    # ~50 cap: its only r11 change is the oracle string reformatted
+    # into the shared CTE prefix — re-proven bit-exact at both SFs
+    # twice this round — and its r10 driver row is already the
+    # freshest generation, so it is the right key to risk losing to
+    # the cap; every section-2 key below would cost a stale r6 row.)
     "sample_weighted", "stream_decontaminate", "sim_search_knn_graph",
     "pipeline_release", "sim_search_knn_graph_prod", "dedup_semantic",
-    "dedup_embedding_lsh_prod",
+    "sim_search_knn_inc",
     # (2) last driver-green in ROUND 6 — the oldest remaining
     # generation (43 keys; r10 verdict item 2: the judge strict-swept
     # all 43 bit-exact at sf0.01 this session, so this front-load is
@@ -98,6 +107,8 @@ _VERIFY_FIRST = [
     "stream_file_sink", "string_funcs", "subquery_exists",
     "subquery_in", "subquery_scalar", "text_token_count",
     "topk_per_group", "udaf_grouped", "udf_scalar", "unpivot_long",
+    # position 51 (see the section-1 note above):
+    "dedup_embedding_lsh_prod",
     # (3) last driver-green in ROUND 7 — the next-oldest generation
     # (44 keys); a few may make the ~50 cap this round, the rest are
     # the round-12 front-load.

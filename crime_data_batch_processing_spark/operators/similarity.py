@@ -1358,3 +1358,197 @@ def sim_search_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= KNN_K)
         .select("src", "rank", "dst", "cos_sim")
     )
+
+
+#: Incremental kNN split: every KNN_INC_MOD-th vector is the "new
+#: ingest"; the rest are the already-indexed corpus whose quantized
+#: vectors, norms, signatures, and band rows are PERSISTED (built once
+#: per testdata generation, appended on real ingests).
+KNN_INC_MOD = 5
+
+
+def _sql_knn_inc() -> str:
+    """Full-value DuckDB oracle for `sim_search_knn_inc`: signatures
+    and bands over the WHOLE corpus once (the union of the persisted
+    base index and the increment's in-plan rows — identical band
+    values by construction, since both engines compute the same
+    integer signature), candidates = increment-side band rows against
+    every other vector's band rows, exact-cosine re-rank, per-source
+    top-KNN_K."""
+    return f"""
+    WITH q AS (
+        SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS qe
+        FROM embeddings
+    ), sig AS (
+        SELECT vec_id, ({sql_sig_expr()}) AS sig FROM q
+    ), bands AS (
+        {sql_bands_cte()}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval
+         AND a.vec_id % {KNN_INC_MOD} = 0
+         AND b.vec_id != a.vec_id
+    ), scored AS (
+        SELECT cand.src, cand.dst,
+               {sql_cosine('ea.embedding', 'eb.embedding')} AS cos_sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.src
+        JOIN embeddings eb ON eb.vec_id = cand.dst
+    )
+    SELECT src, rank, dst, cos_sim FROM (
+        SELECT src, dst, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY cos_sim DESC, dst ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {KNN_K}
+    """
+
+
+@query("sim_search_knn_inc", oracle=_sql_knn_inc())
+def sim_search_knn_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL kNN: top-k semantic neighbors for the NEWLY
+    ingested vectors only, by probing the PERSISTED signature index of
+    the already-ingested corpus — never re-running the corpus
+    self-join. The graph-maintenance sibling of `dedup_incremental`:
+    a continuously-ingested corpus keeps its kNN graph current by
+    computing each increment's edges (new→corpus and new→new) and
+    appending, at O(increment × collision fan-in) per ingest instead
+    of O(corpus²) — the only affordable cadence at 100 TB.
+
+    The corpus keeps two append-only artifacts (built once here,
+    appended on real ingests): the quantized-vector/norm/signature
+    table and its exploded (band, bval) rows — the SAME `_signature`
+    integers as `sim_search_knn_graph`, so index and probe agree
+    bit-for-bit and the increment's edges equal what a full rebuild
+    would assign those vectors. The increment computes its own
+    signatures in-plan (persisted + tracked), probes the index on
+    (band, bval) — a hash join against LSH_BANDS rows per corpus
+    vector — adds increment-internal collisions from a self-join of
+    its own (tiny) band set, exact-cosine re-ranks candidates with
+    vectors fetched by key join from index + in-plan rows, and cuts
+    per-source top-k under WindowGroupLimit. The oracle computes
+    signatures over the union once — numerically identical to
+    index-plus-probe, which is the invariant that makes the persisted
+    index trustworthy.
+
+    Same weak-geometry candidate-mass caveat as the full-graph key
+    (BASELINE r11 probes); the prod constants drop in identically.
+    """
+    from crime_data_batch_processing_spark.fixtures import (
+        build_once,
+        scratch_dir,
+    )
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        _spread,
+    )
+
+    base_dir = scratch_dir("knninc", sf_dir, "embeddings")
+    index_dir, bands_dir = f"{base_dir}/index", f"{base_dir}/bands"
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_inc = F.col("vec_id") % KNN_INC_MOD == 0
+
+    def with_q(df: DataFrame) -> DataFrame:
+        q = df.select("vec_id", quantize(F.col("embedding")).alias("q"))
+        return q.select(
+            "vec_id",
+            "q",
+            descale(idot(F.col("q"), F.col("q"))).alias("nsq"),
+            _signature(F.col("q")).alias("sig"),
+        )
+
+    def band_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(
+                                F.col("sig"), b * LSH_BAND_BITS
+                            )
+                            .bitwiseAND(F.lit((1 << LSH_BAND_BITS) - 1))
+                            .alias("bval"),
+                        )
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("vec_id", "bb.band", "bb.bval")
+
+    def build() -> None:
+        base_q = with_q(
+            _spread(emb.where(~is_inc), spark)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        base_q.write.mode("overwrite").parquet(index_dir)
+        band_rows(base_q).write.mode("overwrite").parquet(bands_dir)
+        base_q.unpersist()
+
+    build_once(base_dir, build)
+
+    inc_q = (
+        with_q(_spread(emb.where(is_inc), spark))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
+    inc_q.count()
+    inc_bands = band_rows(inc_q)
+    base_bands = spark.read.parquet(bands_dir)
+    cand = (
+        inc_bands.alias("a")
+        .join(
+            base_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+        )
+        .unionByName(
+            inc_bands.alias("a")
+            .join(
+                inc_bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bval") == F.col("b.bval"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"),
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    all_q = spark.read.parquet(index_dir).unionByName(inc_q)
+    a = inc_q.select(
+        F.col("vec_id").alias("src"),
+        F.col("q").alias("qa"),
+        F.col("nsq").alias("na"),
+    )
+    b = all_q.select(
+        F.col("vec_id").alias("dst"),
+        F.col("q").alias("qb"),
+        F.col("nsq").alias("nb"),
+    )
+    scored = (
+        cand.join(a, "src")
+        .join(b, "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                descale(idot(F.col("qa"), F.col("qb")))
+                / F.sqrt(F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "rank", "dst", "cos_sim")
+    )

@@ -314,6 +314,33 @@ class TestSimilarity:
             )
             assert len(edges) <= KNN_K
 
+    def test_knn_inc_equals_full_rebuild_restriction(self, spark, sf_dir):
+        """The incremental probe must assign the new vectors EXACTLY
+        the edges a full-graph rebuild would give them: for any inc
+        source, base-index collisions + inc-internal collisions is the
+        same candidate set the full self-join produces, and the exact
+        re-rank is the same arithmetic — so the persisted index can be
+        trusted to stand in for the rebuild."""
+        from crime_data_batch_processing_spark.operators.similarity import (
+            KNN_INC_MOD,
+            sim_search_knn_graph,
+            sim_search_knn_inc,
+        )
+
+        inc = {
+            (r.src, r.rank, r.dst, r.cos_sim)
+            for r in sim_search_knn_inc(spark, sf_dir).collect()
+        }
+        full = {
+            (r.src, r.rank, r.dst, r.cos_sim)
+            for r in sim_search_knn_graph(spark, sf_dir).collect()
+            if r.src % KNN_INC_MOD == 0
+        }
+        assert inc, "no incremental edges"
+        assert inc == full, (
+            f"incremental/rebuild divergence: {sorted(inc ^ full)[:4]}"
+        )
+
     def test_knn_graph_prod_finds_planted_neighbors(self, spark, sf_dir):
         """The production-geometry kNN graph must recover the planted
         structure: every planted copy's rank-1 neighbor is its source
