@@ -1202,10 +1202,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     these k — while staying one lazy plan over already-verified
     machinery.
     """
-    from crime_data_batch_processing_spark.operators.similarity import (
-        KNN_K,  # noqa: F401 — documents the graph's k in the plan
-    )
-
     graph = sim_search_knn_graph_prod(spark, sf_dir)
     qual = graph.where(
         (F.col("cos_sim") >= SEMDEDUP_TAU)
