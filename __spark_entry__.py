@@ -93,7 +93,9 @@ _VERIFY_FIRST = [
     # (2) last driver-green in ROUND 6 — the oldest remaining
     # generation (43 keys; r10 verdict item 2: the judge strict-swept
     # all 43 bit-exact at sf0.01 this session, so this front-load is
-    # bookkeeping, not risk — 4 + 43 = 47 keys fit the ~50 cap).
+    # bookkeeping, not risk — 7 + 43 = 50 keys consume the ~50 cap
+    # EXACTLY; there is no slack left, which is why
+    # dedup_embedding_lsh_prod sits at position 51 below).
     "agg_mode", "analytics_market_share", "array_explode",
     "array_funcs", "cond_funcs", "date_parts", "dedup_exact",
     "doc_chunks", "latest_snapshot", "latest_snapshot_catalog",

@@ -31,14 +31,18 @@ median-of-3 headline stops round-over-round comparisons from reading
 that noise as regression. Per-query timings are the per-key median
 across passes (same even-count rule).
 
-Budget is PER-PASS, not per-run: a new pass starts unless the
-remaining budget (SPARK_GRAFT_BENCH_BUDGET_S, default 900) is smaller
-than the cost of the most expensive pass so far — one slow loaded
-first pass must not eat the budget the protocol needs to recover a
-true median (round 10's failure mode: a 614s loaded pass 1 left room
-for only one more pass, and the then-upper-median picked pass 1).
+Budget is PER-PASS, not per-run, with a two-pass floor: pass 2
+always runs when TOTAL_REPS >= 2 — a single loaded pass must never
+stand alone as a median-of-1 headline (round 10's failure mode: a
+614s loaded pass 1; with the floor plus the true even-N median the
+record becomes mean(614, recovery-pass), not the worst pass) — and
+pass N>=3 starts only while the remaining budget
+(SPARK_GRAFT_BENCH_BUDGET_S, default 900) covers the CHEAPEST pass
+so far (the optimistic estimate: can an uncontaminated pass still
+fit? comparing against the most expensive pass would let one slow
+pass both contaminate the record and block its own correction).
 Passes are never cut midway, so every reported total is a complete
-suite.
+suite; the floor bounds worst-case wall at ~2x the slowest pass.
 
 Load honesty: os.getloadavg() is stamped into both JSON lines —
 "load_at_launch" plus a per-pass "loads" list — so a contaminated
@@ -96,10 +100,11 @@ TOTAL_REPS = max(
 #: clean isolated re-runs of individual outliers per the BASELINE.md
 #: protocol (timings contend hard with concurrent Spark work)
 KEYS = [k for k in os.environ.get("SPARK_GRAFT_BENCH_KEYS", "").split(",") if k]
-#: wall-clock budget, applied PER-PASS (see module docstring): pass
-#: N+1 starts iff remaining >= max(cost of passes so far) — the
-#: median-of-3 headline must degrade to median-of-fewer rather than
-#: risk an external runner's timeout producing NO record at all
+#: wall-clock budget, applied PER-PASS with a two-pass floor (see
+#: module docstring): pass 2 always runs; pass N>=3 starts iff
+#: remaining >= min(cost of passes so far) — the median-of-3 headline
+#: must degrade to median-of-fewer rather than risk an external
+#: runner's timeout producing NO record at all
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
 #: 1-min loadavg above which the harness delays the start (module
 #: docstring "Load honesty"); <=0 disables the gate
@@ -120,6 +125,20 @@ def median(values: list[float]) -> float:
     if n % 2:
         return s[n // 2]
     return (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def should_start_pass(pass_costs: list[float], remaining_s: float) -> bool:
+    """Budget gate for the NEXT pass (module docstring "Budget"):
+    passes 1 and 2 always start — a single (possibly loaded) pass
+    must never stand alone as a median-of-1 headline — and pass N>=3
+    starts only while the remaining budget covers the CHEAPEST pass
+    so far. Comparing against the most expensive pass would let one
+    slow contaminated pass both become the record and block the
+    recovery pass that corrects it (the round-10 replay: 614s loaded
+    pass 1 with a 900s budget must still get its second pass)."""
+    if len(pass_costs) < 2:
+        return True
+    return remaining_s >= min(pass_costs)
 
 
 def pass_totals_over_common_keys(
@@ -194,16 +213,15 @@ def main() -> None:
     pass_costs: list[float] = []  # wall cost incl. failed-key time
     t_start = time.monotonic()
     for _pass in range(TOTAL_REPS):
-        if pass_costs:
-            remaining = BUDGET_S - (time.monotonic() - t_start)
-            if remaining < max(pass_costs):
-                print(
-                    f"# bench budget: {remaining:.0f}s left < worst "
-                    f"pass {max(pass_costs):.0f}s; stopping at "
-                    f"{len(pass_costs)} pass(es)",
-                    file=sys.stderr,
-                )
-                break
+        remaining = BUDGET_S - (time.monotonic() - t_start)
+        if not should_start_pass(pass_costs, remaining):
+            print(
+                f"# bench budget: {remaining:.0f}s left < best "
+                f"pass {min(pass_costs):.0f}s; stopping at "
+                f"{len(pass_costs)} pass(es)",
+                file=sys.stderr,
+            )
+            break
         pass_loads.append(round(os.getloadavg()[0], 2))
         t_pass = time.monotonic()
         for key in keys:
@@ -269,10 +287,19 @@ def main() -> None:
     print(long_line)
     # durable sidecar: the full per-query record, committed per round,
     # so the driver's stdout tail can truncate the long line without
-    # losing two-thirds of the per-key history (round-10 verdict)
-    if not KEYS:  # only full-suite runs overwrite the round record
-        sidecar = REPO / f"BENCH_PERKEY_r{infer_round():02d}.json"
-        sidecar.write_text(long_line + "\n")
+    # losing two-thirds of the per-key history (round-10 verdict).
+    # Guarded twice: only a full-suite run AT THE HEADLINE SF (0.1)
+    # may overwrite the round record — a full run at another scale
+    # (sf0.001 validation, a soak tier) must not clobber the
+    # committed sf0.1 per-key history — and a write failure must
+    # never kill the process between the two protocol print()s (the
+    # short line below is the record of last resort).
+    if not KEYS and sf_from_dir(SF_DIR) == 0.1:
+        try:
+            sidecar = REPO / f"BENCH_PERKEY_r{infer_round():02d}.json"
+            sidecar.write_text(long_line + "\n")
+        except OSError as exc:
+            print(f"# bench sidecar write failed: {exc}", file=sys.stderr)
     # short always-fits summary line (see module docstring)
     print(
         json.dumps(

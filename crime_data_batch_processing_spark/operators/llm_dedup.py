@@ -678,80 +678,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     one verified signature pipeline on this corpus.
     """
     from crime_data_batch_processing_spark.operators.similarity import (
-        LSH_BAND_BITS,
-        LSH_BANDS,
-        _signature,
+        banded_scored_pairs,
+        signature_frame,
     )
 
     emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
-    with_q = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
-    # quantize + norm + signature computed ONCE per vector into the
-    # persisted frame — banding and both pair join-backs read the
-    # cache; an un-persisted sig inlined under the explode would rerun
-    # the Arrow matmul per emitted band row
-    with_q = (
-        with_q.select(
-            "vec_id",
-            "q",
-            descale(idot(F.col("q"), F.col("q"))).alias("nsq"),
-            _signature(F.col("q")).alias("sig"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .transform(track)
+    with_q = signature_frame(
+        emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
     )
-    with_q.count()
-    bands = with_q.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("sig"), b * LSH_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << LSH_BAND_BITS) - 1))
-                        .alias("bval"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bval")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    a = with_q.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("q").alias("qa"),
-        F.col("nsq").alias("na"),
-    )
-    b = with_q.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("q").alias("qb"),
-        F.col("nsq").alias("nb"),
-    )
-    return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                descale(idot(F.col("qa"), F.col("qb")))
-                / F.sqrt(F.col("na") * F.col("nb"))
-            ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= COSINE_THRESHOLD)
+    return banded_scored_pairs(with_q).where(
+        F.col("cos_sim") >= COSINE_THRESHOLD
     )
 
 
@@ -902,81 +838,17 @@ def dedup_embedding_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall analysis above covers the planted regime analytically.
     """
     from crime_data_batch_processing_spark.operators.similarity import (
-        _signature,
+        banded_scored_pairs,
+        signature_frame,
     )
 
     emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
-    corpus = _planted_quantized(emb)
-    # quantize + norm + 64-bit signature computed ONCE per vector into
-    # the persisted frame (same rationale as dedup_embedding_lsh: an
-    # un-persisted sig inlined under the explode re-runs the Arrow
-    # matmul per emitted band row)
-    with_q = (
-        corpus.select(
-            "vec_id",
-            "q",
-            descale(idot(F.col("q"), F.col("q"))).alias("nsq"),
-            _signature(F.col("q"), bits=PROD_LSH_BITS).alias("sig"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .transform(track)
+    with_q = signature_frame(
+        _planted_quantized(emb), bits=PROD_LSH_BITS
     )
-    with_q.count()
-    bands = with_q.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(
-                            F.col("sig"), b * PROD_LSH_BAND_BITS
-                        )
-                        .bitwiseAND(F.lit((1 << PROD_LSH_BAND_BITS) - 1))
-                        .alias("bval"),
-                    )
-                    for b in range(PROD_LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bval")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    a = with_q.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("q").alias("qa"),
-        F.col("nsq").alias("na"),
-    )
-    b = with_q.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("q").alias("qb"),
-        F.col("nsq").alias("nb"),
-    )
-    return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                descale(idot(F.col("qa"), F.col("qb")))
-                / F.sqrt(F.col("na") * F.col("nb"))
-            ).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= PROD_COSINE_THRESHOLD)
-    )
+    return banded_scored_pairs(
+        with_q, PROD_LSH_BANDS, PROD_LSH_BAND_BITS
+    ).where(F.col("cos_sim") >= PROD_COSINE_THRESHOLD)
 
 
 def _sql_knn_graph_prod_ctes() -> str:
@@ -1046,95 +918,17 @@ def sim_search_knn_graph_prod(
     is the point; here, pruning is.
     """
     from crime_data_batch_processing_spark.operators.similarity import (
-        KNN_K,
-        _signature,
+        banded_scored_pairs,
+        knn_rank_directed,
+        signature_frame,
     )
 
     emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
-    corpus = _planted_quantized(emb)
-    with_q = (
-        corpus.select(
-            "vec_id",
-            "q",
-            descale(idot(F.col("q"), F.col("q"))).alias("nsq"),
-            _signature(F.col("q"), bits=PROD_LSH_BITS).alias("sig"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .transform(track)
+    with_q = signature_frame(
+        _planted_quantized(emb), bits=PROD_LSH_BITS
     )
-    with_q.count()
-    bands = with_q.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(
-                            F.col("sig"), b * PROD_LSH_BAND_BITS
-                        )
-                        .bitwiseAND(F.lit((1 << PROD_LSH_BAND_BITS) - 1))
-                        .alias("bval"),
-                    )
-                    for b in range(PROD_LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bval")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    a = with_q.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("q").alias("qa"),
-        F.col("nsq").alias("na"),
-    )
-    b = with_q.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("q").alias("qb"),
-        F.col("nsq").alias("nb"),
-    )
-    scored = (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                descale(idot(F.col("qa"), F.col("qb")))
-                / F.sqrt(F.col("na") * F.col("nb"))
-            ).alias("cos_sim"),
-        )
-    )
-    directed = scored.select(
-        F.col("vec_a").alias("src"),
-        F.col("vec_b").alias("dst"),
-        "cos_sim",
-    ).unionByName(
-        scored.select(
-            F.col("vec_b").alias("src"),
-            F.col("vec_a").alias("dst"),
-            "cos_sim",
-        )
-    )
-    w = Window.partitionBy("src").orderBy(
-        F.col("cos_sim").desc(), F.col("dst").asc()
-    )
-    return (
-        directed.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= KNN_K)
-        .select("src", "rank", "dst", "cos_sim")
+    return knn_rank_directed(
+        banded_scored_pairs(with_q, PROD_LSH_BANDS, PROD_LSH_BAND_BITS)
     )
 
 

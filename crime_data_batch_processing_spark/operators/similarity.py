@@ -143,6 +143,133 @@ def _signature(vec, bits: int = LSH_BITS) -> F.Column:
     return _sig(vec)
 
 
+def _with_sig_cols(corpus_q, bits: int = LSH_BITS):
+    """(vec_id, q) → (vec_id, q, nsq, sig): exact squared norm plus
+    the packed hyperplane signature, computed ONCE per vector. The
+    un-persisted building block — use `signature_frame` on any query
+    path (an un-persisted sig inlined under a band explode re-runs
+    the Arrow matmul per emitted band row)."""
+    return corpus_q.select(
+        "vec_id",
+        "q",
+        descale(idot(F.col("q"), F.col("q"))).alias("nsq"),
+        _signature(F.col("q"), bits=bits).alias("sig"),
+    )
+
+
+def signature_frame(corpus_q, bits: int = LSH_BITS):
+    """`_with_sig_cols` persisted (MEMORY_AND_DISK), cachekit-tracked,
+    and materialized — the form every banded consumer reads (band
+    explode plus both pair join-backs hit the cache). ONE definition
+    for the pattern previously hand-rolled in dedup_embedding_lsh,
+    dedup_embedding_lsh_prod, and all three kNN keys."""
+    out = (
+        _with_sig_cols(corpus_q, bits)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
+    out.count()
+    return out
+
+
+def band_rows_of(
+    with_sig, bands: int = LSH_BANDS, band_bits: int = LSH_BAND_BITS
+):
+    """Explode (vec_id, ..., sig) into (vec_id, band, bval) rows —
+    `bands` rows per vector, the banded index/probe unit."""
+    return with_sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bval")
+
+
+def banded_scored_pairs(
+    with_q, bands: int = LSH_BANDS, band_bits: int = LSH_BAND_BITS
+):
+    """The banded candidate pipeline over a `signature_frame`:
+    band-explode → ID-only bucket self-join (64-element arrays never
+    cross the candidate shuffle) → distinct → exact-cosine join-backs.
+    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b — each
+    undirected pair scored exactly once. Shared by the lsh dedup pair
+    keys (threshold consumers) and the kNN graph keys (rank
+    consumers)."""
+    b_rows = band_rows_of(with_q, bands, band_bits)
+    cand = (
+        b_rows.alias("a")
+        .join(
+            b_rows.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    a = with_q.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("nsq").alias("na"),
+    )
+    b = with_q.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("nsq").alias("nb"),
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                descale(idot(F.col("qa"), F.col("qb")))
+                / F.sqrt(F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+    )
+
+
+def knn_rank_directed(scored, topk: int = 0):
+    """Symmetrize undirected (vec_a, vec_b, cos_sim) pairs into both
+    directions and keep each src's top-k by the (cos_sim DESC,
+    dst ASC) total order — the kNN-graph tail shared by the graph
+    keys. Default topk=0 resolves to KNN_K (defined below)."""
+    directed = scored.select(
+        F.col("vec_a").alias("src"),
+        F.col("vec_b").alias("dst"),
+        "cos_sim",
+    ).unionByName(
+        scored.select(
+            F.col("vec_b").alias("src"),
+            F.col("vec_a").alias("dst"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (topk or KNN_K))
+        .select("src", "rank", "dst", "cos_sim")
+    )
+
+
 _PAIR_COS = (
     # per-pair scoring over pre-quantized vectors: pure long
     # multiply-add inside codegen, then 3 correctly-rounded double ops
@@ -1271,93 +1398,10 @@ def sim_search_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
-    # quantize + norm + signature ONCE per vector into the persisted
-    # frame — banding and both join-backs read the cache (an
-    # un-persisted sig inlined under the explode would re-run the
-    # Arrow matmul per emitted band row; dedup_embedding_lsh's note)
-    with_q = (
+    with_q = signature_frame(
         emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
-        .select(
-            "vec_id",
-            "q",
-            descale(idot(F.col("q"), F.col("q"))).alias("nsq"),
-            _signature(F.col("q")).alias("sig"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .transform(track)
     )
-    with_q.count()
-    bands = with_q.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("sig"), b * LSH_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << LSH_BAND_BITS) - 1))
-                        .alias("bval"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bval")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    a = with_q.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("q").alias("qa"),
-        F.col("nsq").alias("na"),
-    )
-    b = with_q.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("q").alias("qb"),
-        F.col("nsq").alias("nb"),
-    )
-    scored = (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                descale(idot(F.col("qa"), F.col("qb")))
-                / F.sqrt(F.col("na") * F.col("nb"))
-            ).alias("cos_sim"),
-        )
-    )
-    directed = scored.select(
-        F.col("vec_a").alias("src"),
-        F.col("vec_b").alias("dst"),
-        "cos_sim",
-    ).unionByName(
-        scored.select(
-            F.col("vec_b").alias("src"),
-            F.col("vec_a").alias("dst"),
-            "cos_sim",
-        )
-    )
-    w = Window.partitionBy("src").orderBy(
-        F.col("cos_sim").desc(), F.col("dst").asc()
-    )
-    return (
-        directed.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= KNN_K)
-        .select("src", "rank", "dst", "cos_sim")
-    )
+    return knn_rank_directed(banded_scored_pairs(with_q))
 
 
 #: Incremental kNN split: every KNN_INC_MOD-th vector is the "new
@@ -1443,57 +1487,41 @@ def sim_search_knn_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread,
     )
 
-    base_dir = scratch_dir("knninc", sf_dir, "embeddings")
+    # the persisted index is a pure function of the band geometry, the
+    # hyperplane PRNG, quantize(), and the split modulus — bake the
+    # geometry into the kind so a future constants change keys a fresh
+    # build instead of serving signatures that disagree with the
+    # in-plan increment (the ZORDER_KIND staleness class; scratch_dir
+    # fingerprints INPUTS, never build code)
+    base_dir = scratch_dir(
+        f"knninc_b{LSH_BITS}x{LSH_BAND_BITS}_m{KNN_INC_MOD}_v1",
+        sf_dir,
+        "embeddings",
+    )
     index_dir, bands_dir = f"{base_dir}/index", f"{base_dir}/bands"
     emb = load_table(spark, sf_dir, "embeddings")
     is_inc = F.col("vec_id") % KNN_INC_MOD == 0
 
-    def with_q(df: DataFrame) -> DataFrame:
-        q = df.select("vec_id", quantize(F.col("embedding")).alias("q"))
-        return q.select(
-            "vec_id",
-            "q",
-            descale(idot(F.col("q"), F.col("q"))).alias("nsq"),
-            _signature(F.col("q")).alias("sig"),
+    def quantized(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id", quantize(F.col("embedding")).alias("q")
         )
 
-    def band_rows(df: DataFrame) -> DataFrame:
-        return df.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftrightunsigned(
-                                F.col("sig"), b * LSH_BAND_BITS
-                            )
-                            .bitwiseAND(F.lit((1 << LSH_BAND_BITS) - 1))
-                            .alias("bval"),
-                        )
-                        for b in range(LSH_BANDS)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("vec_id", "bb.band", "bb.bval")
-
     def build() -> None:
-        base_q = with_q(
-            _spread(emb.where(~is_inc), spark)
+        # untracked persist: the build materializes the index to
+        # parquet and unpersists immediately (signature_frame's
+        # cachekit tracking is for query-path frames)
+        base_q = _with_sig_cols(
+            quantized(_spread(emb.where(~is_inc), spark))
         ).persist(StorageLevel.MEMORY_AND_DISK)
         base_q.write.mode("overwrite").parquet(index_dir)
-        band_rows(base_q).write.mode("overwrite").parquet(bands_dir)
+        band_rows_of(base_q).write.mode("overwrite").parquet(bands_dir)
         base_q.unpersist()
 
     build_once(base_dir, build)
 
-    inc_q = (
-        with_q(_spread(emb.where(is_inc), spark))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .transform(track)
-    )
-    inc_q.count()
-    inc_bands = band_rows(inc_q)
+    inc_q = signature_frame(quantized(_spread(emb.where(is_inc), spark)))
+    inc_bands = band_rows_of(inc_q)
     base_bands = spark.read.parquet(bands_dir)
     cand = (
         inc_bands.alias("a")

@@ -65,6 +65,21 @@ def test_pass_totals_with_zero_passes_is_empty():
     assert bench.pass_totals_over_common_keys({"a": []}, 0) == []
 
 
+def test_budget_gate_two_pass_floor_and_min_comparison():
+    """The round-10 replay (code-review finding): a 614s loaded pass 1
+    under a 900s budget MUST still get its recovery pass — a
+    single-pass median IS the contaminated pass. And the gate for
+    pass 3+ compares against the CHEAPEST pass (can an uncontaminated
+    pass still fit?), not the most expensive one."""
+    # pass 2 always starts, however slow pass 1 was
+    assert bench.should_start_pass([614.4], remaining_s=285.6)
+    # first pass trivially starts
+    assert bench.should_start_pass([], remaining_s=0.0)
+    # pass 3: gate on the cheapest pass so far
+    assert bench.should_start_pass([614.4, 331.7], remaining_s=332.0)
+    assert not bench.should_start_pass([614.4, 331.7], remaining_s=300.0)
+
+
 def test_infer_round_prefers_env(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "42")
     assert bench.infer_round() == 42
