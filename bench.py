@@ -42,7 +42,17 @@ so far (the optimistic estimate: can an uncontaminated pass still
 fit? comparing against the most expensive pass would let one slow
 pass both contaminate the record and block its own correction).
 Passes are never cut midway, so every reported total is a complete
-suite; the floor bounds worst-case wall at ~2x the slowest pass.
+suite; the floor bounds worst-case wall at ~2x the slowest pass, and
+is itself bounded by SPARK_GRAFT_BENCH_MAX_WALL_S (default 2x
+budget): a pass-1 wall already past the ceiling forfeits the forced
+recovery pass instead of overrunning the external runner's timeout.
+
+Provenance: both JSON lines carry "recorded_utc" and an "origin"
+marker ("explicit-round" when SPARK_GRAFT_BENCH_ROUND was set — the
+builder's headline protocol — else "inferred-round"), and an
+inferred-round run never overwrites an existing round sidecar: it
+diverts to BENCH_PERKEY_r{N}_new.json so the committed record and
+the later (e.g. driver post-commit) record both survive in git.
 
 Load honesty: os.getloadavg() is stamped into both JSON lines —
 "load_at_launch" plus a per-pass "loads" list — so a contaminated
@@ -106,6 +116,15 @@ KEYS = [k for k in os.environ.get("SPARK_GRAFT_BENCH_KEYS", "").split(",") if k]
 #: must degrade to median-of-fewer rather than risk an external
 #: runner's timeout producing NO record at all
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+#: absolute wall ceiling for the two-pass floor (r11 advisor): the
+#: floor exists so a loaded pass 1 cannot stand alone as a
+#: median-of-1 headline, but unbounded it could push total wall to
+#: ~2x a pathological pass and past an external runner's kill window
+#: — the exact no-record failure the budget prevents. Pass 2 is
+#: forced only while elapsed < MAX_WALL_S (default 2x budget).
+MAX_WALL_S = float(
+    os.environ.get("SPARK_GRAFT_BENCH_MAX_WALL_S", str(2 * BUDGET_S))
+)
 #: 1-min loadavg above which the harness delays the start (module
 #: docstring "Load honesty"); <=0 disables the gate
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0"))
@@ -127,7 +146,9 @@ def median(values: list[float]) -> float:
     return (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
-def should_start_pass(pass_costs: list[float], remaining_s: float) -> bool:
+def should_start_pass(
+    pass_costs: list[float], remaining_s: float, elapsed_s: float = 0.0
+) -> bool:
     """Budget gate for the NEXT pass (module docstring "Budget"):
     passes 1 and 2 always start — a single (possibly loaded) pass
     must never stand alone as a median-of-1 headline — and pass N>=3
@@ -135,9 +156,14 @@ def should_start_pass(pass_costs: list[float], remaining_s: float) -> bool:
     so far. Comparing against the most expensive pass would let one
     slow contaminated pass both become the record and block the
     recovery pass that corrects it (the round-10 replay: 614s loaded
-    pass 1 with a 900s budget must still get its second pass)."""
+    pass 1 with a 900s budget must still get its second pass).
+
+    The floor is BOUNDED by MAX_WALL_S (r11 advisor): a pathological
+    pass 1 longer than the absolute ceiling forfeits its recovery
+    pass rather than pushing total wall past the external runner's
+    kill window — a stamped single-pass record beats no record."""
     if len(pass_costs) < 2:
-        return True
+        return elapsed_s < MAX_WALL_S
     return remaining_s >= min(pass_costs)
 
 
@@ -170,6 +196,31 @@ def infer_round() -> int:
         if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
     ]
     return (max(seen) + 1) if seen else 0
+
+
+def sidecar_path() -> Path:
+    """Target for the per-key sidecar, clobber-guarded (r11 verdict
+    item 5 / advisor): an existing round sidecar is someone's
+    committed record — only a run that set SPARK_GRAFT_BENCH_ROUND
+    explicitly may overwrite it; an inferred-round run (the driver's
+    post-commit bench) diverts to a "_new" sibling so both records
+    survive in the tree."""
+    sidecar = REPO / f"BENCH_PERKEY_r{infer_round():02d}.json"
+    if sidecar.exists() and not os.environ.get(
+        "SPARK_GRAFT_BENCH_ROUND"
+    ):
+        diverted = sidecar.with_name(
+            sidecar.name.replace(".json", "_new.json")
+        )
+        print(
+            f"# bench sidecar: {sidecar.name} exists and "
+            "SPARK_GRAFT_BENCH_ROUND is unset — writing "
+            f"{diverted.name} instead of clobbering the committed "
+            "record",
+            file=sys.stderr,
+        )
+        return diverted
+    return sidecar
 
 
 def wait_for_quiet_host() -> tuple[float, float]:
@@ -213,8 +264,9 @@ def main() -> None:
     pass_costs: list[float] = []  # wall cost incl. failed-key time
     t_start = time.monotonic()
     for _pass in range(TOTAL_REPS):
-        remaining = BUDGET_S - (time.monotonic() - t_start)
-        if not should_start_pass(pass_costs, remaining):
+        elapsed = time.monotonic() - t_start
+        remaining = BUDGET_S - elapsed
+        if not should_start_pass(pass_costs, remaining, elapsed):
             print(
                 f"# bench budget: {remaining:.0f}s left < best "
                 f"pass {min(pass_costs):.0f}s; stopping at "
@@ -268,6 +320,19 @@ def main() -> None:
         "load_at_launch": round(load_at_launch, 2),
         "load_gate_waited_s": round(gate_waited, 1),
         "loads": pass_loads,
+        # provenance: who wrote this record and when (r11 verdict —
+        # the driver's post-commit run was indistinguishable from the
+        # builder's committed headline). "origin" is explicit only
+        # when the runner set SPARK_GRAFT_BENCH_ROUND (the builder's
+        # headline protocol); an unattributed run stamps "inferred".
+        "recorded_utc": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        ),
+        "origin": (
+            "explicit-round"
+            if os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+            else "inferred-round"
+        ),
     }
     # compact separators + 3-decimal seconds: the driver records only a
     # bounded tail of stdout, and the ~226-key payload must fit inside
@@ -296,8 +361,7 @@ def main() -> None:
     # short line below is the record of last resort).
     if not KEYS and sf_from_dir(SF_DIR) == 0.1:
         try:
-            sidecar = REPO / f"BENCH_PERKEY_r{infer_round():02d}.json"
-            sidecar.write_text(long_line + "\n")
+            sidecar_path().write_text(long_line + "\n")
         except OSError as exc:
             print(f"# bench sidecar write failed: {exc}", file=sys.stderr)
     # short always-fits summary line (see module docstring)

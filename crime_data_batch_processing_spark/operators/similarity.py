@@ -1514,9 +1514,17 @@ def sim_search_knn_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_q = _with_sig_cols(
             quantized(_spread(emb.where(~is_inc), spark))
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        base_q.write.mode("overwrite").parquet(index_dir)
-        band_rows_of(base_q).write.mode("overwrite").parquet(bands_dir)
-        base_q.unpersist()
+        try:
+            base_q.write.mode("overwrite").parquet(index_dir)
+            band_rows_of(base_q).write.mode("overwrite").parquet(
+                bands_dir
+            )
+        finally:
+            # unpersist even when a write throws (r11 advisor): this
+            # persist is deliberately untracked by cachekit, so a
+            # failed build would otherwise leak the MEMORY_AND_DISK
+            # frame across build_once retries
+            base_q.unpersist()
 
     build_once(base_dir, build)
 

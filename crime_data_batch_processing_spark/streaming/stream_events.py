@@ -1774,10 +1774,16 @@ def _decon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(DECON_GRAM_CAP + 1)
         .collect()
     )
-    assert len(bench_rows) <= DECON_GRAM_CAP, (
-        f"eval gram set overflowed DECON_GRAM_CAP={DECON_GRAM_CAP} — "
-        "an eval panel this large must not be broadcast silently"
-    )
+    # explicit raise, not `assert` (r11 advisor): under `python -O`
+    # asserts are stripped, which would silently re-enable the
+    # unbounded broadcast AND let the limit(CAP+1) truncate the gram
+    # set — the guard must survive optimized interpreters
+    if len(bench_rows) > DECON_GRAM_CAP:
+        raise RuntimeError(
+            f"eval gram set overflowed DECON_GRAM_CAP={DECON_GRAM_CAP}"
+            " — an eval panel this large must not be broadcast"
+            " silently"
+        )
     bench_bc = spark.sparkContext.broadcast(
         frozenset(r.g for r in bench_rows)
     )

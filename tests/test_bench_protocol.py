@@ -94,3 +94,48 @@ def test_infer_round_is_newest_record_plus_one(monkeypatch):
         int(p.stem.split("_r")[1]) for p in REPO.glob("BENCH_r*.json")
     )
     assert bench.infer_round() == newest + 1
+
+
+def test_two_pass_floor_bounded_by_max_wall(monkeypatch):
+    """The floor is bounded (r11 advisor): a pass 1 already past the
+    absolute wall ceiling forfeits its forced recovery pass instead
+    of pushing total wall to ~2x the pathological pass and past the
+    external runner's kill window — the no-record failure mode the
+    budget exists to prevent."""
+    monkeypatch.setattr(bench, "MAX_WALL_S", 1800.0)
+    # under the ceiling: the floor holds, however slow pass 1 was
+    assert bench.should_start_pass([1700.0], remaining_s=-800.0,
+                                   elapsed_s=1700.0)
+    # at/over the ceiling: no forced pass 2
+    assert not bench.should_start_pass([1850.0], remaining_s=-950.0,
+                                       elapsed_s=1850.0)
+    # the ceiling gates only the floor — pass 3+ stays on the
+    # cheapest-pass budget rule regardless of elapsed
+    assert bench.should_start_pass([600.0, 200.0], remaining_s=250.0,
+                                   elapsed_s=1900.0)
+
+
+def test_max_wall_defaults_to_twice_budget():
+    assert bench.MAX_WALL_S == 2 * bench.BUDGET_S
+
+
+def test_sidecar_diverts_instead_of_clobbering(monkeypatch, tmp_path):
+    """An inferred-round run must never overwrite an existing (i.e.
+    committed) BENCH_PERKEY_r{N}.json — it diverts to the _new
+    sibling; an explicit SPARK_GRAFT_BENCH_ROUND keeps the canonical
+    target (the builder's headline protocol)."""
+    monkeypatch.setattr(bench, "REPO", tmp_path)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "12")
+    committed = tmp_path / "BENCH_PERKEY_r12.json"
+    # explicit round, nothing on disk -> canonical name
+    assert bench.sidecar_path() == committed
+    committed.write_text("{}\n")
+    # explicit round may overwrite its own record
+    assert bench.sidecar_path() == committed
+    # inferred round with the record already committed -> divert
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ROUND")
+    (tmp_path / "BENCH_r11.json").write_text("{}\n")
+    assert bench.sidecar_path().name == "BENCH_PERKEY_r12_new.json"
+    # inferred round, no existing record -> canonical name
+    committed.unlink()
+    assert bench.sidecar_path() == committed
