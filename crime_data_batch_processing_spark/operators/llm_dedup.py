@@ -1022,6 +1022,101 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_knn_inc_prod() -> str:
+    """Full-value DuckDB oracle for `sim_search_knn_inc_prod`: the
+    union-replay form — signature and bands over the WHOLE planted
+    corpus once (persisted index and in-plan increment produce the
+    same integers by construction), i.e. the shared prod kNN-graph
+    chain restricted to the increment's sources. The restriction IS
+    the key's contract: the per-src rank window never mixes sources,
+    so the full graph cut to src >= PLANT_OFFSET equals
+    index-plus-probe edge-for-edge (the inc-equals-rebuild invariant,
+    also pinned as a Spark-vs-Spark test)."""
+    return f"""
+    WITH {_sql_knn_graph_prod_ctes()}
+    SELECT src, rank, dst, cos_sim FROM ranked
+    WHERE src >= {PLANT_OFFSET}
+    """
+
+
+@query("sim_search_knn_inc_prod", oracle=_sql_knn_inc_prod())
+def sim_search_knn_inc_prod(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL kNN at the PRODUCTION band geometry — the scale
+    rung the r11 BASELINE soak adjudication names as "the path" for
+    graph maintenance (the weak 18-bit/6×3 incremental key carries a
+    measured candidate-mass caveat; these 64-bit/8×8 constants hold
+    3.7–3.8% candidate mass and complete every soak tier).
+
+    The ingest story is the planted corpus's own: the persisted
+    signature index covers the already-ingested base corpus, and the
+    "newly ingested batch" is the planted near-duplicate copies
+    (vec_id >= PLANT_OFFSET) — a crawl increment that re-collects
+    near-identical content, exactly what an incremental semantic
+    index exists to catch. The probe finds each copy's source IN THE
+    INDEX at cos ≈ 0.9999 (rank-1, asserted in tests) at
+    O(increment × collision fan-in), never re-running the corpus
+    self-join.
+
+    Pure composition of verified kernels: `_planted_quantized` (the
+    prod family's corpus), `_with_sig_cols`/`band_rows_of` at the
+    prod constants for the persisted index (built once per testdata
+    generation, appended on real ingests), and the shared
+    `knn_inc_probe` (similarity.py — the same probe
+    `sim_search_knn_inc` runs at weak geometry). The scratch kind
+    bakes geometry, plant cadence, and offset so any constants
+    change keys a fresh index build instead of serving stale
+    signatures (the ZORDER_KIND staleness class)."""
+    from crime_data_batch_processing_spark.fixtures import (
+        build_once,
+        scratch_dir,
+    )
+    from crime_data_batch_processing_spark.operators.similarity import (
+        _with_sig_cols,
+        band_rows_of,
+        knn_inc_probe,
+        signature_frame,
+    )
+
+    base_dir = scratch_dir(
+        f"knninc_prod_b{PROD_LSH_BITS}x{PROD_LSH_BAND_BITS}"
+        f"_p{PLANT_EVERY}o{PLANT_OFFSET}_v1",
+        sf_dir,
+        "embeddings",
+    )
+    index_dir, bands_dir = f"{base_dir}/index", f"{base_dir}/bands"
+    corpus = _planted_quantized(
+        _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    )
+    is_inc = F.col("vec_id") >= PLANT_OFFSET
+
+    def build() -> None:
+        # untracked persist, unpersisted in finally (the
+        # sim_search_knn_inc build contract): the build materializes
+        # to parquet; cachekit tracking is for query-path frames
+        base_q = _with_sig_cols(
+            corpus.where(~is_inc), bits=PROD_LSH_BITS
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            base_q.write.mode("overwrite").parquet(index_dir)
+            band_rows_of(
+                base_q, PROD_LSH_BANDS, PROD_LSH_BAND_BITS
+            ).write.mode("overwrite").parquet(bands_dir)
+        finally:
+            base_q.unpersist()
+
+    build_once(base_dir, build)
+    inc_q = signature_frame(corpus.where(is_inc), bits=PROD_LSH_BITS)
+    return knn_inc_probe(
+        inc_q,
+        spark.read.parquet(index_dir),
+        spark.read.parquet(bands_dir),
+        PROD_LSH_BANDS,
+        PROD_LSH_BAND_BITS,
+    )
+
+
 #: Safety bound for label propagation — near-dup components are
 #: shallow (diameter ≈ cluster size, and clusters are small), so
 #: convergence is typically 2-4 rounds; 20 means "something is wrong".

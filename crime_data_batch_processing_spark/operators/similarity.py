@@ -270,6 +270,91 @@ def knn_rank_directed(scored, topk: int = 0):
     )
 
 
+def knn_inc_probe(
+    inc_q: DataFrame,
+    base_q: DataFrame,
+    base_bands: DataFrame,
+    bands: int = LSH_BANDS,
+    band_bits: int = LSH_BAND_BITS,
+    topk: int = 0,
+) -> DataFrame:
+    """The incremental kNN probe shared by `sim_search_knn_inc` (weak
+    geometry, modulus split) and `sim_search_knn_inc_prod` (production
+    geometry, planted-ingest split): given the increment's signature
+    frame `inc_q` (vec_id, q, nsq, sig — a `signature_frame`), the
+    persisted index rows `base_q` (same columns) and the index's
+    exploded `base_bands` (vec_id, band, bval), compute the
+    increment's top-k edges WITHOUT re-running the corpus self-join.
+
+    Candidates = increment band rows hash-joined against the index's
+    band rows (new→corpus) plus a self-join of the increment's own
+    tiny band set (new→new), deduped on (src, dst); exact-cosine
+    re-rank fetches vectors by key join from index ∪ increment; the
+    per-source top-k cut runs under WindowGroupLimit. Because index
+    and probe share the same `_signature` integers, the increment's
+    edges equal what a full rebuild would assign those sources — the
+    invariant the inc-equals-rebuild tests pin for both geometries.
+    """
+    inc_bands = band_rows_of(inc_q, bands, band_bits)
+    cand = (
+        inc_bands.alias("a")
+        .join(
+            base_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+        )
+        .unionByName(
+            inc_bands.alias("a")
+            .join(
+                inc_bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bval") == F.col("b.bval"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("dst"),
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    all_q = base_q.unionByName(inc_q)
+    a = inc_q.select(
+        F.col("vec_id").alias("src"),
+        F.col("q").alias("qa"),
+        F.col("nsq").alias("na"),
+    )
+    b = all_q.select(
+        F.col("vec_id").alias("dst"),
+        F.col("q").alias("qb"),
+        F.col("nsq").alias("nb"),
+    )
+    scored = (
+        cand.join(a, "src")
+        .join(b, "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                descale(idot(F.col("qa"), F.col("qb")))
+                / F.sqrt(F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (topk or KNN_K))
+        .select("src", "rank", "dst", "cos_sim")
+    )
+
+
 _PAIR_COS = (
     # per-pair scoring over pre-quantized vectors: pure long
     # multiply-add inside codegen, then 3 correctly-rounded double ops
@@ -1529,62 +1614,8 @@ def sim_search_knn_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_once(base_dir, build)
 
     inc_q = signature_frame(quantized(_spread(emb.where(is_inc), spark)))
-    inc_bands = band_rows_of(inc_q)
-    base_bands = spark.read.parquet(bands_dir)
-    cand = (
-        inc_bands.alias("a")
-        .join(
-            base_bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval")),
-        )
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-        )
-        .unionByName(
-            inc_bands.alias("a")
-            .join(
-                inc_bands.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bval") == F.col("b.bval"))
-                & (F.col("a.vec_id") != F.col("b.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("src"),
-                F.col("b.vec_id").alias("dst"),
-            )
-        )
-        .dropDuplicates(["src", "dst"])
-    )
-    all_q = spark.read.parquet(index_dir).unionByName(inc_q)
-    a = inc_q.select(
-        F.col("vec_id").alias("src"),
-        F.col("q").alias("qa"),
-        F.col("nsq").alias("na"),
-    )
-    b = all_q.select(
-        F.col("vec_id").alias("dst"),
-        F.col("q").alias("qb"),
-        F.col("nsq").alias("nb"),
-    )
-    scored = (
-        cand.join(a, "src")
-        .join(b, "dst")
-        .select(
-            "src",
-            "dst",
-            (
-                descale(idot(F.col("qa"), F.col("qb")))
-                / F.sqrt(F.col("na") * F.col("nb"))
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("src").orderBy(
-        F.col("cos_sim").desc(), F.col("dst").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= KNN_K)
-        .select("src", "rank", "dst", "cos_sim")
+    return knn_inc_probe(
+        inc_q,
+        spark.read.parquet(index_dir),
+        spark.read.parquet(bands_dir),
     )

@@ -365,6 +365,60 @@ class TestSimilarity:
             back = rank1[r.dst]
             assert back.dst == s, (r.dst, back)
 
+    def test_knn_inc_prod_equals_full_rebuild_restriction(
+        self, spark, sf_dir
+    ):
+        """The PRODUCTION-geometry incremental probe must assign the
+        ingested batch (the planted copies) exactly the edges the
+        full prod-graph rebuild gives those sources — the
+        inc-equals-rebuild invariant at the 64-bit/8×8 constants
+        (the weak-geometry twin above, restated for the scale
+        rung)."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_OFFSET,
+            sim_search_knn_graph_prod,
+            sim_search_knn_inc_prod,
+        )
+
+        inc = {
+            (r.src, r.rank, r.dst, r.cos_sim)
+            for r in sim_search_knn_inc_prod(spark, sf_dir).collect()
+        }
+        full = {
+            (r.src, r.rank, r.dst, r.cos_sim)
+            for r in sim_search_knn_graph_prod(spark, sf_dir).collect()
+            if r.src >= PLANT_OFFSET
+        }
+        assert inc, "no incremental edges"
+        assert inc == full, (
+            f"incremental/rebuild divergence: {sorted(inc ^ full)[:4]}"
+        )
+
+    def test_knn_inc_prod_probe_finds_sources_in_index(
+        self, spark, sf_dir
+    ):
+        """The ingest story's ground truth: every newly ingested
+        planted copy's rank-1 neighbor is its SOURCE, found in the
+        persisted index at cos ≈ 0.9999 — the re-collected-content
+        catch an incremental semantic index exists for."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_EVERY,
+            PLANT_OFFSET,
+            sim_search_knn_inc_prod,
+        )
+
+        rows = sim_search_knn_inc_prod(spark, sf_dir).collect()
+        assert rows, "no probe edges"
+        srcs = {r.src for r in rows}
+        assert all(s >= PLANT_OFFSET for s in srcs), (
+            "probe emitted a non-increment source"
+        )
+        rank1 = {r.src: r for r in rows if r.rank == 1}
+        assert set(rank1) == srcs, "a source lost its rank-1 edge"
+        for s, r in rank1.items():
+            assert r.dst == s - PLANT_OFFSET, (s, r)
+            assert r.cos_sim > 0.99, (s, r)
+
     def test_semantic_dedup_drops_exactly_the_planted_copies(
         self, spark, sf_dir
     ):
