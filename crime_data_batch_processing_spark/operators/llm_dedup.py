@@ -940,25 +940,72 @@ def sim_search_knn_graph_prod(
 SEMDEDUP_TAU = 0.9
 
 
-def _sql_semantic_dedup() -> str:
-    """Full-value DuckDB oracle for `dedup_semantic`: the shared prod
-    kNN-graph chain, then per src the MINIMUM lower-id neighbor at
-    cos ≥ TAU as the drop witness, left-joined onto the full corpus.
-    Sentinels (-1 / 0.0) instead of NULLs for kept rows: a nullable
-    int column round-trips float64 in pandas and breaks the driver's
-    hash compare (the sim_search_rrf lesson)."""
-    return f"""
-    WITH {_sql_knn_graph_prod_ctes()},
-    witness AS (
+def sql_semantic_witness_cte(tau: float) -> str:
+    """Shared `witness` CTE of the SemDeDup verdict (the SQL twin of
+    `semantic_verdict`): per src, the MINIMUM lower-id neighbor at
+    cos ≥ tau as the drop witness. Expects a `ranked(src, rank, dst,
+    cos_sim)` CTE in scope (either geometry's kNN-graph chain). Used
+    by the `dedup_semantic` and `pipeline_release_semantic`
+    oracles."""
+    return f"""witness AS (
         SELECT src AS vec_id, dst AS witness_id, cos_sim AS witness_cos
         FROM (
             SELECT src, dst, cos_sim,
                    ROW_NUMBER() OVER (PARTITION BY src
                                       ORDER BY dst ASC) AS rn
             FROM ranked
-            WHERE cos_sim >= {SEMDEDUP_TAU} AND dst < src
+            WHERE cos_sim >= {tau} AND dst < src
         ) WHERE rn = 1
+    )"""
+
+
+def semantic_verdict(
+    graph: DataFrame, corpus_ids: DataFrame, tau: float
+) -> DataFrame:
+    """The SemDeDup keep/drop decision over a kNN edge frame — ONE
+    definition for both geometries: drop a member when any of its
+    graph neighbors sits at cosine ≥ tau with a LOWER id (keep-first),
+    and report the witness (the smallest such neighbor and its
+    cosine). `graph` is a `(src, rank, dst, cos_sim)` frame (either
+    `sim_search_knn_graph*` key); `corpus_ids` is a 1-column
+    (vec_id) frame of every member the verdict must cover. Decisions
+    consult ONLY the k·N graph edges, so the stage is O(k·N)
+    regardless of corpus size; kept rows carry sentinels (-1/0.0)
+    instead of NULLs (nullable ints round-trip float64 in pandas and
+    break the driver compare)."""
+    qual = graph.where(
+        (F.col("cos_sim") >= tau) & (F.col("dst") < F.col("src"))
     )
+    w = Window.partitionBy("src").orderBy(F.asc("dst"))
+    witness = (
+        qual.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("witness_id"),
+            F.col("cos_sim").alias("witness_cos"),
+        )
+    )
+    return corpus_ids.join(witness, "vec_id", "left").select(
+        "vec_id",
+        F.col("witness_id").isNull().alias("kept"),
+        F.coalesce("witness_id", F.lit(-1))
+        .cast("long")
+        .alias("witness_id"),
+        F.coalesce("witness_cos", F.lit(0.0)).alias("witness_cos"),
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    """Full-value DuckDB oracle for `dedup_semantic`: the shared prod
+    kNN-graph chain, the shared witness CTE (see
+    `sql_semantic_witness_cte`), left-joined onto the full corpus.
+    Sentinels (-1 / 0.0) instead of NULLs for kept rows: a nullable
+    int column round-trips float64 in pandas and breaks the driver's
+    hash compare (the sim_search_rrf lesson)."""
+    return f"""
+    WITH {_sql_knn_graph_prod_ctes()},
+    {sql_semantic_witness_cte(SEMDEDUP_TAU)}
     SELECT c.vec_id,
            (w.vec_id IS NULL) AS kept,
            CAST(COALESCE(w.witness_id, -1) AS BIGINT) AS witness_id,
@@ -996,29 +1043,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     these k — while staying one lazy plan over already-verified
     machinery.
     """
-    graph = sim_search_knn_graph_prod(spark, sf_dir)
-    qual = graph.where(
-        (F.col("cos_sim") >= SEMDEDUP_TAU)
-        & (F.col("dst") < F.col("src"))
-    )
-    w = Window.partitionBy("src").orderBy(F.asc("dst"))
-    witness = (
-        qual.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("src").alias("vec_id"),
-            F.col("dst").alias("witness_id"),
-            F.col("cos_sim").alias("witness_cos"),
-        )
-    )
     corpus_ids = _planted_quantized(
         load_table(spark, sf_dir, "embeddings")
     ).select("vec_id")
-    return corpus_ids.join(witness, "vec_id", "left").select(
-        "vec_id",
-        F.col("witness_id").isNull().alias("kept"),
-        F.coalesce("witness_id", F.lit(-1)).cast("long").alias("witness_id"),
-        F.coalesce("witness_cos", F.lit(0.0)).alias("witness_cos"),
+    return semantic_verdict(
+        sim_search_knn_graph_prod(spark, sf_dir),
+        corpus_ids,
+        SEMDEDUP_TAU,
     )
 
 

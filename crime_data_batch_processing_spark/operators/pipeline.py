@@ -60,9 +60,12 @@ from crime_data_batch_processing_spark.operators.chunking import (
 from crime_data_batch_processing_spark.operators.llm_dedup import (
     _SQL_PAIR_BASE,
     BENCH_MOD,
+    COSINE_THRESHOLD,
     DECON_K,
     JACCARD_THRESHOLD,
     dedup_ngram_jaccard,
+    semantic_verdict,
+    sql_semantic_witness_cte,
     text_decontaminate,
 )
 from crime_data_batch_processing_spark.registry import query
@@ -908,6 +911,257 @@ def pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         "n_flagged",
+        (
+            F.col("n_docs").cast("double")
+            / F.col("grand_total").cast("double")
+        ).alias("doc_share"),
+        "release_digest",
+    )
+
+
+#: Semantic-dedup threshold for the RELEASE pipeline: this corpus's
+#: semantic-duplicate regime sits at cosine 0.4-0.6 (the same
+#: adjudication behind `dedup_embedding`'s COSINE_THRESHOLD and the
+#: weak band geometry's existence) — at the production SEMDEDUP_TAU
+#: of 0.9 NOT ONE real document pairs up (corpus max true cosine
+#: 0.60), so a release gated there would ship a vacuous semantic
+#: stage. The verdict kernel and the keep-first witness rule are
+#: identical at both thresholds; only the regime constant flips,
+#: exactly as the band geometry does between the weak and prod kNN
+#: keys.
+RELEASE_SEMDEDUP_TAU = COSINE_THRESHOLD
+
+
+def _sql_release_semantic() -> str:
+    """Full-value DuckDB oracle for `pipeline_release_semantic`: the
+    weak-geometry kNN-graph chain + the shared SemDeDup witness CTE
+    (the drop verdict), then `pipeline_release`'s quality → exact
+    keep-first dedup → decon-gate → per-language card CTEs with the
+    semantic stage spliced between dedup and the gate."""
+    from crime_data_batch_processing_spark.operators.similarity import (
+        sql_knn_graph_ctes,
+    )
+
+    return f"""
+    WITH {sql_knn_graph_ctes()},
+    {sql_semantic_witness_cte(RELEASE_SEMDEDUP_TAU)},
+    qsh AS (
+        SELECT DISTINCT unnest({sql_shingles('text', DECON_K)}) AS g
+        FROM documents WHERE doc_id % {BENCH_MOD} = 0
+    ), contaminated AS (
+        SELECT DISTINCT e.doc_id
+        FROM (SELECT doc_id, unnest({sql_shingles('text', DECON_K)}) AS g
+              FROM documents WHERE doc_id % {BENCH_MOD} <> 0) e
+        JOIN qsh q ON e.g = q.g
+    ), kept AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_toks
+        FROM documents
+        WHERE doc_id % {BENCH_MOD} <> 0
+          AND ({QM_BIAS}
+               + {QM_W_TOKENS} * len(string_split(text, ' '))
+               + {QM_W_STOP} * len(list_filter(string_split(text, ' '),
+                                               t -> t IN ('the', 'a')))
+               + {QM_W_DISTINCT}
+                   * len(list_distinct(string_split(text, ' ')))
+               + {QM_W_LONG} * len(list_filter(string_split(text, ' '),
+                                               t -> len(t) > 12)))
+              >= {QM_THRESHOLD}
+    ), dedup AS (
+        SELECT k.doc_id, k.lang, k.n_toks FROM kept k
+        WHERE k.doc_id = (SELECT MIN(k2.doc_id) FROM kept k2
+                          WHERE md5(k2.text) = md5(k.text))
+    ), clean AS (
+        SELECT d.doc_id, d.lang, d.n_toks,
+               (d.doc_id IN (SELECT vec_id FROM witness)) AS sem,
+               (d.doc_id IN (SELECT doc_id FROM contaminated)) AS fl
+        FROM dedup d
+    ), per AS (
+        SELECT lang,
+               CAST(SUM(CASE WHEN NOT sem AND NOT fl THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN NOT sem AND NOT fl THEN n_toks
+                             ELSE 0 END) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN NOT sem AND fl THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               CAST(SUM(CASE WHEN sem THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_semantic
+        FROM clean GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS grand_total,
+               md5(string_agg(
+                   lang || ':' || n_docs || ':' || n_tokens, '|'
+                   ORDER BY lang)) AS release_digest
+        FROM per
+    )
+    SELECT lang, n_docs, n_tokens, n_flagged, n_semantic,
+           CAST(n_docs AS DOUBLE) / CAST(grand_total AS DOUBLE)
+               AS doc_share,
+           release_digest
+    FROM per, tot
+    """
+
+
+@query("pipeline_release_semantic", oracle=_sql_release_semantic())
+def pipeline_release_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`pipeline_release` with the SEMANTIC dedup stage a SemDeDup
+    curation pass actually ships (the r11 verdict's item 3): quality
+    gate → exact keep-first dedup → **semantic keep/drop verdict**
+    (`semantic_verdict`, the `dedup_semantic` kernel, consumed over
+    the corpus kNN graph at the corpus's semantic-duplicate regime —
+    see RELEASE_SEMDEDUP_TAU) → decontamination gate → per-language
+    dataset card + release digest, ONE lazy plan.
+
+    Stage order is the curation pipeline's: semantic drops are
+    removed BEFORE the decon gate (a semantically-deduplicated doc
+    never reaches the gate, so n_flagged counts semantic survivors
+    only), and the card gains an `n_semantic` column — per language,
+    how many exact-dedup survivors the semantic verdict removed.
+    At sf0.01 the verdict drops 40 of 500 docs (measured, not
+    incidental): the semantic stage does real work on driver data,
+    which is what makes this key's oracle non-vacuous. The digest
+    stays md5 over (lang, n_docs, n_tokens) in lang order — the pin
+    now covers WHAT SHIPS AFTER semantic curation, so two engines or
+    two sites disagreeing on one drop verdict produce different
+    digests (the reproducibility property the digest exists for).
+
+    Composition of verified kernels only: the weak-geometry corpus
+    kNN graph (`sim_search_knn_graph` — the SemDeDup input shape),
+    the shared `semantic_verdict` kernel (llm_dedup), and
+    `pipeline_release`'s quality/dedup/gate/card/digest stages.
+    Scale shape adds ONE k·N-bounded branch to `pipeline_release`'s:
+    the graph build (linear in corpus + band collisions), the O(k·N)
+    verdict window, and a broadcast-sized semantic-drop join against
+    the manifest — the card aggregate and digest broadcast are
+    unchanged.
+    """
+    from crime_data_batch_processing_spark.operators.similarity import (
+        sim_search_knn_graph,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+
+    # persisted: the shingle arrays feed both the bench-gram branch
+    # and the corpus probe (the text_decontaminate explode lesson)
+    with_sh = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles_of(F.col("toks"), DECON_K).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
+    qgrams = (
+        with_sh.where(is_bench)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        with_sh.where(~is_bench)
+        .select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(qgrams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+
+    toks = tokens("text")
+    logit = (
+        F.lit(QM_BIAS)
+        + F.lit(QM_W_TOKENS) * F.size(toks)
+        + F.lit(QM_W_STOP)
+        * F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+        + F.lit(QM_W_DISTINCT) * F.size(F.array_distinct(toks))
+        + F.lit(QM_W_LONG)
+        * F.size(F.filter(toks, lambda t: F.length(t) > 12))
+    )
+    kept = docs.where(~is_bench).where(logit >= QM_THRESHOLD).select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("digest"),
+        F.size(tokens("text")).alias("n_toks"),
+    )
+    first = kept.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    dedup = (
+        kept.join(first, "digest")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "n_toks")
+    )
+
+    # the SEMANTIC stage: the dedup_semantic keep/drop verdict over
+    # the corpus kNN graph, consumed as a broadcast-sized drop list
+    # (drops are a small fraction of the corpus by construction —
+    # they are the duplicates)
+    verdict = semantic_verdict(
+        sim_search_knn_graph(spark, sf_dir),
+        load_table(spark, sf_dir, "embeddings").select("vec_id"),
+        RELEASE_SEMDEDUP_TAU,
+    )
+    sem_drops = (
+        verdict.where(~F.col("kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("sem_", F.lit(True))
+    )
+
+    clean = (
+        dedup.join(F.broadcast(sem_drops), "doc_id", "left")
+        .join(
+            contaminated.withColumn("fl_", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "lang",
+            "n_toks",
+            F.coalesce("sem_", F.lit(False)).alias("sem"),
+            F.coalesce("fl_", F.lit(False)).alias("fl"),
+        )
+    )
+    per = clean.groupBy("lang").agg(
+        F.sum(F.when(~F.col("sem") & ~F.col("fl"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs"),
+        F.sum(
+            F.when(~F.col("sem") & ~F.col("fl"), F.col("n_toks"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(F.when(~F.col("sem") & F.col("fl"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("sem"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_semantic"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("grand_total"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("lang", "n_docs", "n_tokens")
+                            )
+                        ),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s["lang"],
+                            s["n_docs"].cast("string"),
+                            s["n_tokens"].cast("string"),
+                        ),
+                    ),
+                ),
+                "UTF-8",
+            )
+        ).alias("release_digest"),
+    )
+    return with_scalars(per, tot).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_flagged",
+        "n_semantic",
         (
             F.col("n_docs").cast("double")
             / F.col("grand_total").cast("double")

@@ -1403,14 +1403,15 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 8
 
 
-def _sql_knn_graph() -> str:
-    """Full-value DuckDB oracle for `sim_search_knn_graph`: replay the
-    signature → banding → bucket-collision candidates → exact-cosine
-    scoring (the `dedup_embedding_lsh` pipeline verbatim), then
-    symmetrize each undirected candidate pair into both directions and
-    keep every vector's top-KNN_K by (cos_sim DESC, dst ASC)."""
-    return f"""
-    WITH q AS (
+def sql_knn_graph_ctes() -> str:
+    """Shared WITH-body for the WEAK-geometry kNN graph (signature →
+    banding → bucket-collision candidates → exact-cosine scoring —
+    the `dedup_embedding_lsh` pipeline verbatim — symmetrized and
+    ranked into `ranked(src, rank, dst, cos_sim)`). Used by the
+    `sim_search_knn_graph` oracle and, as the edge input, by
+    `pipeline_release_semantic`'s — the weak twin of llm_dedup's
+    `_sql_knn_graph_prod_ctes`."""
+    return f"""q AS (
         SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS qe
         FROM embeddings
     ), sig AS (
@@ -1431,13 +1432,23 @@ def _sql_knn_graph() -> str:
         SELECT vec_a AS src, vec_b AS dst, cos_sim FROM scored
         UNION ALL
         SELECT vec_b AS src, vec_a AS dst, cos_sim FROM scored
-    )
-    SELECT src, rank, dst, cos_sim FROM (
-        SELECT src, dst, cos_sim,
-               ROW_NUMBER() OVER (PARTITION BY src
-                                  ORDER BY cos_sim DESC, dst ASC) AS rank
-        FROM directed
-    ) WHERE rank <= {KNN_K}
+    ), ranked AS (
+        SELECT src, rank, dst, cos_sim FROM (
+            SELECT src, dst, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY cos_sim DESC, dst ASC)
+                       AS rank
+            FROM directed
+        ) WHERE rank <= {KNN_K}
+    )"""
+
+
+def _sql_knn_graph() -> str:
+    """Full-value DuckDB oracle for `sim_search_knn_graph`: the
+    shared weak-geometry chain (see `sql_knn_graph_ctes`), whole."""
+    return f"""
+    WITH {sql_knn_graph_ctes()}
+    SELECT src, rank, dst, cos_sim FROM ranked
     """
 
 

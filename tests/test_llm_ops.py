@@ -1168,6 +1168,95 @@ class TestRelease:
         assert got_total == expected
 
 
+class TestReleaseSemantic:
+    def test_semantic_release_digest_reproducible_and_card_consistent(
+        self, spark, sf_dir
+    ):
+        """The semantic release's digest must be exactly md5 over the
+        lang-ordered (lang, n_docs, n_tokens) rows of the
+        POST-SEMANTIC card (recomputed in pure Python — pins the
+        formula both engines replay), shared across rows; doc_share
+        sums to 1; and the semantic stage must do real work on this
+        corpus (Σ n_semantic > 0 — a vacuous stage would make the
+        oracle compare prove nothing)."""
+        import hashlib
+
+        from crime_data_batch_processing_spark.operators.pipeline import (
+            pipeline_release_semantic,
+        )
+
+        rows = pipeline_release_semantic(spark, sf_dir).collect()
+        assert len(rows) > 1
+        assert sum(r.n_semantic for r in rows) > 0, (
+            "semantic stage dropped nothing — vacuous on this corpus"
+        )
+        digests = {r.release_digest for r in rows}
+        assert len(digests) == 1
+        expected = hashlib.md5(
+            "|".join(
+                f"{r.lang}:{r.n_docs}:{r.n_tokens}"
+                for r in sorted(rows, key=lambda r: r.lang)
+            ).encode()
+        ).hexdigest()
+        assert digests == {expected}
+        assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-12
+
+    def test_semantic_release_consistent_with_plain_release(
+        self, spark, sf_dir
+    ):
+        """Cross-kernel consistency: the semantic card partitions the
+        SAME survivor set the plain release card partitions — per
+        language, n_docs + n_flagged + n_semantic (semantic) must
+        equal n_docs + n_flagged (plain), and the semantic drop count
+        per language must equal the `semantic_verdict` drops
+        restricted to that language's exact-dedup survivors."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            semantic_verdict,
+        )
+        from crime_data_batch_processing_spark.operators.pipeline import (
+            RELEASE_SEMDEDUP_TAU,
+            pipeline_release,
+            pipeline_release_semantic,
+        )
+        from crime_data_batch_processing_spark.operators.similarity import (
+            sim_search_knn_graph,
+        )
+        from crime_data_batch_processing_spark.sources.tables import (
+            load_table,
+        )
+
+        sem = {
+            r.lang: r
+            for r in pipeline_release_semantic(spark, sf_dir).collect()
+        }
+        plain = {
+            r.lang: r for r in pipeline_release(spark, sf_dir).collect()
+        }
+        assert set(sem) == set(plain)
+        for lang, s in sem.items():
+            p = plain[lang]
+            assert (
+                s.n_docs + s.n_flagged + s.n_semantic
+                == p.n_docs + p.n_flagged
+            ), lang
+
+        drops = {
+            r.vec_id
+            for r in semantic_verdict(
+                sim_search_knn_graph(spark, sf_dir),
+                load_table(spark, sf_dir, "embeddings").select("vec_id"),
+                RELEASE_SEMDEDUP_TAU,
+            )
+            .where(~F.col("kept"))
+            .collect()
+        }
+        assert drops, "verdict dropped nothing at the release tau"
+        total_sem = sum(s.n_semantic for s in sem.values())
+        # every semantic drop in the card IS a verdict drop; the card
+        # counts only exact-dedup survivors, so <= the verdict total
+        assert 0 < total_sem <= len(drops)
+
+
 class TestHardNegatives:
     def test_no_returned_negative_shares_a_gram(self, spark, sf_dir):
         """The whole point of the exclusion: no mined negative may
