@@ -644,3 +644,259 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, frame_idx long, chunk_idx long,"
         " frame_len long, frame_sum long",
     )
+
+
+#: `multimodal_dedup_semantic`: SEMANTIC near-dup detection for media
+#: payloads — the capability `multimodal_dedup` (byte-digest EXACT
+#: dedup above) cannot provide: a re-uploaded image that differs by
+#: one byte has a different md5 but the same content.
+#:
+#: Feature space — SIGN-TRICK FEATURE HASHING (Weinberger et al.) of
+#: byte MEDIA_GRAM_K-grams into a MEDIA_EMBED_BINS-dim signed
+#: histogram: each K-gram's rolling hash (progressive *31 mod 2^31 —
+#: every intermediate stays in int64 in BOTH engines) is mixed
+#: (Knuth multiplicative, mod 2^32), the mix selects a bucket AND a
+#: ±1 sign, and the doc's vector is the signed bucket sum. The sign
+#: trick makes the hashed dot an UNBIASED estimator of the sparse
+#: K-gram dot — which is what kills the failure mode measured before
+#: this design was chosen: unsigned histograms (byte unigrams OR
+#: low-order n-grams) of same-generator payloads fold thousands of
+#: common grams into 64 always-positive buckets and ALL sit at
+#: cosine 0.8-0.999, putting 30-52% of all pairs in LSH collision
+#: (quadratic). Measured on driver data (sf0.1, 5250 payloads):
+#: unigram-centered 0.9999 natural max; bigram-centered 52% candidate
+#: mass; K=10 sign-trick → 4.6% candidate mass with natural p99
+#: cosine 0.34 — the production family's pruning regime. BINS equals
+#: EMBED_DIM so the vector reuses the SAME deterministic dim-64
+#: hyperplanes and the production 64-bit/8×8 band geometry as the
+#: `dedup_embedding_lsh_prod` family.
+#:
+#: Planted ground truth (the media twin of llm_dedup's PLANT_*):
+#: every PLANT_EVERY-th payload is "re-uploaded" with a single
+#: trailing space at doc_id + PLANT_OFFSET; the K-gram delta is ~K
+#: grams out of hundreds, so planted pairs sit at cos ≥ 0.985 and —
+#: replayed through the exact signature math in numpy at sf0.001,
+#: sf0.01, and sf0.1 — collide in ≥1 band deterministically (recall
+#: 1.0, asserted in tests). Natural pairs above the threshold are
+#: genuine byte-space near-dups (this corpus contains them by
+#: construction) and are found too.
+#:
+#: Int64 bounds: |q_i| ≤ len(payload), so the plane dot
+#: (≤ 64·2^20·len) and self dot (≤ 64·len²) stay in int64 for
+#: payloads to ~100 MB; the rolling hash is bounded by construction.
+MEDIA_EMBED_BINS = 64
+MEDIA_GRAM_K = 10
+MEDIA_GRAM_MULT = 31
+MEDIA_GRAM_MOD = 1 << 31
+MEDIA_MIX_MULT = 2654435761
+MEDIA_MIX_MOD = 1 << 32
+MEDIA_COSINE_THRESHOLD = 0.97
+MEDIA_PLANT_SUFFIX = " "
+
+
+def _sql_media_semantic() -> str:
+    """Full-value DuckDB oracle for `multimodal_dedup_semantic`:
+    replay the planted payload augmentation, the sign-trick hashed
+    K-gram embedding (characters == bytes on this ASCII corpus, the
+    equivalence every multimodal oracle relies on; the rolling hash
+    applies the mod at every step so both engines stay in int64), the
+    64-bit signature, the 8×8 banding, and the exact quantized-cosine
+    verify — the same single-rounding arithmetic as Spark's
+    descale(idot(...)), bit-identical (the `_sql_prod_scored_ctes`
+    qdot pattern, with self-dots precomputed once per vector in a
+    `nrm` CTE so each candidate pair costs ONE cross-dot)."""
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        PLANT_EVERY,
+        PLANT_OFFSET,
+        PROD_LSH_BAND_BITS,
+        PROD_LSH_BANDS,
+        PROD_LSH_BITS,
+    )
+    from crime_data_batch_processing_spark.operators.similarity import (
+        sql_bands_cte,
+        sql_sig_expr,
+    )
+
+    def qdot(a: str, b: str) -> str:
+        return (
+            "(SELECT CAST(SUM(__ax * __bx) AS DOUBLE) / 1000000000000.0 "
+            f"FROM (SELECT unnest({a}) AS __ax, unnest({b}) AS __bx))"
+        )
+
+    # rolling hash with the mod applied at EVERY step (int64-safe in
+    # both engines); innermost term is the first byte
+    gram = "ascii(text[i])"
+    for j in range(1, MEDIA_GRAM_K):
+        gram = (
+            f"(({gram}) * {MEDIA_GRAM_MULT} + ascii(text[i+{j}]))"
+            f" % {MEDIA_GRAM_MOD}"
+        )
+    return f"""
+    WITH pay AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+                   text || '{MEDIA_PLANT_SUFFIX}' AS text
+            FROM documents WHERE doc_id % {PLANT_EVERY} = 0
+        ) WHERE length(text) >= {MEDIA_GRAM_K}
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, length(text) - {MEDIA_GRAM_K - 2}),
+                   i -> (({gram}) * {MEDIA_MIX_MULT})
+                        % {MEDIA_MIX_MOD})) AS g
+        FROM pay
+    ), cnt AS (
+        SELECT doc_id, g % {MEDIA_EMBED_BINS} AS bkt,
+               CAST(SUM(1 - 2 * ((g >> 8) & 1)) AS BIGINT) AS c
+        FROM bg GROUP BY doc_id, g % {MEDIA_EMBED_BINS}
+    ), grid AS (
+        SELECT p.doc_id, r.b FROM pay p
+        CROSS JOIN (SELECT unnest(range(0, {MEDIA_EMBED_BINS})) AS b) r
+    ), q0 AS (
+        SELECT g.doc_id AS vec_id,
+               list(COALESCE(c.c, 0) ORDER BY g.b) AS qe
+        FROM grid g
+        LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bkt = g.b
+        GROUP BY g.doc_id
+    ), q AS (
+        SELECT * FROM q0
+        WHERE len(list_filter(qe, x -> x <> 0)) > 0
+    ), sig AS (
+        SELECT vec_id, ({sql_sig_expr(PROD_LSH_BITS)}) AS sig FROM q
+    ), bands AS (
+        {sql_bands_cte(PROD_LSH_BANDS, PROD_LSH_BAND_BITS)}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+    ), nrm AS (
+        SELECT vec_id, {qdot('qe', 'qe')} AS nsq FROM q
+    ), scored AS (
+        SELECT cand.vec_a, cand.vec_b,
+               ({qdot('ca.qe', 'cb.qe')} / sqrt(na.nsq * nb.nsq))
+                   AS cos_sim
+        FROM cand
+        JOIN q ca ON ca.vec_id = cand.vec_a
+        JOIN q cb ON cb.vec_id = cand.vec_b
+        JOIN nrm na ON na.vec_id = cand.vec_a
+        JOIN nrm nb ON nb.vec_id = cand.vec_b
+    )
+    SELECT vec_a AS doc_a, vec_b AS doc_b, cos_sim FROM scored
+    WHERE cos_sim >= {MEDIA_COSINE_THRESHOLD}
+    """
+
+
+@query("multimodal_dedup_semantic", oracle=_sql_media_semantic())
+def multimodal_dedup_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC media dedup: near-duplicate payload pairs via a
+    byte-feature embedding through the PRODUCTION banded-LSH
+    pipeline — the image-dedup capability a multimodal training-data
+    pipeline needs beyond `multimodal_dedup`'s exact digests (r11
+    verdict stretch item). See the MEDIA_* constants for the feature
+    design, planted ground truth, and separation/recall measurements.
+
+    Composition: the typed `media_envelope` (payloads stay opaque
+    bytes; a real deployment swaps the hashed K-gram feature for a
+    CLIP or pHash embedding at this exact seam — same schema, same
+    downstream pipeline), ONE Arrow `mapInPandas` pass computing the
+    sign-trick hashed K-gram vector per payload (vectorized numpy
+    rolling hash + signed bincount per Arrow batch — the multimodal
+    family's feature-extraction shape), then the SHARED
+    `signature_frame` → `banded_scored_pairs` helpers at the
+    64-bit/8×8 production constants (similarity.py — the same
+    six-consumer pipeline, now with a media consumer). Scale shape is
+    the prod family's: one linear embed pass, band explode = 8
+    rows/payload, ID-only bucket self-join, exact verify on
+    candidates only — 4.6% candidate mass measured at sf0.1 (see the
+    MEDIA_* constants for why the naive unsigned-histogram design was
+    rejected at 30-52%).
+    """
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        PLANT_EVERY,
+        PLANT_OFFSET,
+        PROD_LSH_BAND_BITS,
+        PROD_LSH_BANDS,
+        PROD_LSH_BITS,
+        _spread,
+    )
+    from crime_data_batch_processing_spark.operators.similarity import (
+        banded_scored_pairs,
+        signature_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # same id-collision guard as llm_dedup._planted_quantized: a
+    # corpus with doc_id >= PLANT_OFFSET would alias planted rows
+    guarded = docs.where(
+        F.assert_true(
+            F.col("doc_id") < F.lit(PLANT_OFFSET),
+            F.lit(
+                f"planted-media id collision: doc_id >= {PLANT_OFFSET}"
+            ),
+        ).isNull()
+    )
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    planted = guarded.where(
+        F.col("doc_id") % PLANT_EVERY == 0
+    ).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(MEDIA_PLANT_SUFFIX)).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    corpus = (
+        guarded.select(*cols)
+        .unionByName(planted)
+        .where(F.length("text") >= MEDIA_GRAM_K)
+    )
+    pay = media_envelope(corpus).select(
+        F.col("doc_id").alias("vec_id"), F.col("media.data").alias("data")
+    )
+
+    # constants captured by VALUE at closure-definition time (the
+    # nested-function shipping rule)
+    k, mult, gmod = MEDIA_GRAM_K, MEDIA_GRAM_MULT, MEDIA_GRAM_MOD
+    mix, mixmod, bins = MEDIA_MIX_MULT, MEDIA_MIX_MOD, MEDIA_EMBED_BINS
+
+    def _kgram_embed(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        # NESTED (ships by value); one vectorized rolling-hash +
+        # signed bincount per payload — the deterministic stand-in at
+        # decode_media's seam
+        import numpy as np
+
+        for pdf in batches:
+            vecs = []
+            for raw in pdf["data"]:
+                b = np.frombuffer(bytes(raw), dtype=np.uint8).astype(
+                    "int64"
+                )
+                n = b.size - k + 1
+                v = b[:n].copy()
+                for j in range(1, k):
+                    v = (v * mult + b[j : j + n]) % gmod
+                g = (v * mix) % mixmod
+                h = np.zeros(bins, dtype="int64")
+                np.add.at(h, g % bins, 1 - 2 * ((g >> 8) & 1))
+                vecs.append(h.tolist())
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "q": vecs})
+
+    emb = _spread(pay, spark).mapInPandas(
+        _kgram_embed, schema="vec_id long, q array<long>"
+    ).where(F.exists("q", lambda x: x != 0))
+    with_q = signature_frame(emb, bits=PROD_LSH_BITS)
+    return (
+        banded_scored_pairs(with_q, PROD_LSH_BANDS, PROD_LSH_BAND_BITS)
+        .where(F.col("cos_sim") >= MEDIA_COSINE_THRESHOLD)
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            "cos_sim",
+        )
+    )

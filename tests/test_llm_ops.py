@@ -1168,6 +1168,54 @@ class TestRelease:
         assert got_total == expected
 
 
+class TestMultimodalSemantic:
+    def test_planted_media_pairs_recovered_at_full_recall(
+        self, spark, sf_dir
+    ):
+        """The stretch contract (r11 verdict item 8): every planted
+        near-dup media pair — the single-space re-upload at doc_id +
+        PLANT_OFFSET — must come back through the banded pipeline
+        (recall 1.0; the signature replay showed band collision is
+        deterministic for these pairs at both fixture SFs), paired
+        with its source at cos > 0.99."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_EVERY,
+            PLANT_OFFSET,
+        )
+        from crime_data_batch_processing_spark.operators.multimodal import (
+            MEDIA_COSINE_THRESHOLD,
+            multimodal_dedup_semantic,
+        )
+        from crime_data_batch_processing_spark.sources.tables import (
+            load_table,
+        )
+
+        rows = multimodal_dedup_semantic(spark, sf_dir).collect()
+        assert rows, "no media near-dup pairs"
+        pairs = {(r.doc_a, r.doc_b): r.cos_sim for r in rows}
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        expected = {
+            (d, d + PLANT_OFFSET)
+            for d in range(0, n_docs, PLANT_EVERY)
+        }
+        got_planted = {
+            p for p in pairs if p[1] >= PLANT_OFFSET and p[0] < PLANT_OFFSET
+        }
+        assert expected <= got_planted, (
+            f"missed planted pairs: {sorted(expected - got_planted)[:5]}"
+        )
+        for p in expected:
+            assert pairs[p] > 0.99, (p, pairs[p])
+        # non-vacuous beyond the plants: the corpus's genuine byte-
+        # space near-dups surface too
+        assert any(b < PLANT_OFFSET for _, b in pairs), (
+            "no natural near-dup pairs found"
+        )
+        for (a, b), c in pairs.items():
+            assert a < b
+            assert c >= MEDIA_COSINE_THRESHOLD
+
+
 class TestReleaseSemantic:
     def test_semantic_release_digest_reproducible_and_card_consistent(
         self, spark, sf_dir
