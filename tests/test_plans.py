@@ -1310,6 +1310,68 @@ def test_knn_graph_is_banded_with_group_limit(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_knn_inc_prod_probe_plan_disciplines(spark, sf_dir):
+    """The production-geometry incremental probe must keep every
+    discipline of the inc family: the increment's signature frame is
+    cached once (InMemoryTableScan), candidates come from (band,
+    bval)-keyed hash joins against the parquet index (never an
+    all-pairs join), and the per-src top-k is pre-cut by
+    WindowGroupLimit before the rank Exchange."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["sim_search_knn_inc_prod"](spark, sf_dir)
+    )
+    assert "InMemoryTableScan" in plan, plan
+    assert "bval" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_media_semantic_dedup_plan_disciplines(spark, sf_dir):
+    """The media semantic-dedup key must plan as the prod banded
+    pipeline with an Arrow (never row-at-a-time) Python embed stage:
+    ArrowEvalPython/MapInPandas only, cached signature frame, banded
+    ID-only candidate equijoin, no nested loop anywhere."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["multimodal_dedup_semantic"](spark, sf_dir)
+    )
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "bval" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_release_semantic_gate_and_drop_join_disciplines(spark, sf_dir):
+    """pipeline_release_semantic must keep pipeline_release's gate
+    shape (the eval-gram side reaches the probe as a BroadcastExchange
+    — the corpus streams map-only through the gate) and add the
+    semantic drop list as a broadcast join, not a shuffle of the
+    manifest. The ONLY nested-loop in the plan is the `with_scalars`
+    1-row digest/total attach (a cross join against a literally-1-row
+    broadcast — the documented scalar idiom, shared with
+    pipeline_release); no data-sized nested loop may appear."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["pipeline_release_semantic"](spark, sf_dir)
+    )
+    import re
+
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # formatted plans print each node in the tree AND a details
+    # header — count unique node headers, not raw substrings
+    assert (
+        len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    ), plan
+
+
 def test_simhash_cap_is_single_window_with_group_limit(spark, sf_dir):
     """The per-doc output bound (round 9) must plan as ONE Window
     operator (row_number over doc_a) downstream of the pair distinct
