@@ -73,20 +73,21 @@ _VERIFY_FIRST = [
     # dedup_semantic: its verdict computation factored into the
     #   shared semantic_verdict kernel — value chain unchanged,
     #   re-swept bit-exact at both SFs.
-    # stream_decontaminate: the DECON_GRAM_CAP overflow assert
-    #   replaced by an explicit RuntimeError (survives python -O; r11
-    #   advisor) — value chain unchanged, re-swept.
-    # (sim_search_knn_graph sorts at position 51, just past the ~50
-    # cap: its only r12 change is the oracle string reformatted into
-    # the shared sql_knn_graph_ctes prefix — re-proven bit-exact at
-    # both SFs this round — and its r11 driver row is already the
-    # freshest generation, so it is the right key to risk losing to
-    # the cap; every section-2 key below would cost a stale r7 row.
-    # The identical call the round-11 rotation made for
-    # dedup_embedding_lsh_prod, which the cap did drop, harmlessly.)
+    # dedup_semantic_inc: NEW key (incremental SemDeDup — the ingest
+    #   batch's keep/drop verdict from index-plus-probe edges).
+    # (Two value-chain-unchanged keys sort at positions 51-52, just
+    # past the ~50 cap — the r11 position-51 precedent, which the cap
+    # did drop, harmlessly: stream_decontaminate's only r12 change is
+    # the overflow assert restated as an explicit RuntimeError (r11
+    # advisor; the guard path never fires on driver data), and
+    # sim_search_knn_graph's is the oracle string reformatted into
+    # the shared sql_knn_graph_ctes prefix — both re-proven bit-exact
+    # at both SFs this round, both already holding freshest-
+    # generation r11 rows; every section-2 key below would instead
+    # cost a stale r7 row.)
     "sim_search_knn_inc_prod", "pipeline_release_semantic",
-    "multimodal_dedup_semantic", "sim_search_knn_inc",
-    "dedup_semantic", "stream_decontaminate",
+    "multimodal_dedup_semantic", "dedup_semantic_inc",
+    "sim_search_knn_inc", "dedup_semantic",
     # (2) last driver-green in ROUND 7 — the oldest remaining
     # generation (44 keys; r11 verdict item 1: the judge strict-swept
     # all 44 bit-exact this session, so this front-load is
@@ -109,8 +110,8 @@ _VERIFY_FIRST = [
     "window_funnel", "window_interpolate", "window_range_frame",
     "window_rank", "window_retention", "window_session",
     "window_sliding", "window_tumbling",
-    # position 51 (see the section-1 note above):
-    "sim_search_knn_graph",
+    # positions 51-52 (see the section-1 note above):
+    "stream_decontaminate", "sim_search_knn_graph",
     # (3) last driver-green in ROUND 8 — the next-oldest generation
     # (45 keys); a few may make the ~50 cap this round, the rest are
     # the round-13 front-load. Keys green in rounds 9-11 on current

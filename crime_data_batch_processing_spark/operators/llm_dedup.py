@@ -1148,6 +1148,115 @@ def sim_search_knn_inc_prod(
     )
 
 
+#: `dedup_semantic_inc`'s ingest batch: the planted copies (the
+#: re-collected near-dups, all DROPPED with their index source as
+#: witness) PLUS every base vector ≡ SEMDEDUP_INC_RESIDUE (mod
+#: SEMDEDUP_INC_MOD) — novel content with no ≥ tau neighbor anywhere
+#: (corpus max true cosine 0.60), all KEPT. Residue 7 is disjoint
+#: from the plant cadence's residue class (PLANT_EVERY = 20 ⇒ plant
+#: sources ≡ 0 mod 10), so no batch member's own jittered copy can
+#: shadow the keep path.
+SEMDEDUP_INC_MOD = 10
+SEMDEDUP_INC_RESIDUE = 7
+
+
+def _sql_semantic_inc() -> str:
+    """Full-value DuckDB oracle for `dedup_semantic_inc`: the shared
+    prod kNN-graph chain + the shared witness CTE, restricted to the
+    ingest batch — the union-replay form (the per-src witness from
+    the FULL graph equals the witness from index-plus-probe edges,
+    because the probe's edges are exactly the graph's restriction to
+    batch sources — the invariant `sim_search_knn_inc_prod` pins)."""
+    return f"""
+    WITH {_sql_knn_graph_prod_ctes()},
+    {sql_semantic_witness_cte(SEMDEDUP_TAU)},
+    batch AS (
+        SELECT vec_id FROM corpus
+        WHERE vec_id >= {PLANT_OFFSET}
+           OR vec_id % {SEMDEDUP_INC_MOD} = {SEMDEDUP_INC_RESIDUE}
+    )
+    SELECT c.vec_id,
+           (w.vec_id IS NULL) AS kept,
+           CAST(COALESCE(w.witness_id, -1) AS BIGINT) AS witness_id,
+           CAST(COALESCE(w.witness_cos, 0.0) AS DOUBLE) AS witness_cos
+    FROM batch c LEFT JOIN witness w ON c.vec_id = w.vec_id
+    """
+
+
+@query("dedup_semantic_inc", oracle=_sql_semantic_inc())
+def dedup_semantic_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SemDeDup: the keep/drop verdict for the NEWLY
+    ingested batch only, decided from the incremental probe's edges
+    against the persisted production-geometry index — the curation
+    decision a continuously-crawled corpus runs PER INGEST at
+    O(increment × collision fan-in), never re-running the corpus
+    self-join or re-deciding the whole corpus. Completes the
+    incremental story: `dedup_incremental` (exact digests) →
+    `sim_search_knn_inc_prod` (graph edges) → this key (the verdict).
+
+    The batch mixes both outcomes deliberately (SEMDEDUP_INC_* note):
+    planted near-dup copies are dropped with their INDEX source as
+    the witness at cos ≈ 0.9999, and the novel base slice is kept
+    with sentinel witness fields — both paths exercised and both
+    deterministic. The verdict is the SAME shared `semantic_verdict`
+    kernel over the SAME shared `knn_inc_probe` edges; because the
+    probe's edges equal the full graph's restriction to batch
+    sources (the knn_inc_prod invariant), the batch verdict is
+    tuple-identical to `dedup_semantic`'s restriction — pinned by
+    test, and the oracle replays exactly that restriction.
+    """
+    from crime_data_batch_processing_spark.fixtures import (
+        build_once,
+        scratch_dir,
+    )
+    from crime_data_batch_processing_spark.operators.similarity import (
+        _with_sig_cols,
+        band_rows_of,
+        knn_inc_probe,
+        signature_frame,
+    )
+
+    base_dir = scratch_dir(
+        f"semdedupinc_b{PROD_LSH_BITS}x{PROD_LSH_BAND_BITS}"
+        f"_p{PLANT_EVERY}o{PLANT_OFFSET}"
+        f"_m{SEMDEDUP_INC_MOD}r{SEMDEDUP_INC_RESIDUE}_v1",
+        sf_dir,
+        "embeddings",
+    )
+    index_dir, bands_dir = f"{base_dir}/index", f"{base_dir}/bands"
+    corpus = _planted_quantized(
+        _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    )
+    is_batch = (F.col("vec_id") >= PLANT_OFFSET) | (
+        F.col("vec_id") % SEMDEDUP_INC_MOD == SEMDEDUP_INC_RESIDUE
+    )
+
+    def build() -> None:
+        base_q = _with_sig_cols(
+            corpus.where(~is_batch), bits=PROD_LSH_BITS
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            base_q.write.mode("overwrite").parquet(index_dir)
+            band_rows_of(
+                base_q, PROD_LSH_BANDS, PROD_LSH_BAND_BITS
+            ).write.mode("overwrite").parquet(bands_dir)
+        finally:
+            base_q.unpersist()
+
+    build_once(base_dir, build)
+    inc_q = signature_frame(corpus.where(is_batch), bits=PROD_LSH_BITS)
+    edges = knn_inc_probe(
+        inc_q,
+        spark.read.parquet(index_dir),
+        spark.read.parquet(bands_dir),
+        PROD_LSH_BANDS,
+        PROD_LSH_BAND_BITS,
+    )
+    return semantic_verdict(
+        edges, corpus.where(is_batch).select("vec_id"), SEMDEDUP_TAU
+    )
+
+
 #: Safety bound for label propagation — near-dup components are
 #: shallow (diameter ≈ cluster size, and clusters are small), so
 #: convergence is typically 2-4 rounds; 20 means "something is wrong".

@@ -1168,6 +1168,59 @@ class TestRelease:
         assert got_total == expected
 
 
+class TestSemanticInc:
+    def test_inc_verdict_equals_full_verdict_restriction(
+        self, spark, sf_dir
+    ):
+        """The batch verdict decided from index-plus-probe edges must
+        be tuple-identical to the full corpus verdict restricted to
+        the batch — the SemDeDup extension of the inc-equals-rebuild
+        invariant (same edges per source ⇒ same witness ⇒ same
+        verdict)."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_OFFSET,
+            SEMDEDUP_INC_MOD,
+            SEMDEDUP_INC_RESIDUE,
+            dedup_semantic,
+            dedup_semantic_inc,
+        )
+
+        inc = {
+            (r.vec_id, r.kept, r.witness_id, r.witness_cos)
+            for r in dedup_semantic_inc(spark, sf_dir).collect()
+        }
+        full = {
+            (r.vec_id, r.kept, r.witness_id, r.witness_cos)
+            for r in dedup_semantic(spark, sf_dir).collect()
+            if r.vec_id >= PLANT_OFFSET
+            or r.vec_id % SEMDEDUP_INC_MOD == SEMDEDUP_INC_RESIDUE
+        }
+        assert inc, "empty batch verdict"
+        assert inc == full, sorted(inc ^ full)[:4]
+
+    def test_batch_outcomes_are_exactly_the_plants(self, spark, sf_dir):
+        """Both decision paths must fire deterministically: every
+        planted batch member is DROPPED with its index source as
+        witness at cos > 0.99; every novel (base-slice) batch member
+        is KEPT with sentinel witness fields."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_OFFSET,
+            dedup_semantic_inc,
+        )
+
+        rows = dedup_semantic_inc(spark, sf_dir).collect()
+        planted = [r for r in rows if r.vec_id >= PLANT_OFFSET]
+        novel = [r for r in rows if r.vec_id < PLANT_OFFSET]
+        assert planted and novel, "batch must mix both outcomes"
+        for r in planted:
+            assert not r.kept, r
+            assert r.witness_id == r.vec_id - PLANT_OFFSET, r
+            assert r.witness_cos > 0.99, r
+        for r in novel:
+            assert r.kept, r
+            assert (r.witness_id, r.witness_cos) == (-1, 0.0), r
+
+
 class TestMultimodalSemantic:
     def test_planted_media_pairs_recovered_at_full_recall(
         self, spark, sf_dir
