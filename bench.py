@@ -62,7 +62,11 @@ waits in 15s steps up to SPARK_GRAFT_BENCH_LOAD_WAIT_S (default 300)
 for the host to go quiet before starting; it then proceeds either
 way (a stamped record beats no record) and the stamp plus
 "load_gate_waited_s" makes the conditions part of the permanent
-record.
+record. The gate is also applied BETWEEN passes (r12: the driver's
+record proceeded into a load-8.6 pass 2): before each pass >= 2 the
+harness waits up to SPARK_GRAFT_BENCH_PASS_LOAD_WAIT_S (default 120)
+for the same LOAD_GATE bound, stamping per-pass waits in
+"pass_gate_waits".
 
 Failure consistency: once a key fails, it is excluded from EVERY
 pass total, including passes that already completed — otherwise the
@@ -122,13 +126,31 @@ BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
 #: ~2x a pathological pass and past an external runner's kill window
 #: — the exact no-record failure the budget prevents. Pass 2 is
 #: forced only while elapsed < MAX_WALL_S (default 2x budget).
-MAX_WALL_S = float(
+#: <=0 means UNBOUNDED (mirrors LOAD_GATE's documented <=0-disables
+#: semantics, r12 advisor): a literal <=0 ceiling would refuse pass 1
+#: itself and produce the exact no-record failure the mechanism
+#: exists to prevent — and pass 1 always starts regardless (see
+#: should_start_pass).
+_MAX_WALL_RAW = float(
     os.environ.get("SPARK_GRAFT_BENCH_MAX_WALL_S", str(2 * BUDGET_S))
 )
+MAX_WALL_S = _MAX_WALL_RAW if _MAX_WALL_RAW > 0 else float("inf")
 #: 1-min loadavg above which the harness delays the start (module
 #: docstring "Load honesty"); <=0 disables the gate
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "2.0"))
 LOAD_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "300"))
+#: per-PASS load gate (r12 verdict item 4): the launch gate only
+#: gated pass 1, so the driver's r12 record proceeded into a load-8.6
+#: pass 2 and recorded 356.8s on a tree whose quiet-host truth is
+#: ~253s. Before each pass AFTER the first, the harness waits (in the
+#: same 15s steps, up to this many seconds) for the 1-min load to
+#: drop under LOAD_GATE, then proceeds either way — the per-pass
+#: "loads" stamp plus "pass_gate_waits" keeps the record
+#: self-describing. Bounded smaller than the launch wait: mid-run the
+#: JVM is warm and a long stall risks the external runner's timeout.
+PASS_LOAD_WAIT_S = float(
+    os.environ.get("SPARK_GRAFT_BENCH_PASS_LOAD_WAIT_S", "120")
+)
 
 
 def sf_from_dir(path: str) -> float:
@@ -161,7 +183,13 @@ def should_start_pass(
     The floor is BOUNDED by MAX_WALL_S (r11 advisor): a pathological
     pass 1 longer than the absolute ceiling forfeits its recovery
     pass rather than pushing total wall past the external runner's
-    kill window — a stamped single-pass record beats no record."""
+    kill window — a stamped single-pass record beats no record.
+
+    Pass 1 starts UNCONDITIONALLY (r12 advisor): however the ceiling
+    is configured, zero passes means zero record, which is strictly
+    worse than any stamped record."""
+    if not pass_costs:
+        return True
     if len(pass_costs) < 2:
         return elapsed_s < MAX_WALL_S
     return remaining_s >= min(pass_costs)
@@ -204,7 +232,10 @@ def sidecar_path() -> Path:
     committed record — only a run that set SPARK_GRAFT_BENCH_ROUND
     explicitly may overwrite it; an inferred-round run (the driver's
     post-commit bench) diverts to a "_new" sibling so both records
-    survive in the tree."""
+    survive in the tree. A SECOND inferred-round run in the same
+    round must not clobber the first diverted record either (r12
+    advisor) — the divert target is uniquified (_new, _new2, _new3,
+    ...) so EVERY record survives."""
     sidecar = REPO / f"BENCH_PERKEY_r{infer_round():02d}.json"
     if sidecar.exists() and not os.environ.get(
         "SPARK_GRAFT_BENCH_ROUND"
@@ -212,6 +243,12 @@ def sidecar_path() -> Path:
         diverted = sidecar.with_name(
             sidecar.name.replace(".json", "_new.json")
         )
+        n = 2
+        while diverted.exists():
+            diverted = sidecar.with_name(
+                sidecar.name.replace(".json", f"_new{n}.json")
+            )
+            n += 1
         print(
             f"# bench sidecar: {sidecar.name} exists and "
             "SPARK_GRAFT_BENCH_ROUND is unset — writing "
@@ -223,24 +260,38 @@ def sidecar_path() -> Path:
     return sidecar
 
 
-def wait_for_quiet_host() -> tuple[float, float]:
-    """Return (load_at_launch, seconds_waited). Delays the start while
-    the 1-min load exceeds LOAD_GATE, up to LOAD_WAIT_S — then
-    proceeds regardless (a stamped record beats no record)."""
-    load0 = os.getloadavg()[0]
+def wait_for_quiet(
+    max_wait_s: float,
+    label: str = "launch",
+    getload=lambda: os.getloadavg()[0],
+    sleep=time.sleep,
+) -> tuple[float, float]:
+    """Return (load_at_entry, seconds_waited). Delays while the 1-min
+    load exceeds LOAD_GATE, up to max_wait_s — then proceeds
+    regardless (a stamped record beats no record). Used at launch
+    (max LOAD_WAIT_S) and before every pass >= 2 (max
+    PASS_LOAD_WAIT_S, r12 verdict item 4). getload/sleep are
+    injectable for tests."""
+    load0 = getload()
     waited = 0.0
     load = load0
-    while LOAD_GATE > 0 and load > LOAD_GATE and waited < LOAD_WAIT_S:
-        step = min(15.0, LOAD_WAIT_S - waited)
+    while LOAD_GATE > 0 and load > LOAD_GATE and waited < max_wait_s:
+        step = min(15.0, max_wait_s - waited)
         print(
-            f"# bench load gate: 1-min load {load:.2f} > {LOAD_GATE:.1f}, "
-            f"waiting {step:.0f}s ({waited:.0f}/{LOAD_WAIT_S:.0f}s used)",
+            f"# bench {label} load gate: 1-min load {load:.2f} > "
+            f"{LOAD_GATE:.1f}, waiting {step:.0f}s "
+            f"({waited:.0f}/{max_wait_s:.0f}s used)",
             file=sys.stderr,
         )
-        time.sleep(step)
+        sleep(step)
         waited += step
-        load = os.getloadavg()[0]
+        load = getload()
     return load0, waited
+
+
+def wait_for_quiet_host() -> tuple[float, float]:
+    """Launch-time gate (module docstring "Load honesty")."""
+    return wait_for_quiet(LOAD_WAIT_S, label="launch")
 
 
 def main() -> None:
@@ -261,19 +312,44 @@ def main() -> None:
     per_key: dict[str, list[float]] = {k: [] for k in keys}
     failed: set[str] = set()
     pass_loads: list[float] = []
+    pass_gate_waits: list[float] = []
     pass_costs: list[float] = []  # wall cost incl. failed-key time
     t_start = time.monotonic()
     for _pass in range(TOTAL_REPS):
         elapsed = time.monotonic() - t_start
         remaining = BUDGET_S - elapsed
         if not should_start_pass(pass_costs, remaining, elapsed):
-            print(
-                f"# bench budget: {remaining:.0f}s left < best "
-                f"pass {min(pass_costs):.0f}s; stopping at "
-                f"{len(pass_costs)} pass(es)",
-                file=sys.stderr,
-            )
+            # name the actual stop cause (r12 advisor): the forced
+            # pass 2 is forfeited only by the wall CEILING, where the
+            # budget-rule message would print a nonsense negative
+            # remaining-vs-cheapest comparison
+            if len(pass_costs) < 2:
+                print(
+                    f"# bench wall ceiling: elapsed {elapsed:.0f}s >= "
+                    f"MAX_WALL_S {MAX_WALL_S:.0f}s; forfeiting the "
+                    f"forced recovery pass at {len(pass_costs)} "
+                    "pass(es)",
+                    file=sys.stderr,
+                )
+            else:
+                print(
+                    f"# bench budget: {remaining:.0f}s left < best "
+                    f"pass {min(pass_costs):.0f}s; stopping at "
+                    f"{len(pass_costs)} pass(es)",
+                    file=sys.stderr,
+                )
             break
+        # between-pass load gate (r12 verdict item 4): pass 1 is
+        # covered by the launch gate; later passes wait out any
+        # VM-neighbor spike so a contaminated pass is avoided, not
+        # merely stamped
+        if pass_costs:
+            _, gate_waited_pass = wait_for_quiet(
+                PASS_LOAD_WAIT_S, label=f"pass {len(pass_costs) + 1}"
+            )
+            pass_gate_waits.append(round(gate_waited_pass, 1))
+        else:
+            pass_gate_waits.append(0.0)
         pass_loads.append(round(os.getloadavg()[0], 2))
         t_pass = time.monotonic()
         for key in keys:
@@ -320,6 +396,7 @@ def main() -> None:
         "load_at_launch": round(load_at_launch, 2),
         "load_gate_waited_s": round(gate_waited, 1),
         "loads": pass_loads,
+        "pass_gate_waits": pass_gate_waits,
         # provenance: who wrote this record and when (r11 verdict —
         # the driver's post-commit run was indistinguishable from the
         # builder's committed headline). "origin" is explicit only

@@ -115,8 +115,70 @@ def test_two_pass_floor_bounded_by_max_wall(monkeypatch):
                                    elapsed_s=1900.0)
 
 
-def test_max_wall_defaults_to_twice_budget():
-    assert bench.MAX_WALL_S == 2 * bench.BUDGET_S
+def test_max_wall_defaults_to_twice_budget(monkeypatch):
+    """Re-derive the default under a clean env instead of asserting
+    on import-time globals (r12 advisor): the old form broke under
+    any environment exporting SPARK_GRAFT_BENCH_MAX_WALL_S or a
+    custom budget with an explicit wall."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_MAX_WALL_S", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_BUDGET_S", raising=False)
+    fresh = importlib.reload(bench)
+    try:
+        assert fresh.MAX_WALL_S == 2 * fresh.BUDGET_S
+        assert fresh.BUDGET_S == 900.0
+    finally:
+        importlib.reload(bench)
+
+
+def test_max_wall_nonpositive_means_unbounded(monkeypatch):
+    """SPARK_GRAFT_BENCH_MAX_WALL_S <= 0 is a plausible 'disable'
+    attempt (mirrors LOAD_GATE's documented semantics); it must mean
+    UNBOUNDED, never 'refuse pass 1 and record nothing' (r12
+    advisor)."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_WALL_S", "0")
+    fresh = importlib.reload(bench)
+    try:
+        assert fresh.MAX_WALL_S == float("inf")
+        # the forced pass 2 is never forfeited under a disabled wall
+        assert fresh.should_start_pass(
+            [9999.0], remaining_s=-9000.0, elapsed_s=9999.0
+        )
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_MAX_WALL_S")
+        importlib.reload(bench)
+
+
+def test_pass_one_always_starts(monkeypatch):
+    """Zero passes means zero record — pass 1 starts regardless of
+    the wall ceiling's configuration (r12 advisor)."""
+    monkeypatch.setattr(bench, "MAX_WALL_S", 0.0)
+    assert bench.should_start_pass([], remaining_s=-100.0,
+                                   elapsed_s=100.0)
+
+
+def test_wait_for_quiet_waits_then_proceeds(monkeypatch):
+    """The between-pass gate (r12 verdict item 4): waits in 15s steps
+    while loaded, returns once quiet; a host that never quiets exits
+    at the bound (a stamped record beats no record)."""
+    monkeypatch.setattr(bench, "LOAD_GATE", 2.0)
+    loads = iter([8.6, 8.0, 1.2])
+    slept: list[float] = []
+    load0, waited = bench.wait_for_quiet(
+        120.0, label="pass 2",
+        getload=lambda: next(loads), sleep=slept.append,
+    )
+    assert load0 == 8.6
+    assert waited == 30.0 and slept == [15.0, 15.0]
+    # never-quiet host: exits at the bound, not an infinite stall
+    load0, waited = bench.wait_for_quiet(
+        45.0, getload=lambda: 9.9, sleep=lambda s: None,
+    )
+    assert waited == 45.0
+    # quiet host: no wait at all
+    load0, waited = bench.wait_for_quiet(
+        120.0, getload=lambda: 0.5, sleep=slept.append,
+    )
+    assert waited == 0.0 and len(slept) == 2
 
 
 def test_sidecar_diverts_instead_of_clobbering(monkeypatch, tmp_path):
@@ -139,3 +201,18 @@ def test_sidecar_diverts_instead_of_clobbering(monkeypatch, tmp_path):
     # inferred round, no existing record -> canonical name
     committed.unlink()
     assert bench.sidecar_path() == committed
+
+
+def test_sidecar_divert_is_uniquified(monkeypatch, tmp_path):
+    """A SECOND inferred-round run in the same round must not clobber
+    the FIRST diverted record (r12 advisor): the divert target
+    uniquifies (_new, _new2, _new3, ...)."""
+    monkeypatch.setattr(bench, "REPO", tmp_path)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ROUND", raising=False)
+    (tmp_path / "BENCH_r12.json").write_text("{}\n")
+    (tmp_path / "BENCH_PERKEY_r13.json").write_text("{}\n")
+    assert bench.sidecar_path().name == "BENCH_PERKEY_r13_new.json"
+    (tmp_path / "BENCH_PERKEY_r13_new.json").write_text("{}\n")
+    assert bench.sidecar_path().name == "BENCH_PERKEY_r13_new2.json"
+    (tmp_path / "BENCH_PERKEY_r13_new2.json").write_text("{}\n")
+    assert bench.sidecar_path().name == "BENCH_PERKEY_r13_new3.json"

@@ -402,7 +402,6 @@ class TestSimilarity:
         persisted index at cos ≈ 0.9999 — the re-collected-content
         catch an incremental semantic index exists for."""
         from crime_data_batch_processing_spark.operators.llm_dedup import (
-            PLANT_EVERY,
             PLANT_OFFSET,
             sim_search_knn_inc_prod,
         )
