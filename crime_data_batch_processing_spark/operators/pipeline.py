@@ -1168,3 +1168,304 @@ def pipeline_release_semantic(
         ).alias("doc_share"),
         "release_digest",
     )
+
+
+#: Deterministic text mutation for the planted RE-UPLOAD documents of
+#: the prod-regime semantic release: appending one token changes the
+#: md5 digest (so EXACT dedup cannot catch the copy — only the
+#: semantic stage can) while both engines replay the mutated text
+#: bit-identically. Models the real near-identical-rewrite scenario
+#: SemDeDup exists for.
+RELEASE_PLANT_SUFFIX = " reupload"
+
+
+def _sql_release_semantic_prod() -> str:
+    """Full-value DuckDB oracle for `pipeline_release_semantic_prod`:
+    the PRODUCTION-geometry kNN-graph chain over the planted
+    embeddings corpus + the shared SemDeDup witness CTE at the
+    production SEMDEDUP_TAU, then `pipeline_release`'s quality →
+    exact keep-first dedup → semantic stage → decon-gate →
+    per-language card CTEs over the AUGMENTED document corpus (base
+    docs plus a deterministically mutated re-upload copy of every
+    embedding-covered PLANT_EVERY-th doc). The eval/bench set is the
+    BASE corpus's only (doc_id < PLANT_OFFSET in qsh): a planted
+    re-upload must never become an eval query, or its grams would
+    contaminate its own source and every near-dup of it."""
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        _sql_knn_graph_prod_ctes,
+        PLANT_EVERY,
+        PLANT_OFFSET,
+        SEMDEDUP_TAU,
+    )
+
+    return f"""
+    WITH {_sql_knn_graph_prod_ctes()},
+    {sql_semantic_witness_cte(SEMDEDUP_TAU)},
+    docaug AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + {PLANT_OFFSET} AS doc_id, lang,
+               text || '{RELEASE_PLANT_SUFFIX}' AS text
+        FROM documents
+        WHERE doc_id % {PLANT_EVERY} = 0
+          AND doc_id IN (SELECT vec_id FROM embeddings)
+    ),
+    qsh AS (
+        SELECT DISTINCT unnest({sql_shingles('text', DECON_K)}) AS g
+        FROM docaug
+        WHERE doc_id % {BENCH_MOD} = 0 AND doc_id < {PLANT_OFFSET}
+    ), contaminated AS (
+        SELECT DISTINCT e.doc_id
+        FROM (SELECT doc_id, unnest({sql_shingles('text', DECON_K)}) AS g
+              FROM docaug
+              WHERE doc_id % {BENCH_MOD} <> 0
+                 OR doc_id >= {PLANT_OFFSET}) e
+        JOIN qsh q ON e.g = q.g
+    ), kept AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_toks
+        FROM docaug
+        WHERE (doc_id % {BENCH_MOD} <> 0 OR doc_id >= {PLANT_OFFSET})
+          AND ({QM_BIAS}
+               + {QM_W_TOKENS} * len(string_split(text, ' '))
+               + {QM_W_STOP} * len(list_filter(string_split(text, ' '),
+                                               t -> t IN ('the', 'a')))
+               + {QM_W_DISTINCT}
+                   * len(list_distinct(string_split(text, ' ')))
+               + {QM_W_LONG} * len(list_filter(string_split(text, ' '),
+                                               t -> len(t) > 12)))
+              >= {QM_THRESHOLD}
+    ), dedup AS (
+        SELECT k.doc_id, k.lang, k.n_toks FROM kept k
+        WHERE k.doc_id = (SELECT MIN(k2.doc_id) FROM kept k2
+                          WHERE md5(k2.text) = md5(k.text))
+    ), clean AS (
+        SELECT d.doc_id, d.lang, d.n_toks,
+               (d.doc_id IN (SELECT vec_id FROM witness)) AS sem,
+               (d.doc_id IN (SELECT doc_id FROM contaminated)) AS fl
+        FROM dedup d
+    ), per AS (
+        SELECT lang,
+               CAST(SUM(CASE WHEN NOT sem AND NOT fl THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN NOT sem AND NOT fl THEN n_toks
+                             ELSE 0 END) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN NOT sem AND fl THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               CAST(SUM(CASE WHEN sem THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_semantic
+        FROM clean GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS grand_total,
+               md5(string_agg(
+                   lang || ':' || n_docs || ':' || n_tokens, '|'
+                   ORDER BY lang)) AS release_digest
+        FROM per
+    )
+    SELECT lang, n_docs, n_tokens, n_flagged, n_semantic,
+           CAST(n_docs AS DOUBLE) / CAST(grand_total AS DOUBLE)
+               AS doc_share,
+           release_digest
+    FROM per, tot
+    """
+
+
+@query(
+    "pipeline_release_semantic_prod",
+    oracle=_sql_release_semantic_prod(),
+)
+def pipeline_release_semantic_prod(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The semantic release at the PRODUCTION regime (the r12
+    verdict's item 1): `pipeline_release_semantic`'s composition with
+    the semantic stage run at the production 64-bit/8×8 band geometry
+    and SEMDEDUP_TAU 0.9, over a corpus where that regime is
+    NON-VACUOUS — the planted embeddings corpus `dedup_semantic`
+    decides over, joined to documents by the identity doc↔vec fixture
+    mapping.
+
+    Why this key exists: `pipeline_release_semantic` runs its graph
+    branch at the weak 18-bit/6×3 geometry and tau 0.4 because the
+    natural documents corpus tops out at cosine 0.60 — honest, but
+    the weak geometry's measured FLAT ~55% candidate mass makes its
+    banded self-join effectively quadratic (s100 soak DNF). Here the
+    DOCUMENT corpus itself is augmented to carry the production
+    semantic regime: every embedding-covered PLANT_EVERY-th document
+    gains a deterministic RE-UPLOAD copy (id + PLANT_OFFSET, text +
+    RELEASE_PLANT_SUFFIX) whose embedding is the jittered planted
+    vector at cos ≈ 0.9999. The suffix changes the md5, so EXACT
+    dedup cannot catch the re-upload — only the semantic verdict can,
+    and at tau 0.9 the verdict drops exactly the planted copies
+    (nothing natural reaches 0.60). The shipped release artifact is
+    therefore curated at prod constants end-to-end, and every stage
+    scales: the graph branch holds the measured 3.7–3.8% candidate
+    ratio that COMPLETES the s100 soak tier where the weak branch
+    DNFs.
+
+    Composition of verified kernels only: the full `dedup_semantic`
+    verdict frame (prod graph + shared `semantic_verdict` kernel) is
+    consumed as the drop list; quality gate, exact keep-first dedup,
+    broadcast decon gate, per-language card, and the md5 release
+    digest are `pipeline_release`'s stages over the augmented corpus.
+    Scale shape vs `pipeline_release`: one extra corpus-sized
+    semi-join (docs ⋈ embedding ids — the doc↔vec mapping), the
+    linear signature pass + 3.7%-candidate banded join of the prod
+    graph, the O(k·N) verdict window, and a broadcast-sized semantic
+    drop join; the card aggregate and 1-row digest broadcast are
+    unchanged.
+    """
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        PLANT_EVERY,
+        PLANT_OFFSET,
+        dedup_semantic,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the doc↔vec fixture mapping is identity over the embedding-
+    # covered prefix; plant re-uploads ONLY for covered docs so the
+    # semantic drop set covers the planted set exactly (at sf0.1 the
+    # doc corpus outnumbers the vectors)
+    vec_ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    planted_docs = (
+        docs.where(F.col("doc_id") % PLANT_EVERY == 0)
+        .join(vec_ids, "doc_id", "semi")
+        .select(
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+            "lang",
+            F.concat("text", F.lit(RELEASE_PLANT_SUFFIX)).alias("text"),
+        )
+    )
+    docaug = docs.select("doc_id", "lang", "text").unionByName(
+        planted_docs
+    )
+    # the eval/bench set is the BASE corpus's only: a planted
+    # re-upload must never become an eval query (its grams would
+    # contaminate its own source and every near-dup of it)
+    is_bench = (F.col("doc_id") % BENCH_MOD == 0) & (
+        F.col("doc_id") < PLANT_OFFSET
+    )
+
+    # persisted: the shingle arrays feed both the bench-gram branch
+    # and the corpus probe (the text_decontaminate explode lesson)
+    with_sh = (
+        docaug.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles_of(F.col("toks"), DECON_K).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )
+    qgrams = (
+        with_sh.where(is_bench)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        with_sh.where(~is_bench)
+        .select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(qgrams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+
+    toks = tokens("text")
+    logit = (
+        F.lit(QM_BIAS)
+        + F.lit(QM_W_TOKENS) * F.size(toks)
+        + F.lit(QM_W_STOP)
+        * F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+        + F.lit(QM_W_DISTINCT) * F.size(F.array_distinct(toks))
+        + F.lit(QM_W_LONG)
+        * F.size(F.filter(toks, lambda t: F.length(t) > 12))
+    )
+    kept = docaug.where(~is_bench).where(logit >= QM_THRESHOLD).select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("digest"),
+        F.size(tokens("text")).alias("n_toks"),
+    )
+    first = kept.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    dedup = (
+        kept.join(first, "digest")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "n_toks")
+    )
+
+    # the SEMANTIC stage at PROD constants: the full dedup_semantic
+    # verdict frame (prod graph over the planted corpus, tau 0.9),
+    # consumed as a broadcast-sized drop list — drops are exactly the
+    # planted re-uploads, a small fraction by construction
+    sem_drops = (
+        dedup_semantic(spark, sf_dir)
+        .where(~F.col("kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("sem_", F.lit(True))
+    )
+
+    clean = (
+        dedup.join(F.broadcast(sem_drops), "doc_id", "left")
+        .join(
+            contaminated.withColumn("fl_", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "lang",
+            "n_toks",
+            F.coalesce("sem_", F.lit(False)).alias("sem"),
+            F.coalesce("fl_", F.lit(False)).alias("fl"),
+        )
+    )
+    per = clean.groupBy("lang").agg(
+        F.sum(F.when(~F.col("sem") & ~F.col("fl"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs"),
+        F.sum(
+            F.when(~F.col("sem") & ~F.col("fl"), F.col("n_toks"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(F.when(~F.col("sem") & F.col("fl"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("sem"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_semantic"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("grand_total"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("lang", "n_docs", "n_tokens")
+                            )
+                        ),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s["lang"],
+                            s["n_docs"].cast("string"),
+                            s["n_tokens"].cast("string"),
+                        ),
+                    ),
+                ),
+                "UTF-8",
+            )
+        ).alias("release_digest"),
+    )
+    return with_scalars(per, tot).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_flagged",
+        "n_semantic",
+        (
+            F.col("n_docs").cast("double")
+            / F.col("grand_total").cast("double")
+        ).alias("doc_share"),
+        "release_digest",
+    )

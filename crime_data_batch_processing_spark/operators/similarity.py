@@ -112,6 +112,16 @@ def _signature(vec, bits: int = LSH_BITS) -> F.Column:
     two's-complement, the same bit pattern the SQL oracle's min-long
     literal produces, so cross-engine equality holds for every width.
 
+    MULTI-WORD PACKING (bits > 64, the r12 verdict's item 2): the
+    scale knob of the banded family at a fixed similarity regime is
+    signature bits ~ log N, and a single int64 caps it at 64. Above
+    64 bits the signature is an ARRAY of int64 words, little-endian
+    (word w holds bits [64w, 64w+63]), each word packed with the same
+    two's-complement wraparound; `band_rows_of`/`sql_bands_cte` slice
+    bands across words (a band never straddles a word — enforced
+    there). Consumers at ≤64 bits are unchanged (scalar sig column,
+    same plans).
+
     The dot products are exact int64 arithmetic (integer planes ×
     integer quantized elements, no overflow per PLANE_SCALE bound), so
     the packed signature is a pure function of the data — the DuckDB
@@ -121,26 +131,43 @@ def _signature(vec, bits: int = LSH_BITS) -> F.Column:
     is exactly the case the engine's UDF policy reserves the Arrow
     path for: a dense matrix product the relational algebra can't
     express efficiently. One matmul per Arrow batch:
-    (batch × dim) @ (dim × bits) → sign bits → packed int64.
+    (batch × dim) @ (dim × bits) → sign bits → packed words.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     planes = np.array(_hyperplanes(bits), dtype="int64").T  # (dim, bits)
+    n_words = (bits + 63) // 64
     weights = np.left_shift(
-        np.int64(1), np.arange(planes.shape[1], dtype="int64")
+        np.int64(1), np.arange(planes.shape[1], dtype="int64") % 64
     )
 
-    @F.pandas_udf(T.LongType())
-    def _sig(col):  # (pd.Series of arrays) -> pd.Series[int64]; hints
-        # omitted — locally-imported pd breaks string-hint resolution
-        mat = np.stack(col.to_numpy()).astype("int64")  # (batch, dim)
-        bits = (mat @ planes) >= 0  # exact int64 matmul → sign bits
-        packed = (bits.astype("int64") * weights).sum(axis=1)
-        return pd.Series(packed)
+    if n_words == 1:
 
-    return _sig(vec)
+        @F.pandas_udf(T.LongType())
+        def _sig(col):  # (pd.Series of arrays) -> pd.Series[int64];
+            # hints omitted — locally-imported pd breaks string-hint
+            # resolution
+            mat = np.stack(col.to_numpy()).astype("int64")
+            sbits = (mat @ planes) >= 0  # exact int64 matmul
+            packed = (sbits.astype("int64") * weights).sum(axis=1)
+            return pd.Series(packed)
+
+        return _sig(vec)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig_words(col):
+        mat = np.stack(col.to_numpy()).astype("int64")
+        sbits = (mat @ planes) >= 0  # (batch, bits)
+        weighted = sbits.astype("int64") * weights
+        words = [
+            weighted[:, 64 * w : 64 * (w + 1)].sum(axis=1)
+            for w in range(n_words)
+        ]
+        return pd.Series(np.stack(words, axis=1).tolist())
+
+    return _sig_words(vec)
 
 
 def _with_sig_cols(corpus_q, bits: int = LSH_BITS):
@@ -176,7 +203,29 @@ def band_rows_of(
     with_sig, bands: int = LSH_BANDS, band_bits: int = LSH_BAND_BITS
 ):
     """Explode (vec_id, ..., sig) into (vec_id, band, bval) rows —
-    `bands` rows per vector, the banded index/probe unit."""
+    `bands` rows per vector, the banded index/probe unit. When the
+    geometry spans more than one 64-bit word (bands·band_bits > 64,
+    the multi-word layouts of `_signature`), band b is sliced out of
+    word (b·band_bits) // 64 of the array-typed sig; a band must lie
+    entirely within one word (band_bits must divide 64 for multi-word
+    layouts — asserted), so the extraction is one element_at + shift
+    + mask, exactly as cheap as the scalar path."""
+    total = bands * band_bits
+
+    def bval_of(b: int) -> F.Column:
+        if total <= 64:
+            word, off = F.col("sig"), b * band_bits
+        else:
+            assert 64 % band_bits == 0, (
+                f"band_bits {band_bits} must divide 64 so no band "
+                "straddles a signature word"
+            )
+            word = F.element_at("sig", (b * band_bits) // 64 + 1)
+            off = (b * band_bits) % 64
+        return F.shiftrightunsigned(word, off).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+
     return with_sig.select(
         "vec_id",
         F.explode(
@@ -184,9 +233,7 @@ def band_rows_of(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("sig"), b * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("bval"),
+                        bval_of(b).alias("bval"),
                     )
                     for b in range(bands)
                 ]
@@ -455,10 +502,12 @@ def sql_sig_expr(bits: int = LSH_BITS) -> str:
     lockstep-unnest dot pattern. Shared by the `sim_search_lsh`,
     `dedup_embedding_lsh`, and `dedup_embedding_lsh_prod` oracles —
     integer math end-to-end, so the oracle's buckets ARE the Spark
-    buckets. At bits=64 the top bit is added as the min-long literal
-    (2^63 overflows a signed BIGINT; same two's-complement pattern
-    numpy's int64 wraparound produces — the idiom
-    llm_dedup._sql_simhash_pairs established)."""
+    buckets. At bit 63 of each word the weight is the min-long
+    literal (2^63 overflows a signed BIGINT; same two's-complement
+    pattern numpy's int64 wraparound produces — the idiom
+    llm_dedup._sql_simhash_pairs established). Above 64 bits the
+    expression is a LIST literal of words, little-endian, mirroring
+    `_signature`'s multi-word packing exactly."""
     planes = _hyperplanes(bits)
 
     def bit_dot(plane: list[int]) -> str:
@@ -469,14 +518,24 @@ def sql_sig_expr(bits: int = LSH_BITS) -> str:
         )
 
     def weight(i: int) -> str:
-        if i == 63:
+        if i % 64 == 63:
             return "(-9223372036854775807 - 1)"
-        return str(1 << i)
+        return str(1 << (i % 64))
 
-    return " + ".join(
-        f"CASE WHEN {bit_dot(p)} >= 0 THEN {weight(i)} ELSE 0 END"
-        for i, p in enumerate(planes)
-    )
+    def word_expr(lo: int, hi: int) -> str:
+        return " + ".join(
+            f"CASE WHEN {bit_dot(planes[i])} >= 0 "
+            f"THEN {weight(i)} ELSE 0 END"
+            for i in range(lo, hi)
+        )
+
+    if bits <= 64:
+        return word_expr(0, bits)
+    words = [
+        f"({word_expr(lo, min(lo + 64, bits))})"
+        for lo in range(0, bits, 64)
+    ]
+    return "[" + ", ".join(words) + "]"
 
 
 def sql_bands_cte(bands: int = LSH_BANDS, band_bits: int = LSH_BAND_BITS) -> str:
@@ -485,11 +544,21 @@ def sql_bands_cte(bands: int = LSH_BANDS, band_bits: int = LSH_BAND_BITS) -> str
     `>>` on BIGINT is an ARITHMETIC shift, but the band mask removes
     every sign-extended bit, so the extraction agrees with Spark's
     shiftrightunsigned+mask for negative (bit-63-set) signatures too
-    (probed both engines; relied on by the 64-bit prod layout)."""
+    (probed both engines; relied on by the 64-bit prod layout). For
+    multi-word geometries (bands·band_bits > 64) `sig` is a LIST of
+    words and band b reads word (b·band_bits)//64 via 1-based list
+    indexing — the exact slicing `band_rows_of` performs."""
     band_mask = (1 << band_bits) - 1
+    total = bands * band_bits
+
+    def src(b: int) -> tuple[str, int]:
+        if total <= 64:
+            return "sig", b * band_bits
+        return f"sig[{(b * band_bits) // 64 + 1}]", (b * band_bits) % 64
+
     return " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, "
-        f"(sig >> {b * band_bits}) & {band_mask} AS bval FROM sig"
+        f"({src(b)[0]} >> {src(b)[1]}) & {band_mask} AS bval FROM sig"
         for b in range(bands)
     )
 

@@ -1267,6 +1267,119 @@ class TestMultimodalSemantic:
             assert a < b
             assert c >= MEDIA_COSINE_THRESHOLD
 
+    def test_wide_rung_matches_independent_numpy_band_replay(
+        self, spark, sf_dir
+    ):
+        """The 128-bit wide rung's honesty contract: its planted-pair
+        result must equal EXACTLY what an independent numpy replay of
+        the embed + multi-word signature + 8×16 banding predicts —
+        recall is whatever the tighter bands deterministically give
+        (≥ 0.99 measured; 249/250 at sf0.1), never silently less, and
+        every returned pair must clear the cosine threshold. This is
+        the wide twin of the 64-bit rung's recall-1.0 test: the scale
+        rung trades a measured sliver of recall for a measured 109×
+        candidate-mass reduction, and this test pins that trade
+        bit-for-bit."""
+        import numpy as np
+
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_EVERY,
+            PLANT_OFFSET,
+        )
+        from crime_data_batch_processing_spark.operators.multimodal import (
+            MEDIA_COSINE_THRESHOLD,
+            MEDIA_EMBED_BINS,
+            MEDIA_GRAM_K,
+            MEDIA_GRAM_MOD,
+            MEDIA_GRAM_MULT,
+            MEDIA_MIX_MOD,
+            MEDIA_MIX_MULT,
+            MEDIA_WIDE_BAND_BITS,
+            MEDIA_WIDE_BANDS,
+            MEDIA_WIDE_BITS,
+            multimodal_dedup_semantic_wide,
+        )
+        from crime_data_batch_processing_spark.operators.similarity import (
+            _hyperplanes,
+        )
+        from crime_data_batch_processing_spark.sources.tables import (
+            load_table,
+        )
+
+        def embed(s: str):
+            b = np.frombuffer(s.encode(), dtype=np.uint8).astype("int64")
+            n = b.size - MEDIA_GRAM_K + 1
+            if n <= 0:
+                return None
+            v = b[:n].copy()
+            for j in range(1, MEDIA_GRAM_K):
+                v = (v * MEDIA_GRAM_MULT + b[j : j + n]) % MEDIA_GRAM_MOD
+            g = (v * MEDIA_MIX_MULT) % MEDIA_MIX_MOD
+            h = np.zeros(MEDIA_EMBED_BINS, dtype="int64")
+            np.add.at(h, g % MEDIA_EMBED_BINS, 1 - 2 * ((g >> 8) & 1))
+            return h if (h != 0).any() else None
+
+        planes = np.array(
+            _hyperplanes(MEDIA_WIDE_BITS), dtype="int64"
+        ).T
+        w = np.left_shift(
+            np.int64(1), np.arange(MEDIA_WIDE_BAND_BITS, dtype="int64")
+        )
+
+        def bvals(v):
+            sbits = (v @ planes) >= 0
+            return np.array(
+                [
+                    (
+                        sbits[
+                            b * MEDIA_WIDE_BAND_BITS : (b + 1)
+                            * MEDIA_WIDE_BAND_BITS
+                        ]
+                        * w
+                    ).sum()
+                    for b in range(MEDIA_WIDE_BANDS)
+                ]
+            )
+
+        docs = load_table(spark, sf_dir, "documents").collect()
+        predicted, total_planted = set(), 0
+        for r in docs:
+            if r.doc_id % PLANT_EVERY:
+                continue
+            a, b = embed(r.text), embed(r.text + " ")
+            if a is None or b is None:
+                continue
+            cos = (a @ b) / np.sqrt((a @ a) * (b @ b))
+            if cos < MEDIA_COSINE_THRESHOLD:
+                continue
+            total_planted += 1
+            if (bvals(a) == bvals(b)).any():
+                predicted.add((r.doc_id, r.doc_id + PLANT_OFFSET))
+
+        rows = multimodal_dedup_semantic_wide(spark, sf_dir).collect()
+        assert rows, "no media near-dup pairs at the wide geometry"
+        pairs = {(r.doc_a, r.doc_b): r.cos_sim for r in rows}
+        # source↔its-own-copy pairs only: natural near-dup GROUPS also
+        # pair members with other members' planted copies (e.g. doc 8
+        # with 10000120) — genuine finds, but not what the replay
+        # predicts pair-by-pair here
+        got_planted = {
+            p for p in pairs if p[1] == p[0] + PLANT_OFFSET
+        }
+        assert got_planted == predicted, (
+            f"spark != replay: only-spark "
+            f"{sorted(got_planted - predicted)[:5]}, only-replay "
+            f"{sorted(predicted - got_planted)[:5]}"
+        )
+        assert total_planted > 0
+        assert len(predicted) / total_planted >= 0.99, (
+            f"wide recall {len(predicted)}/{total_planted} below the "
+            "measured floor"
+        )
+        for (a, b), c in pairs.items():
+            assert a < b
+            assert c >= MEDIA_COSINE_THRESHOLD
+
 
 class TestReleaseSemantic:
     def test_semantic_release_digest_reproducible_and_card_consistent(
@@ -1355,6 +1468,74 @@ class TestReleaseSemantic:
         # every semantic drop in the card IS a verdict drop; the card
         # counts only exact-dedup survivors, so <= the verdict total
         assert 0 < total_sem <= len(drops)
+
+    def test_prod_semantic_release_ships_exactly_the_plain_release(
+        self, spark, sf_dir
+    ):
+        """The r12 verdict's item-1 contract: at PROD constants
+        (64-bit/8×8, tau 0.9) over the planted corpus, the semantic
+        stage drops EXACTLY the planted re-uploads — so the curated
+        card must be bit-identical to the plain release over the base
+        corpus (same n_docs/n_tokens/n_flagged per language, same
+        release digest: a missed re-upload would inflate the card, a
+        wrongly dropped base doc would deflate it), with a non-zero
+        n_semantic column proving the stage did real work."""
+        from crime_data_batch_processing_spark.operators.pipeline import (
+            pipeline_release,
+            pipeline_release_semantic_prod,
+        )
+
+        prod = {
+            r.lang: r
+            for r in pipeline_release_semantic_prod(
+                spark, sf_dir
+            ).collect()
+        }
+        plain = {
+            r.lang: r for r in pipeline_release(spark, sf_dir).collect()
+        }
+        assert set(prod) == set(plain) and len(prod) > 1
+        assert sum(r.n_semantic for r in prod.values()) > 0, (
+            "prod semantic stage dropped nothing — vacuous"
+        )
+        for lang, p in prod.items():
+            q = plain[lang]
+            assert (p.n_docs, p.n_tokens, p.n_flagged) == (
+                q.n_docs,
+                q.n_tokens,
+                q.n_flagged,
+            ), lang
+            assert p.release_digest == q.release_digest, lang
+
+    def test_prod_semantic_release_digest_reproducible(
+        self, spark, sf_dir
+    ):
+        """The digest is exactly md5 over the lang-ordered
+        (lang, n_docs, n_tokens) rows of the POST-SEMANTIC card
+        (recomputed in pure Python — pins the formula both engines
+        replay), shared across rows; doc_share sums to 1; and a
+        second run of the same plan reproduces the digest (the
+        release-manifest pin property)."""
+        import hashlib
+
+        from crime_data_batch_processing_spark.operators.pipeline import (
+            pipeline_release_semantic_prod,
+        )
+
+        rows = pipeline_release_semantic_prod(spark, sf_dir).collect()
+        assert len(rows) > 1
+        digests = {r.release_digest for r in rows}
+        assert len(digests) == 1
+        expected = hashlib.md5(
+            "|".join(
+                f"{r.lang}:{r.n_docs}:{r.n_tokens}"
+                for r in sorted(rows, key=lambda r: r.lang)
+            ).encode()
+        ).hexdigest()
+        assert digests == {expected}
+        assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-12
+        rerun = pipeline_release_semantic_prod(spark, sf_dir).collect()
+        assert {r.release_digest for r in rerun} == {expected}
 
 
 class TestHardNegatives:

@@ -1347,6 +1347,26 @@ def test_media_semantic_dedup_plan_disciplines(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_media_semantic_wide_plan_matches_prod_shape(spark, sf_dir):
+    """The 128-bit WIDE media rung must keep the exact plan shape of
+    the 64-bit rung — the multi-word signature (array<int64>) must
+    change only the band-extraction expressions, never the join
+    strategy: Arrow embed stage, cached signature frame, ID-only
+    banded equijoin, no nested loop, and the sig ARRAY must not cross
+    the candidate shuffle (only band/bval and ids do)."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["multimodal_dedup_semantic_wide"](spark, sf_dir)
+    )
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "bval" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_release_semantic_gate_and_drop_join_disciplines(spark, sf_dir):
     """pipeline_release_semantic must keep pipeline_release's gate
     shape (the eval-gram side reaches the probe as a BroadcastExchange
@@ -1367,6 +1387,30 @@ def test_release_semantic_gate_and_drop_join_disciplines(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     # formatted plans print each node in the tree AND a details
     # header — count unique node headers, not raw substrings
+    assert (
+        len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    ), plan
+
+
+def test_release_semantic_prod_plan_disciplines(spark, sf_dir):
+    """pipeline_release_semantic_prod must keep the release gate
+    shape (broadcast eval-gram probe, broadcast semantic drop list,
+    exactly one 1-row with_scalars BroadcastNestedLoopJoin) while its
+    semantic branch plans as the PROD banded pipeline: cached
+    signature frame, banded ID-only equijoin, WindowGroupLimit top-k
+    — no CartesianProduct anywhere."""
+    import re
+
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["pipeline_release_semantic_prod"](spark, sf_dir)
+    )
+    assert "BroadcastExchange" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "bval" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
     assert (
         len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
     ), plan
