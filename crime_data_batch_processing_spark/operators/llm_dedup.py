@@ -744,7 +744,7 @@ def _planted_quantized(emb: DataFrame) -> DataFrame:
     return base.unionByName(planted)
 
 
-def _sql_prod_scored_ctes() -> str:
+def _sql_prod_scored_ctes(corpus_extra: str = "") -> str:
     """Shared WITH-body prefix for every production-geometry oracle
     (`dedup_embedding_lsh_prod`, `sim_search_knn_graph_prod`,
     `dedup_semantic`): the planted augmentation, the 64-bit
@@ -755,7 +755,10 @@ def _sql_prod_scored_ctes() -> str:
     representable) — the same single rounding as Spark's
     descale(idot(...)), so the values are bit-identical. Ends with
     the `scored(vec_a, vec_b, cos_sim)` CTE; callers append their own
-    final shape."""
+    final shape. `corpus_extra` splices additional UNION ALL arms
+    into the corpus CTE (each must select vec_id, qe from `base`) —
+    the append-lifecycle oracle adds a second plant generation this
+    way."""
     from crime_data_batch_processing_spark.operators.similarity import (
         _SQL_QUANT,
         sql_bands_cte,
@@ -782,6 +785,7 @@ def _sql_prod_scored_ctes() -> str:
                list_transform(qe,
                    x -> x + ((abs(x) * 7 + vec_id) % 2001) - 1000) AS qe
         FROM base WHERE vec_id % {PLANT_EVERY} = 0
+        {corpus_extra}
     ), q AS (SELECT vec_id, qe FROM corpus
     ), sig AS (
         SELECT vec_id, ({sql_sig_expr(PROD_LSH_BITS)}) AS sig FROM q
@@ -1254,6 +1258,177 @@ def dedup_semantic_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return semantic_verdict(
         edges, corpus.where(is_batch).select("vec_id"), SEMDEDUP_TAU
+    )
+
+
+#: Second plant GENERATION for the index-append lifecycle key: the
+#: same sources re-collected AGAIN with an independent jitter (mult 11
+#: vs generation A's 7) at vec_id + 2·PLANT_OFFSET. A second copy of
+#: the SAME content is what makes the append non-vacuous: batch B's
+#: neighbors include both its base source AND its generation-A sibling
+#: — rows that exist in the index ONLY because ingest A appended them.
+PLANT2_MULT = 11
+PLANT2_OFFSET = 2 * PLANT_OFFSET
+
+
+def _planted_quantized2(emb: DataFrame) -> DataFrame:
+    """`_planted_quantized`'s corpus AUGMENTED with the second plant
+    generation (see PLANT2_*): base ∪ A (jitter 7, +PLANT_OFFSET) ∪ B
+    (jitter 11, +2·PLANT_OFFSET). Same two-select lateral-alias
+    discipline as generation A so both engines jitter by the input
+    vec_id."""
+    gen_a = _planted_quantized(emb)
+    base = gen_a.where(F.col("vec_id") < PLANT_OFFSET)
+    gen_b = (
+        base.where(F.col("vec_id") % PLANT_EVERY == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "q",
+                lambda x: x
+                + ((F.abs(x) * PLANT2_MULT + F.col("vec_id")) % 2001)
+                - 1000,
+            ).alias("q"),
+        )
+        .select((F.col("vec_id") + PLANT2_OFFSET).alias("vec_id"), "q")
+    )
+    return gen_a.unionByName(gen_b)
+
+
+def _sql_corpus_extra_gen_b() -> str:
+    """The corpus_extra arm splicing generation B into
+    `_sql_prod_scored_ctes` (see PLANT2_*)."""
+    return f"""
+        UNION ALL
+        SELECT vec_id + {PLANT2_OFFSET} AS vec_id,
+               list_transform(qe,
+                   x -> x + ((abs(x) * {PLANT2_MULT} + vec_id) % 2001)
+                        - 1000) AS qe
+        FROM base WHERE vec_id % {PLANT_EVERY} = 0"""
+
+
+def _sql_index_append() -> str:
+    """Full-value DuckDB oracle for `sim_search_index_append`: the
+    union-replay form over base ∪ A ∪ B — signature, banding, and
+    scoring over the WHOLE two-generation corpus (the grown persisted
+    index and the in-plan batch produce the same integers by
+    construction), the kNN ranking cut to batch B's sources. The
+    restriction IS the contract: the per-src rank window never mixes
+    sources, so the full graph cut to src >= PLANT2_OFFSET equals
+    grown-index-plus-probe edge-for-edge (the inc-equals-rebuild
+    invariant at the GROWN index, pinned as a Spark-vs-Spark test)."""
+    return f"""
+    WITH {_sql_prod_scored_ctes(_sql_corpus_extra_gen_b())}, directed AS (
+        SELECT vec_a AS src, vec_b AS dst, cos_sim FROM scored
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst, cos_sim FROM scored
+    ), ranked AS (
+        SELECT src, rank, dst, cos_sim FROM (
+            SELECT src, dst, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY cos_sim DESC, dst ASC)
+                       AS rank
+            FROM directed
+        ) WHERE rank <= {_knn_k()}
+    )
+    SELECT src, rank, dst, cos_sim FROM ranked
+    WHERE src >= {PLANT2_OFFSET}
+    """
+
+
+@query("sim_search_index_append", oracle=_sql_index_append())
+def sim_search_index_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The persisted-index APPEND lifecycle (r12 verdict item 3): two
+    successive ingests against ONE index. Ingest A probed the base
+    index and APPENDED its signatures and band rows; this key is
+    ingest B probing the GROWN index — proving the maintenance story
+    the incremental family's docstrings claim ("appended on real
+    ingests") as executed code, not prose.
+
+    The fixture build writes the base index (natural corpus), then
+    replays ingest A: generation-A planted copies are signed with the
+    SAME `_with_sig_cols` integers and appended (parquet append) to
+    the index and band files. The query path signs batch B — a SECOND
+    re-collection of the same sources with an independent jitter
+    (PLANT2_*) — and runs the shared `knn_inc_probe` against the
+    grown index. The append is non-vacuous by construction: each B
+    member's top-k contains both its base source AND its generation-A
+    sibling at cos ≈ 0.9999, and the sibling row exists in the index
+    ONLY because ingest A appended it (asserted in tests). Because
+    index rows and probe rows carry identical signature integers
+    regardless of WHEN they were written, the probe's edges equal the
+    full three-generation graph's restriction to B's sources — the
+    inc-equals-rebuild invariant at the grown index, which is exactly
+    what the oracle replays.
+
+    At 100 TB this is the steady-state shape of index maintenance:
+    per-ingest cost O(batch × collision fan-in) for the probe plus
+    one linear signature pass for the append; the corpus-sized
+    self-join never runs, and the index grows by exactly the ingested
+    rows (parquet append = new files, no rewrite of existing ones).
+    """
+    from crime_data_batch_processing_spark.fixtures import (
+        build_once,
+        scratch_dir,
+    )
+    from crime_data_batch_processing_spark.operators.similarity import (
+        _with_sig_cols,
+        band_rows_of,
+        knn_inc_probe,
+        signature_frame,
+    )
+
+    base_dir = scratch_dir(
+        f"knnappend_b{PROD_LSH_BITS}x{PROD_LSH_BAND_BITS}"
+        f"_p{PLANT_EVERY}o{PLANT_OFFSET}m{PLANT2_MULT}_v1",
+        sf_dir,
+        "embeddings",
+    )
+    index_dir, bands_dir = f"{base_dir}/index", f"{base_dir}/bands"
+    corpus = _planted_quantized2(
+        _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    )
+    is_a = (F.col("vec_id") >= PLANT_OFFSET) & (
+        F.col("vec_id") < PLANT2_OFFSET
+    )
+    is_b = F.col("vec_id") >= PLANT2_OFFSET
+
+    def build() -> None:
+        # ingest 0: the base index (natural corpus only)
+        base_q = _with_sig_cols(
+            corpus.where(~is_a & ~is_b), bits=PROD_LSH_BITS
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            base_q.write.mode("overwrite").parquet(index_dir)
+            band_rows_of(
+                base_q, PROD_LSH_BANDS, PROD_LSH_BAND_BITS
+            ).write.mode("overwrite").parquet(bands_dir)
+        finally:
+            base_q.unpersist()
+        # ingest A: sign the batch once and APPEND it — the index
+        # grows by exactly the ingested rows (new parquet files; the
+        # base files are never rewritten)
+        a_q = _with_sig_cols(
+            corpus.where(is_a), bits=PROD_LSH_BITS
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            a_q.write.mode("append").parquet(index_dir)
+            band_rows_of(
+                a_q, PROD_LSH_BANDS, PROD_LSH_BAND_BITS
+            ).write.mode("append").parquet(bands_dir)
+        finally:
+            a_q.unpersist()
+
+    build_once(base_dir, build)
+    inc_q = signature_frame(corpus.where(is_b), bits=PROD_LSH_BITS)
+    return knn_inc_probe(
+        inc_q,
+        spark.read.parquet(index_dir),
+        spark.read.parquet(bands_dir),
+        PROD_LSH_BANDS,
+        PROD_LSH_BAND_BITS,
     )
 
 

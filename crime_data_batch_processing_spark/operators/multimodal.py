@@ -709,18 +709,10 @@ MEDIA_WIDE_BANDS = 8
 MEDIA_WIDE_BAND_BITS = 16
 
 
-def _sql_media_scored(bits: int, bands: int, band_bits: int) -> str:
-    """Shared DuckDB oracle body for the media semantic-dedup rungs:
-    replay the planted payload augmentation, the sign-trick hashed
-    K-gram embedding (characters == bytes on this ASCII corpus, the
-    equivalence every multimodal oracle relies on; the rolling hash
-    applies the mod at every step so both engines stay in int64), the
-    `bits`-wide signature (scalar ≤64 bits, LIST of words above), the
-    banding, and the exact quantized-cosine verify — the same
-    single-rounding arithmetic as Spark's descale(idot(...)),
-    bit-identical (the `_sql_prod_scored_ctes` qdot pattern, with
-    self-dots precomputed once per vector in a `nrm` CTE so each
-    candidate pair costs ONE cross-dot)."""
+def _sql_media_ctes(bits: int, bands: int, band_bits: int) -> str:
+    """Shared WITH-body for the media oracles, ending at the
+    `scored(vec_a, vec_b, cos_sim)` CTE (callers append their final
+    shape) — see `_sql_media_scored` for the stage walk-through."""
     from crime_data_batch_processing_spark.operators.llm_dedup import (
         PLANT_EVERY,
         PLANT_OFFSET,
@@ -736,16 +728,13 @@ def _sql_media_scored(bits: int, bands: int, band_bits: int) -> str:
             f"FROM (SELECT unnest({a}) AS __ax, unnest({b}) AS __bx))"
         )
 
-    # rolling hash with the mod applied at EVERY step (int64-safe in
-    # both engines); innermost term is the first byte
     gram = "ascii(text[i])"
     for j in range(1, MEDIA_GRAM_K):
         gram = (
             f"(({gram}) * {MEDIA_GRAM_MULT} + ascii(text[i+{j}]))"
             f" % {MEDIA_GRAM_MOD}"
         )
-    return f"""
-    WITH pay AS (
+    return f"""pay AS (
         SELECT doc_id, text FROM (
             SELECT doc_id, text FROM documents
             UNION ALL
@@ -795,7 +784,23 @@ def _sql_media_scored(bits: int, bands: int, band_bits: int) -> str:
         JOIN q cb ON cb.vec_id = cand.vec_b
         JOIN nrm na ON na.vec_id = cand.vec_a
         JOIN nrm nb ON nb.vec_id = cand.vec_b
-    )
+    )"""
+
+
+def _sql_media_scored(bits: int, bands: int, band_bits: int) -> str:
+    """Shared DuckDB oracle body for the media semantic-dedup rungs:
+    replay the planted payload augmentation, the sign-trick hashed
+    K-gram embedding (characters == bytes on this ASCII corpus, the
+    equivalence every multimodal oracle relies on; the rolling hash
+    applies the mod at every step so both engines stay in int64), the
+    `bits`-wide signature (scalar ≤64 bits, LIST of words above), the
+    banding, and the exact quantized-cosine verify — the same
+    single-rounding arithmetic as Spark's descale(idot(...)),
+    bit-identical (the `_sql_prod_scored_ctes` qdot pattern, with
+    self-dots precomputed once per vector in a `nrm` CTE so each
+    candidate pair costs ONE cross-dot)."""
+    return f"""
+    WITH {_sql_media_ctes(bits, bands, band_bits)}
     SELECT vec_a AS doc_a, vec_b AS doc_b, cos_sim FROM scored
     WHERE cos_sim >= {MEDIA_COSINE_THRESHOLD}
     """
@@ -816,15 +821,19 @@ def _sql_media_semantic() -> str:
 
 
 def _media_corpus_embedded(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, pred: object = None
 ) -> DataFrame:
     """The planted media corpus embedded: (vec_id, q) — base payloads
     plus the single-space re-upload of every PLANT_EVERY-th one at
     doc_id + PLANT_OFFSET, each embedded by ONE Arrow `mapInPandas`
     pass computing the sign-trick hashed K-gram vector (vectorized
     numpy rolling hash + signed bincount per Arrow batch). Shared by
-    both semantic-dedup rungs (64-bit prod and 128-bit wide) so the
-    feature seam is defined exactly once."""
+    both semantic-dedup rungs (64-bit prod and 128-bit wide) and the
+    incremental key so the feature seam is defined exactly once.
+    `pred` (a Column over doc_id) restricts the corpus BEFORE the
+    Arrow pass — a filter placed after mapInPandas cannot be pushed
+    through it, so the incremental paths pass their slice predicate
+    here and embed only what they ingest."""
     from crime_data_batch_processing_spark.operators.llm_dedup import (
         PLANT_EVERY,
         PLANT_OFFSET,
@@ -857,6 +866,8 @@ def _media_corpus_embedded(
         .unionByName(planted)
         .where(F.length("text") >= MEDIA_GRAM_K)
     )
+    if pred is not None:
+        corpus = corpus.where(pred)
     pay = media_envelope(corpus).select(
         F.col("doc_id").alias("vec_id"), F.col("media.data").alias("data")
     )
@@ -1011,4 +1022,148 @@ def multimodal_dedup_semantic_wide(
             F.col("vec_b").alias("doc_b"),
             "cos_sim",
         )
+    )
+
+
+def _sql_media_semantic_inc() -> str:
+    """Full-value DuckDB oracle for `multimodal_dedup_semantic_inc`:
+    the shared media chain at the WIDE constants, symmetrized and
+    kNN-ranked, the shared SemDeDup witness CTE at the media
+    threshold, restricted to the ingest batch — the union-replay form
+    (probe edges equal the full graph's restriction to batch sources,
+    the inc-equals-rebuild invariant)."""
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        PLANT_OFFSET,
+        SEMDEDUP_INC_MOD,
+        SEMDEDUP_INC_RESIDUE,
+        _knn_k,
+        sql_semantic_witness_cte,
+    )
+
+    return f"""
+    WITH {_sql_media_ctes(
+        MEDIA_WIDE_BITS, MEDIA_WIDE_BANDS, MEDIA_WIDE_BAND_BITS
+    )}, directed AS (
+        SELECT vec_a AS src, vec_b AS dst, cos_sim FROM scored
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst, cos_sim FROM scored
+    ), ranked AS (
+        SELECT src, rank, dst, cos_sim FROM (
+            SELECT src, dst, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY cos_sim DESC, dst ASC)
+                       AS rank
+            FROM directed
+        ) WHERE rank <= {_knn_k()}
+    ),
+    {sql_semantic_witness_cte(MEDIA_COSINE_THRESHOLD)},
+    batch AS (
+        SELECT vec_id FROM q
+        WHERE vec_id >= {PLANT_OFFSET}
+           OR vec_id % {SEMDEDUP_INC_MOD} = {SEMDEDUP_INC_RESIDUE}
+    )
+    SELECT c.vec_id AS doc_id,
+           (w.vec_id IS NULL) AS kept,
+           CAST(COALESCE(w.witness_id, -1) AS BIGINT) AS witness_id,
+           CAST(COALESCE(w.witness_cos, 0.0) AS DOUBLE) AS witness_cos
+    FROM batch c LEFT JOIN witness w ON c.vec_id = w.vec_id
+    """
+
+
+@query(
+    "multimodal_dedup_semantic_inc", oracle=_sql_media_semantic_inc()
+)
+def multimodal_dedup_semantic_inc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL semantic MEDIA dedup (r12 verdict item 6): the
+    keep/drop verdict for a newly ingested media batch, decided from
+    the incremental probe against a persisted media signature index —
+    `dedup_semantic_inc`'s per-ingest curation cadence composed with
+    the media embed, at the 128-bit WIDE geometry (the multi-word
+    scale knob proven in the incremental path too).
+
+    The ingest story: the index covers the base payload corpus
+    (embedded once, signed at MEDIA_WIDE_* constants, persisted); the
+    batch is every planted re-upload (dropped with its index source
+    as witness at cos > 0.99) plus the novel base slice ≡
+    SEMDEDUP_INC_RESIDUE (mod SEMDEDUP_INC_MOD) — mostly kept, except
+    members of this corpus's genuine byte-space near-dup groups,
+    which are correctly dropped with their natural lower-id group
+    member as witness (the media corpus HAS natural ≥0.97 pairs; the
+    verdict treats re-uploads and natural dups identically, as a
+    curation pass should). Per-ingest cost is O(batch × collision
+    fan-in): only the batch is embedded (the slice predicate is
+    applied BEFORE the Arrow pass — a filter after mapInPandas cannot
+    be pushed through it), only the batch is signed, and the corpus
+    self-join never runs.
+
+    Composition of verified kernels only: `_media_corpus_embedded`
+    (pred-restricted), `_with_sig_cols`/`band_rows_of` for the
+    persisted index, the shared `knn_inc_probe`, and the shared
+    `semantic_verdict` at the media threshold. The scratch kind bakes
+    the wide geometry, gram K, plant cadence, and batch residue so
+    any constants change keys a fresh index build (the ZORDER_KIND
+    staleness class).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        PLANT_EVERY,
+        PLANT_OFFSET,
+        SEMDEDUP_INC_MOD,
+        SEMDEDUP_INC_RESIDUE,
+        semantic_verdict,
+    )
+    from crime_data_batch_processing_spark.operators.similarity import (
+        _with_sig_cols,
+        band_rows_of,
+        knn_inc_probe,
+        signature_frame,
+    )
+
+    base_dir = scratch_dir(
+        f"mediainc_b{MEDIA_WIDE_BITS}x{MEDIA_WIDE_BAND_BITS}"
+        f"_k{MEDIA_GRAM_K}_p{PLANT_EVERY}o{PLANT_OFFSET}"
+        f"_m{SEMDEDUP_INC_MOD}r{SEMDEDUP_INC_RESIDUE}_v1",
+        sf_dir,
+        "documents",
+    )
+    index_dir, bands_dir = f"{base_dir}/index", f"{base_dir}/bands"
+    is_batch = (F.col("doc_id") >= PLANT_OFFSET) | (
+        F.col("doc_id") % SEMDEDUP_INC_MOD == SEMDEDUP_INC_RESIDUE
+    )
+
+    def build() -> None:
+        base_q = _with_sig_cols(
+            _media_corpus_embedded(spark, sf_dir, pred=~is_batch),
+            bits=MEDIA_WIDE_BITS,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            base_q.write.mode("overwrite").parquet(index_dir)
+            band_rows_of(
+                base_q, MEDIA_WIDE_BANDS, MEDIA_WIDE_BAND_BITS
+            ).write.mode("overwrite").parquet(bands_dir)
+        finally:
+            base_q.unpersist()
+
+    build_once(base_dir, build)
+    inc_q = signature_frame(
+        _media_corpus_embedded(spark, sf_dir, pred=is_batch),
+        bits=MEDIA_WIDE_BITS,
+    )
+    edges = knn_inc_probe(
+        inc_q,
+        spark.read.parquet(index_dir),
+        spark.read.parquet(bands_dir),
+        MEDIA_WIDE_BANDS,
+        MEDIA_WIDE_BAND_BITS,
+    )
+    return semantic_verdict(
+        edges, inc_q.select("vec_id"), MEDIA_COSINE_THRESHOLD
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        "kept",
+        "witness_id",
+        "witness_cos",
     )

@@ -394,6 +394,85 @@ class TestSimilarity:
             f"incremental/rebuild divergence: {sorted(inc ^ full)[:4]}"
         )
 
+    def test_index_append_equals_rebuild_at_grown_index(
+        self, spark, sf_dir
+    ):
+        """The append lifecycle's inc-equals-rebuild invariant (r12
+        verdict item 3): batch B's edges from the GROWN persisted
+        index (base ∪ appended ingest A) must equal exactly what a
+        full three-generation rebuild assigns B's sources — appending
+        rows must be indistinguishable from having built the index
+        with them."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT2_OFFSET,
+            PROD_LSH_BAND_BITS,
+            PROD_LSH_BANDS,
+            PROD_LSH_BITS,
+            _planted_quantized2,
+            _spread,
+            sim_search_index_append,
+        )
+        from crime_data_batch_processing_spark.operators.similarity import (
+            banded_scored_pairs,
+            knn_rank_directed,
+            signature_frame,
+        )
+        from crime_data_batch_processing_spark.sources.tables import (
+            load_table,
+        )
+
+        inc = {
+            (r.src, r.rank, r.dst, r.cos_sim)
+            for r in sim_search_index_append(spark, sf_dir).collect()
+        }
+        with_q = signature_frame(
+            _planted_quantized2(
+                _spread(load_table(spark, sf_dir, "embeddings"), spark)
+            ),
+            bits=PROD_LSH_BITS,
+        )
+        full = {
+            (r.src, r.rank, r.dst, r.cos_sim)
+            for r in knn_rank_directed(
+                banded_scored_pairs(
+                    with_q, PROD_LSH_BANDS, PROD_LSH_BAND_BITS
+                )
+            ).collect()
+            if r.src >= PLANT2_OFFSET
+        }
+        assert inc, "no batch-B edges"
+        assert inc == full, (
+            f"append/rebuild divergence: {sorted(inc ^ full)[:4]}"
+        )
+
+    def test_index_append_probe_finds_base_source_and_appended_sibling(
+        self, spark, sf_dir
+    ):
+        """What makes the append NON-VACUOUS: every batch-B member's
+        top-k must contain BOTH its base source (in the index since
+        ingest 0) and its generation-A sibling (in the index ONLY
+        because ingest A appended it) at cos > 0.99 — a probe served
+        by a stale, never-appended index would miss every sibling."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT2_OFFSET,
+            PLANT_OFFSET,
+            sim_search_index_append,
+        )
+
+        rows = sim_search_index_append(spark, sf_dir).collect()
+        assert rows, "no batch-B edges"
+        by_src: dict = {}
+        for r in rows:
+            by_src.setdefault(r.src, {})[r.dst] = r.cos_sim
+        for src, dsts in by_src.items():
+            assert src >= PLANT2_OFFSET, src
+            base_src = src - PLANT2_OFFSET
+            sibling = base_src + PLANT_OFFSET
+            assert base_src in dsts, (src, sorted(dsts))
+            assert sibling in dsts, (src, sorted(dsts))
+            assert dsts[base_src] > 0.99, (src, dsts[base_src])
+            assert dsts[sibling] > 0.99, (src, dsts[sibling])
+
     def test_knn_inc_prod_probe_finds_sources_in_index(
         self, spark, sf_dir
     ):
@@ -1379,6 +1458,96 @@ class TestMultimodalSemantic:
         for (a, b), c in pairs.items():
             assert a < b
             assert c >= MEDIA_COSINE_THRESHOLD
+
+
+class TestMultimodalSemanticInc:
+    def test_media_batch_verdict_equals_full_restriction(
+        self, spark, sf_dir
+    ):
+        """The media batch verdict decided from index-plus-probe
+        edges must be tuple-identical to the full wide-graph verdict
+        restricted to the batch — the SemDeDup inc-equals-rebuild
+        invariant, restated for the media corpus at the 128-bit wide
+        geometry (same edges per source ⇒ same witness ⇒ same
+        verdict)."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_OFFSET,
+            SEMDEDUP_INC_MOD,
+            SEMDEDUP_INC_RESIDUE,
+            semantic_verdict,
+        )
+        from crime_data_batch_processing_spark.operators.multimodal import (
+            MEDIA_COSINE_THRESHOLD,
+            MEDIA_WIDE_BAND_BITS,
+            MEDIA_WIDE_BANDS,
+            MEDIA_WIDE_BITS,
+            _media_corpus_embedded,
+            multimodal_dedup_semantic_inc,
+        )
+        from crime_data_batch_processing_spark.operators.similarity import (
+            banded_scored_pairs,
+            knn_rank_directed,
+            signature_frame,
+        )
+
+        inc = {
+            (r.doc_id, r.kept, r.witness_id, r.witness_cos)
+            for r in multimodal_dedup_semantic_inc(
+                spark, sf_dir
+            ).collect()
+        }
+        with_q = signature_frame(
+            _media_corpus_embedded(spark, sf_dir),
+            bits=MEDIA_WIDE_BITS,
+        )
+        full_verdict = semantic_verdict(
+            knn_rank_directed(
+                banded_scored_pairs(
+                    with_q, MEDIA_WIDE_BANDS, MEDIA_WIDE_BAND_BITS
+                )
+            ),
+            with_q.select("vec_id"),
+            MEDIA_COSINE_THRESHOLD,
+        )
+        full = {
+            (r.vec_id, r.kept, r.witness_id, r.witness_cos)
+            for r in full_verdict.collect()
+            if r.vec_id >= PLANT_OFFSET
+            or r.vec_id % SEMDEDUP_INC_MOD == SEMDEDUP_INC_RESIDUE
+        }
+        assert inc, "empty media batch verdict"
+        assert inc == full, sorted(inc ^ full)[:4]
+
+    def test_media_batch_mixes_drop_and_keep_paths(self, spark, sf_dir):
+        """Both decision paths must fire: the planted re-uploads are
+        (near-)all dropped with a lower-id witness at cos ≥ the media
+        threshold (the wide geometry's measured recall floor is 0.99
+        — witness may be the source OR a natural near-dup group-mate,
+        whichever id is smaller), and novel batch members without a
+        ≥-threshold neighbor are kept with sentinel fields."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_OFFSET,
+        )
+        from crime_data_batch_processing_spark.operators.multimodal import (
+            MEDIA_COSINE_THRESHOLD,
+            multimodal_dedup_semantic_inc,
+        )
+
+        rows = multimodal_dedup_semantic_inc(spark, sf_dir).collect()
+        planted = [r for r in rows if r.doc_id >= PLANT_OFFSET]
+        novel = [r for r in rows if r.doc_id < PLANT_OFFSET]
+        assert planted and novel, "batch must mix both populations"
+        dropped = [r for r in planted if not r.kept]
+        assert len(dropped) / len(planted) >= 0.99, (
+            f"only {len(dropped)}/{len(planted)} re-uploads caught"
+        )
+        for r in dropped:
+            assert r.witness_id < r.doc_id, r
+            assert r.witness_cos >= MEDIA_COSINE_THRESHOLD, r
+        kept_novel = [r for r in novel if r.kept]
+        assert kept_novel, "no novel member kept"
+        for r in kept_novel:
+            assert (r.witness_id, r.witness_cos) == (-1, 0.0), r
 
 
 class TestReleaseSemantic:

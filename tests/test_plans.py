@@ -1367,6 +1367,42 @@ def test_media_semantic_wide_plan_matches_prod_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_media_semantic_inc_plan_disciplines(spark, sf_dir):
+    """The incremental media key must plan as: Arrow embed of the
+    BATCH only (MapInPandas, never BatchEvalPython), parquet index
+    scan, banded ID-only candidate equijoin, WindowGroupLimit top-k —
+    no nested loop anywhere. The persisted index arrives as a parquet
+    relation, the batch signature frame as InMemoryTableScan."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["multimodal_dedup_semantic_inc"](spark, sf_dir)
+    )
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "bval" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_index_append_probe_plan_disciplines(spark, sf_dir):
+    """The append-lifecycle probe must keep the incremental family's
+    plan shape against the GROWN index: cached batch signature frame,
+    banded equijoin, WindowGroupLimit, no nested loop."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["sim_search_index_append"](spark, sf_dir)
+    )
+    assert "InMemoryTableScan" in plan, plan
+    assert "bval" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_release_semantic_gate_and_drop_join_disciplines(spark, sf_dir):
     """pipeline_release_semantic must keep pipeline_release's gate
     shape (the eval-gram side reaches the probe as a BroadcastExchange
