@@ -709,10 +709,23 @@ MEDIA_WIDE_BANDS = 8
 MEDIA_WIDE_BAND_BITS = 16
 
 
-def _sql_media_ctes(bits: int, bands: int, band_bits: int) -> str:
+def _sql_media_ctes(
+    bits: int, bands: int, band_bits: int, materialized: bool = False
+) -> str:
     """Shared WITH-body for the media oracles, ending at the
     `scored(vec_a, vec_b, cos_sim)` CTE (callers append their final
-    shape) — see `_sql_media_scored` for the stage walk-through."""
+    shape) — see `_sql_media_scored` for the stage walk-through.
+
+    `materialized=True` marks the q/sig/scored CTEs MATERIALIZED —
+    semantics-neutral, but required by any caller that references the
+    chain MORE THAN ONCE downstream (the incremental oracle's
+    directed-union + witness + batch references): DuckDB inlines
+    non-materialized CTEs per reference, and the `bits`-wide sig
+    expression is referenced by every band arm, so un-hinted re-use
+    multiplies the most expensive expression in the query (measured:
+    the inc oracle read 1121 s un-hinted vs the single-reference wide
+    oracle's 96 s on the same chain)."""
+    mat = " MATERIALIZED" if materialized else ""
     from crime_data_batch_processing_spark.operators.llm_dedup import (
         PLANT_EVERY,
         PLANT_OFFSET,
@@ -762,10 +775,10 @@ def _sql_media_ctes(bits: int, bands: int, band_bits: int) -> str:
         FROM grid g
         LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bkt = g.b
         GROUP BY g.doc_id
-    ), q AS (
+    ), q AS{mat} (
         SELECT * FROM q0
         WHERE len(list_filter(qe, x -> x <> 0)) > 0
-    ), sig AS (
+    ), sig AS{mat} (
         SELECT vec_id, ({sql_sig_expr(bits)}) AS sig FROM q
     ), bands AS (
         {sql_bands_cte(bands, band_bits)}
@@ -775,7 +788,7 @@ def _sql_media_ctes(bits: int, bands: int, band_bits: int) -> str:
           ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
     ), nrm AS (
         SELECT vec_id, {qdot('qe', 'qe')} AS nsq FROM q
-    ), scored AS (
+    ), scored AS{mat} (
         SELECT cand.vec_a, cand.vec_b,
                ({qdot('ca.qe', 'cb.qe')} / sqrt(na.nsq * nb.nsq))
                    AS cos_sim
@@ -1042,7 +1055,10 @@ def _sql_media_semantic_inc() -> str:
 
     return f"""
     WITH {_sql_media_ctes(
-        MEDIA_WIDE_BITS, MEDIA_WIDE_BANDS, MEDIA_WIDE_BAND_BITS
+        MEDIA_WIDE_BITS,
+        MEDIA_WIDE_BANDS,
+        MEDIA_WIDE_BAND_BITS,
+        materialized=True,
     )}, directed AS (
         SELECT vec_a AS src, vec_b AS dst, cos_sim FROM scored
         UNION ALL
