@@ -66,7 +66,11 @@ record. The gate is also applied BETWEEN passes (r12: the driver's
 record proceeded into a load-8.6 pass 2): before each pass >= 2 the
 harness waits up to SPARK_GRAFT_BENCH_PASS_LOAD_WAIT_S (default 120)
 for the same LOAD_GATE bound, stamping per-pass waits in
-"pass_gate_waits".
+"pass_gate_waits". Gate waits are EXCLUDED from the elapsed time the
+budget rule sees (they are host noise, not measurement cost, so a
+wait never forfeits a pass an instantly-quiet host would have kept)
+but deliberately INCLUDED in the MAX_WALL_S ceiling, which bounds
+the external runner's real kill window (r13 advisor).
 
 Failure consistency: once a key fails, it is excluded from EVERY
 pass total, including passes that already completed — otherwise the
@@ -317,7 +321,13 @@ def main() -> None:
     t_start = time.monotonic()
     for _pass in range(TOTAL_REPS):
         elapsed = time.monotonic() - t_start
-        remaining = BUDGET_S - elapsed
+        # budget headroom excludes between-pass gate waits (r13
+        # advisor): time spent waiting for a quiet host is not
+        # measurement cost and must not forfeit a pass an
+        # instantly-quiet host would have kept. The WALL ceiling
+        # check keeps TRUE elapsed — it bounds the external runner's
+        # real kill window, waits included (see "Load honesty").
+        remaining = BUDGET_S - (elapsed - sum(pass_gate_waits))
         if not should_start_pass(pass_costs, remaining, elapsed):
             # name the actual stop cause (r12 advisor): the forced
             # pass 2 is forfeited only by the wall CEILING, where the

@@ -547,9 +547,18 @@ def sql_bands_cte(bands: int = LSH_BANDS, band_bits: int = LSH_BAND_BITS) -> str
     (probed both engines; relied on by the 64-bit prod layout). For
     multi-word geometries (bands·band_bits > 64) `sig` is a LIST of
     words and band b reads word (b·band_bits)//64 via 1-based list
-    indexing — the exact slicing `band_rows_of` performs."""
+    indexing — the exact slicing `band_rows_of` performs, including
+    its word-straddle guard: an invalid multi-word geometry (band_bits
+    not dividing 64) fails here at SQL-generation time instead of
+    silently emitting a slice that reads past a word boundary while
+    the Spark side raises (r13 advisor)."""
     band_mask = (1 << band_bits) - 1
     total = bands * band_bits
+    if total > 64:
+        assert 64 % band_bits == 0, (
+            f"band_bits {band_bits} must divide 64 so no band "
+            "straddles a signature word"
+        )
 
     def src(b: int) -> tuple[str, int]:
         if total <= 64:

@@ -564,6 +564,24 @@ class TestSimilarity:
         assert recall >= 0.7, f"strong-regime recall {recall:.2f}"
         assert ratio < 0.15, f"candidate ratio {ratio:.2%} — pruning failed"
 
+    def test_sql_bands_cte_word_straddle_guard(self):
+        """r13 advisor: a multi-word geometry whose band_bits does not
+        divide 64 must fail at SQL-GENERATION time (mirroring
+        band_rows_of's Spark-side assert), never silently emit a band
+        slice that reads past a word boundary. Valid geometries —
+        scalar and multi-word — still render."""
+        import pytest
+
+        from crime_data_batch_processing_spark.operators.similarity import (
+            sql_bands_cte,
+        )
+
+        with pytest.raises(AssertionError, match="divide 64"):
+            sql_bands_cte(bands=5, band_bits=24)  # 120 bits, straddles
+        assert "sig[2]" in sql_bands_cte(bands=8, band_bits=16)  # 128-bit
+        assert "sig >>" in sql_bands_cte(bands=8, band_bits=8)  # scalar
+        assert "sig[3]" in sql_bands_cte(bands=12, band_bits=16)  # 192-bit
+
     def test_sq_recall_vs_brute_force(self, spark, sf_dir):
         """SQ8 code-dot prefilter + exact re-rank must recover most of
         the true top-k: the int8 affine code preserves ranking well on
