@@ -744,7 +744,9 @@ def _planted_quantized(emb: DataFrame) -> DataFrame:
     return base.unionByName(planted)
 
 
-def _sql_prod_scored_ctes(corpus_extra: str = "") -> str:
+def _sql_prod_scored_ctes(
+    corpus_extra: str = "", gen_a: bool = True
+) -> str:
     """Shared WITH-body prefix for every production-geometry oracle
     (`dedup_embedding_lsh_prod`, `sim_search_knn_graph_prod`,
     `dedup_semantic`): the planted augmentation, the 64-bit
@@ -758,7 +760,10 @@ def _sql_prod_scored_ctes(corpus_extra: str = "") -> str:
     final shape. `corpus_extra` splices additional UNION ALL arms
     into the corpus CTE (each must select vec_id, qe from `base`) —
     the append-lifecycle oracle adds a second plant generation this
-    way."""
+    way. `gen_a=False` omits the first plant generation entirely:
+    the maintain-lifecycle oracle models a corpus from which curation
+    PURGED generation A, so its rows must not exist anywhere in the
+    chain (not merely be filtered from the final cut)."""
     from crime_data_batch_processing_spark.operators.similarity import (
         _SQL_QUANT,
         sql_bands_cte,
@@ -775,16 +780,22 @@ def _sql_prod_scored_ctes(corpus_extra: str = "") -> str:
         f"({qdot('ca.qe', 'cb.qe')} / "
         f"sqrt({qdot('ca.qe', 'ca.qe')} * {qdot('cb.qe', 'cb.qe')}))"
     )
+    gen_a_arm = (
+        f"""
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+               list_transform(qe,
+                   x -> x + ((abs(x) * 7 + vec_id) % 2001) - 1000) AS qe
+        FROM base WHERE vec_id % {PLANT_EVERY} = 0"""
+        if gen_a
+        else ""
+    )
     return f"""base AS (
         SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS qe
         FROM embeddings
     ), corpus AS MATERIALIZED (
         SELECT vec_id, qe FROM base
-        UNION ALL
-        SELECT vec_id + {PLANT_OFFSET} AS vec_id,
-               list_transform(qe,
-                   x -> x + ((abs(x) * 7 + vec_id) % 2001) - 1000) AS qe
-        FROM base WHERE vec_id % {PLANT_EVERY} = 0
+        {gen_a_arm}
         {corpus_extra}
     ), q AS (SELECT vec_id, qe FROM corpus
     ), sig AS (
@@ -1427,6 +1438,218 @@ def sim_search_index_append(
         inc_q,
         spark.read.parquet(index_dir),
         spark.read.parquet(bands_dir),
+        PROD_LSH_BANDS,
+        PROD_LSH_BAND_BITS,
+    )
+
+
+def purge_compact_dir(
+    spark: SparkSession, src: str, dst: str, drop_ids: DataFrame
+) -> None:
+    """Index-artifact maintenance rewrite: purge every row whose
+    vec_id curation dropped AND bin-pack the accumulated append files
+    in ONE pass — `sinks.compact_dir`'s file-count discipline applied
+    to index artifacts (signature rows, band rows), fused with the
+    delete propagation so each surviving byte moves exactly once.
+
+    The purge is a broadcast LEFT ANTI join (the drop set is a
+    curation verdict — tiny next to the index), so the rewrite stays
+    map-only when `coalesce` suffices. The output file count targets
+    ceil(pre-purge bytes / TARGET_FILE_BYTES) — an upper bound (the
+    purge only shrinks data), so the contract "≤ target files, never
+    small-file proliferation" holds without a second listing pass.
+    """
+    import math
+
+    from crime_data_batch_processing_spark.operators.sinks import (
+        TARGET_FILE_BYTES,
+        parquet_file_sizes,
+    )
+
+    total = sum(parquet_file_sizes(src))
+    n_out = max(1, math.ceil(total / TARGET_FILE_BYTES))
+    kept = spark.read.parquet(src).join(
+        F.broadcast(drop_ids.select("vec_id")), "vec_id", "left_anti"
+    )
+    n_scan = kept.rdd.getNumPartitions()
+    sized = kept.coalesce(n_out) if n_out <= n_scan else kept.repartition(n_out)
+    sized.write.mode("overwrite").parquet(dst)
+
+
+def _maintain_dirs(sf_dir: str) -> dict[str, str]:
+    """The maintain fixture's artifact layout, shared with tests:
+    grown index/bands (base overwrite + ingest-A append), the
+    maintained (purged + compacted) twins, and the curation-drop
+    audit sidecar. One definition so the contract tests inspect the
+    exact directories the key builds (the ZORDER_KIND lesson: never
+    respell a fixture kind in a test)."""
+    from crime_data_batch_processing_spark.fixtures import scratch_dir
+
+    base = scratch_dir(
+        f"knnmaint_b{PROD_LSH_BITS}x{PROD_LSH_BAND_BITS}"
+        f"_p{PLANT_EVERY}o{PLANT_OFFSET}m{PLANT2_MULT}"
+        f"_t{SEMDEDUP_TAU}_v1",
+        sf_dir,
+        "embeddings",
+    )
+    return {
+        "base": base,
+        "index": f"{base}/index",
+        "bands": f"{base}/bands",
+        "index_m": f"{base}/index_m",
+        "bands_m": f"{base}/bands_m",
+        "dropped": f"{base}/dropped",
+    }
+
+
+def _sql_index_maintain() -> str:
+    """Full-value DuckDB oracle for `sim_search_index_maintain`: the
+    union-replay form over a corpus from which curation PURGED
+    generation A — `_sql_prod_scored_ctes(gen_a=False)` builds
+    base ∪ B only, so a generation-A row cannot appear anywhere in
+    the chain (not merely filtered from the final cut), exactly what
+    the post-purge index guarantees. The ranking is cut to batch B's
+    sources (the inc-equals-rebuild restriction at the MAINTAINED
+    index). If the Spark-side curation verdict ever kept a
+    generation-A row (recall < 1 at these constants would be a bug —
+    dedup_semantic's tests pin full planted recall), that row would
+    surface as a probe candidate and hash-mismatch this oracle — the
+    compare checks the purge, not just the probe."""
+    return f"""
+    WITH {_sql_prod_scored_ctes(_sql_corpus_extra_gen_b(), gen_a=False)},
+    directed AS (
+        SELECT vec_a AS src, vec_b AS dst, cos_sim FROM scored
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst, cos_sim FROM scored
+    ), ranked AS (
+        SELECT src, rank, dst, cos_sim FROM (
+            SELECT src, dst, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY cos_sim DESC, dst ASC)
+                       AS rank
+            FROM directed
+        ) WHERE rank <= {_knn_k()}
+    )
+    SELECT src, rank, dst, cos_sim FROM ranked
+    WHERE src >= {PLANT2_OFFSET}
+    """
+
+
+@query("sim_search_index_maintain", oracle=_sql_index_maintain())
+def sim_search_index_maintain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The index MAINTENANCE half of the persisted-index lifecycle
+    (r13 verdict item 1): compaction + curation-driven delete
+    propagation, closing build → append → compact/purge. The append
+    lifecycle (`sim_search_index_append`) grows the signature/band
+    index by new parquet files forever — small-file proliferation,
+    the exact problem `sink_compacted` solves for data sinks — and
+    when curation DROPS a doc (`dedup_semantic*`'s verdict) its
+    signature rows otherwise stay in the index and keep surfacing as
+    candidates and witnesses for every future batch.
+
+    Fixture build replays the append lifecycle (base index overwrite,
+    ingest A parquet-append), runs the PER-INGEST curation verdict
+    over ingest A (the `dedup_semantic_inc` decision: shared
+    `knn_inc_probe` + `semantic_verdict` against the base index —
+    every generation-A re-upload drops with its base source as
+    witness at cos ≈ 0.9999), persists the drop list as an audit
+    sidecar, then MAINTAINS both index artifacts with
+    `purge_compact_dir`: one rewrite that anti-joins the drop set and
+    bin-packs the accumulated files (file-count contract asserted in
+    tests/test_plans.py). The query path is ingest B probing the
+    MAINTAINED index: its generation-A sibling — rank-1 against the
+    merely-grown index (`sim_search_index_append` asserts that) —
+    must never surface again, as candidate or witness (asserted in
+    tests); the base source still must (rank-1, cos ≈ 0.9999).
+    Compaction ALONE is proven edge-preserving separately
+    (tests: probe vs compacted-unpurged index equals
+    `sim_search_index_append` tuple-for-tuple).
+
+    At 100 TB this is the steady-state maintenance job: the drop set
+    is O(curation verdicts) and broadcasts; the rewrite is one linear
+    pass over the index (map-only when coalesce suffices), amortized
+    across ingests exactly like Delta VACUUM / Iceberg
+    rewrite_data_files; probes before and after see identical
+    surviving rows because signature integers are a pure function of
+    the data. GDPR-delete is the same shape with an external drop
+    list. Reference analog: O9/O12's overwrite-forever protocol
+    (/root/reference/spark_ingest_script.py:85-105), whose lifecycle
+    gaps `snapshot_expire`/`snapshot_restore` close for snapshots and
+    this key closes for index artifacts.
+    """
+    from crime_data_batch_processing_spark.fixtures import build_once
+    from crime_data_batch_processing_spark.operators.similarity import (
+        _with_sig_cols,
+        band_rows_of,
+        knn_inc_probe,
+        signature_frame,
+    )
+
+    dirs = _maintain_dirs(sf_dir)
+    base_dir = dirs["base"]
+    grown_index, grown_bands = dirs["index"], dirs["bands"]
+    m_index, m_bands = dirs["index_m"], dirs["bands_m"]
+    dropped_dir = dirs["dropped"]
+    corpus = _planted_quantized2(
+        _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    )
+    is_a = (F.col("vec_id") >= PLANT_OFFSET) & (
+        F.col("vec_id") < PLANT2_OFFSET
+    )
+    is_b = F.col("vec_id") >= PLANT2_OFFSET
+
+    def build() -> None:
+        # ingest 0 + ingest A: the sim_search_index_append protocol
+        # verbatim (base overwrite, A parquet-append = new files only)
+        base_q = _with_sig_cols(
+            corpus.where(~is_a & ~is_b), bits=PROD_LSH_BITS
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        a_q = _with_sig_cols(
+            corpus.where(is_a), bits=PROD_LSH_BITS
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            base_q.write.mode("overwrite").parquet(grown_index)
+            base_bands = band_rows_of(
+                base_q, PROD_LSH_BANDS, PROD_LSH_BAND_BITS
+            )
+            base_bands.write.mode("overwrite").parquet(grown_bands)
+            # curation AT INGEST TIME: ingest A's per-batch semantic
+            # verdict against the already-ingested index (the
+            # dedup_semantic_inc decision), audit sidecar persisted
+            semantic_verdict(
+                knn_inc_probe(
+                    a_q,
+                    base_q,
+                    base_bands,
+                    PROD_LSH_BANDS,
+                    PROD_LSH_BAND_BITS,
+                ),
+                corpus.where(is_a).select("vec_id"),
+                SEMDEDUP_TAU,
+            ).where(~F.col("kept")).write.mode("overwrite").parquet(
+                dropped_dir
+            )
+            a_q.write.mode("append").parquet(grown_index)
+            band_rows_of(
+                a_q, PROD_LSH_BANDS, PROD_LSH_BAND_BITS
+            ).write.mode("append").parquet(grown_bands)
+        finally:
+            base_q.unpersist()
+            a_q.unpersist()
+        # MAINTENANCE: purge the dropped rows + bin-pack the append
+        # files, one rewrite per artifact
+        drop_ids = spark.read.parquet(dropped_dir)
+        purge_compact_dir(spark, grown_index, m_index, drop_ids)
+        purge_compact_dir(spark, grown_bands, m_bands, drop_ids)
+
+    build_once(base_dir, build)
+    inc_q = signature_frame(corpus.where(is_b), bits=PROD_LSH_BITS)
+    return knn_inc_probe(
+        inc_q,
+        spark.read.parquet(m_index),
+        spark.read.parquet(m_bands),
         PROD_LSH_BANDS,
         PROD_LSH_BAND_BITS,
     )

@@ -473,6 +473,111 @@ class TestSimilarity:
             assert dsts[base_src] > 0.99, (src, dsts[base_src])
             assert dsts[sibling] > 0.99, (src, dsts[sibling])
 
+    def test_index_maintain_purges_dropped_docs_from_probe(
+        self, spark, sf_dir
+    ):
+        """Delete propagation's contract (r13 verdict item 1): after
+        curation drops generation A and maintenance purges it, a
+        dropped doc must NEVER surface again — not as a candidate, a
+        top-k edge, or a witness. Non-vacuous: against the
+        merely-grown index the SAME batch's probe contains gen-A
+        siblings (sim_search_index_append asserts rank-1 there). The
+        base source must survive the rewrite (still rank-1 at
+        cos ≈ 0.9999), and the audit sidecar must list EXACTLY the
+        generation-A ids, each witnessed by its base source."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT2_OFFSET,
+            PLANT_EVERY,
+            PLANT_OFFSET,
+            _maintain_dirs,
+            sim_search_index_maintain,
+        )
+
+        rows = sim_search_index_maintain(spark, sf_dir).collect()
+        assert rows, "no batch-B edges from the maintained index"
+        gen_a = lambda i: PLANT_OFFSET <= i < PLANT2_OFFSET  # noqa: E731
+        assert not [r for r in rows if gen_a(r.dst)], (
+            "a purged generation-A row surfaced as a probe edge"
+        )
+        rank1 = {r.src: r for r in rows if r.rank == 1}
+        for src, r in rank1.items():
+            assert r.dst == src - PLANT2_OFFSET, (src, r)
+            assert r.cos_sim > 0.99, (src, r)
+        dropped = spark.read.parquet(
+            _maintain_dirs(sf_dir)["dropped"]
+        ).collect()
+        base_ids = {
+            d.vec_id - PLANT_OFFSET for d in dropped
+        }
+        expected = {
+            r.src - PLANT2_OFFSET for r in rows
+        }  # same plant cadence: every B member's base had an A copy
+        assert base_ids == expected, "drop set is not exactly gen A"
+        for d in dropped:
+            assert d.vec_id % PLANT_EVERY == PLANT_OFFSET % PLANT_EVERY
+            assert d.witness_id == d.vec_id - PLANT_OFFSET, d
+            assert d.witness_cos > 0.99, d
+
+    def test_index_maintain_compaction_alone_preserves_edges(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Compaction with an EMPTY drop set must be a pure physical
+        rewrite: batch B's probe against the compacted-but-unpurged
+        grown index equals `sim_search_index_append`'s probe against
+        the raw grown index tuple-for-tuple — bin-packing moves
+        bytes, never rows."""
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT2_OFFSET,
+            PROD_LSH_BAND_BITS,
+            PROD_LSH_BANDS,
+            PROD_LSH_BITS,
+            _maintain_dirs,
+            _planted_quantized2,
+            _spread,
+            purge_compact_dir,
+            sim_search_index_append,
+            sim_search_index_maintain,
+        )
+        from crime_data_batch_processing_spark.operators.similarity import (
+            knn_inc_probe,
+            signature_frame,
+        )
+        from crime_data_batch_processing_spark.sources.tables import (
+            load_table,
+        )
+
+        sim_search_index_maintain(spark, sf_dir).count()  # build fixture
+        dirs = _maintain_dirs(sf_dir)
+        no_drops = spark.createDataFrame([], "vec_id long")
+        ci, cb = f"{tmp_path}/index_c", f"{tmp_path}/bands_c"
+        purge_compact_dir(spark, dirs["index"], ci, no_drops)
+        purge_compact_dir(spark, dirs["bands"], cb, no_drops)
+        corpus = _planted_quantized2(
+            _spread(load_table(spark, sf_dir, "embeddings"), spark)
+        )
+        inc_q = signature_frame(
+            corpus.where(F.col("vec_id") >= PLANT2_OFFSET),
+            bits=PROD_LSH_BITS,
+        )
+        compacted = {
+            (r.src, r.rank, r.dst, r.cos_sim)
+            for r in knn_inc_probe(
+                inc_q,
+                spark.read.parquet(ci),
+                spark.read.parquet(cb),
+                PROD_LSH_BANDS,
+                PROD_LSH_BAND_BITS,
+            ).collect()
+        }
+        raw = {
+            (r.src, r.rank, r.dst, r.cos_sim)
+            for r in sim_search_index_append(spark, sf_dir).collect()
+        }
+        assert compacted, "no edges from the compacted index"
+        assert compacted == raw, (
+            f"compaction changed edges: {sorted(compacted ^ raw)[:4]}"
+        )
+
     def test_knn_inc_prod_probe_finds_sources_in_index(
         self, spark, sf_dir
     ):

@@ -471,6 +471,53 @@ def test_compaction_meets_file_count_contract(spark, sf_dir):
     assert n_frag == n_comp
 
 
+def test_index_maintain_meets_file_count_contract(spark, sf_dir):
+    """Index-artifact maintenance (r13 verdict item 1) must actually
+    shrink the file inventory: each maintained artifact holds at most
+    ceil(pre-purge bytes / target) files and strictly fewer than the
+    append-grown original (base write + ingest-A append), while every
+    surviving row is exactly the grown set minus the audit-sidecar
+    drop set."""
+    import math
+
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        _maintain_dirs,
+    )
+    from crime_data_batch_processing_spark.operators.sinks import (
+        TARGET_FILE_BYTES,
+        parquet_file_sizes,
+    )
+
+    registry.QUERIES["sim_search_index_maintain"](spark, sf_dir)
+    dirs = _maintain_dirs(sf_dir)
+    dropped = {
+        r.vec_id
+        for r in spark.read.parquet(dirs["dropped"]).collect()
+    }
+    assert dropped, "curation dropped nothing — vacuous maintenance"
+    for grown_key, m_key in [("index", "index_m"), ("bands", "bands_m")]:
+        grown = parquet_file_sizes(dirs[grown_key])
+        maint = parquet_file_sizes(dirs[m_key])
+        cap = max(1, math.ceil(sum(grown) / TARGET_FILE_BYTES))
+        assert len(maint) <= cap, (m_key, len(maint), cap)
+        assert len(maint) < len(grown), (m_key, len(maint), len(grown))
+        grown_ids = {
+            r.vec_id
+            for r in spark.read.parquet(dirs[grown_key])
+            .select("vec_id")
+            .distinct()
+            .collect()
+        }
+        maint_ids = {
+            r.vec_id
+            for r in spark.read.parquet(dirs[m_key])
+            .select("vec_id")
+            .distinct()
+            .collect()
+        }
+        assert maint_ids == grown_ids - dropped, m_key
+
+
 def test_zone_map_unselective_predicate_falls_back(spark, sf_dir):
     """When more manifest entries match than the driver-side cap, the
     scan must degrade to the full directory read (correct, file-level
