@@ -728,21 +728,28 @@ def pipeline_eval_decontaminate(
     )
 
 
-@query(
-    "pipeline_release",
-    oracle=f"""
-    WITH qsh AS (
+def _sql_release_card_over(src: str) -> str:
+    """Release-card SQL — quality gate → exact keep-first dedup →
+    decontamination gate → per-language card + digest — over an
+    arbitrary corpus select `src` (must yield doc_id, lang, text).
+    ONE rebuild definition serves `pipeline_release` (the natural
+    corpus) and `pipeline_release_inc` (the re-upload-planted corpus
+    — whose oracle being the FULL REBUILD makes the driver compare
+    itself the card-equals-rebuild proof)."""
+    return f"""
+    WITH docsrc AS ({src}
+    ), qsh AS (
         SELECT DISTINCT unnest({sql_shingles('text', DECON_K)}) AS g
-        FROM documents WHERE doc_id % {BENCH_MOD} = 0
+        FROM docsrc WHERE doc_id % {BENCH_MOD} = 0
     ), contaminated AS (
         SELECT DISTINCT e.doc_id
         FROM (SELECT doc_id, unnest({sql_shingles('text', DECON_K)}) AS g
-              FROM documents WHERE doc_id % {BENCH_MOD} <> 0) e
+              FROM docsrc WHERE doc_id % {BENCH_MOD} <> 0) e
         JOIN qsh q ON e.g = q.g
     ), kept AS (
         SELECT doc_id, lang, text,
                len(string_split(text, ' ')) AS n_toks
-        FROM documents
+        FROM docsrc
         WHERE doc_id % {BENCH_MOD} <> 0
           AND ({QM_BIAS}
                + {QM_W_TOKENS} * len(string_split(text, ' '))
@@ -782,8 +789,15 @@ def pipeline_eval_decontaminate(
                AS doc_share,
            release_digest
     FROM per, tot
-    """,
+    """
+
+
+_SQL_RELEASE_CARD = _sql_release_card_over(
+    "SELECT doc_id, lang, text FROM documents"
 )
+
+
+@query("pipeline_release", oracle=_SQL_RELEASE_CARD)
 def pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The artifact set a corpus RELEASE ships (the r10 verdict's
     stretch composition): the per-language dataset card of the fully
@@ -844,22 +858,7 @@ def pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    toks = tokens("text")
-    logit = (
-        F.lit(QM_BIAS)
-        + F.lit(QM_W_TOKENS) * F.size(toks)
-        + F.lit(QM_W_STOP)
-        * F.size(F.filter(toks, lambda t: t.isin("the", "a")))
-        + F.lit(QM_W_DISTINCT) * F.size(F.array_distinct(toks))
-        + F.lit(QM_W_LONG)
-        * F.size(F.filter(toks, lambda t: F.length(t) > 12))
-    )
-    kept = docs.where(~is_bench).where(logit >= QM_THRESHOLD).select(
-        "doc_id",
-        "lang",
-        F.md5("text").alias("digest"),
-        F.size(tokens("text")).alias("n_toks"),
-    )
+    kept = _quality_kept(docs.where(~is_bench))
     first = kept.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
     dedup = (
         kept.join(first, "digest")
@@ -871,7 +870,38 @@ def pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang", "n_toks", F.coalesce("fl_", F.lit(False)).alias("fl")
     )
-    per = clean.groupBy("lang").agg(
+    return _card_finish(_card_counters(clean))
+
+
+def _quality_kept(docs: DataFrame) -> DataFrame:
+    """Release candidacy, shared by `pipeline_release*` and the
+    incremental fold: quality-logit gate over the given documents,
+    projected to the dedup universe (doc_id, lang, digest, n_toks).
+    The caller supplies the slice (full corpus minus eval suite for
+    the rebuild; one ingest batch for the fold)."""
+    toks = tokens("text")
+    logit = (
+        F.lit(QM_BIAS)
+        + F.lit(QM_W_TOKENS) * F.size(toks)
+        + F.lit(QM_W_STOP)
+        * F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+        + F.lit(QM_W_DISTINCT) * F.size(F.array_distinct(toks))
+        + F.lit(QM_W_LONG)
+        * F.size(F.filter(toks, lambda t: F.length(t) > 12))
+    )
+    return docs.where(logit >= QM_THRESHOLD).select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("digest"),
+        F.size(tokens("text")).alias("n_toks"),
+    )
+
+
+def _card_counters(clean: DataFrame) -> DataFrame:
+    """Per-language card counters over flagged survivors (lang,
+    n_toks, fl) — the additive half of the card: pure sums, so a
+    batch delta merges into persisted counters by one more sum."""
+    return clean.groupBy("lang").agg(
         F.sum(F.when(~F.col("fl"), 1).otherwise(0))
         .cast("long")
         .alias("n_docs"),
@@ -882,6 +912,17 @@ def pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_flagged"),
     )
+
+
+def _card_finish(per: DataFrame) -> DataFrame:
+    """The release-card tail shared by `pipeline_release*` and the
+    incremental fold: given per-language counters (lang, n_docs,
+    n_tokens, n_flagged), attach the grand-total share and the
+    content-derived release digest (md5 over lang:n_docs:n_tokens
+    rows in lang order) via the 1-row `with_scalars` broadcast. The
+    digest is a pure function of the CARD — which is what lets an
+    incremental release recompute it from merged counters without
+    touching the corpus."""
     tot = per.agg(
         F.sum("n_docs").cast("long").alias("grand_total"),
         F.md5(
@@ -917,6 +958,292 @@ def pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc_share"),
         "release_digest",
     )
+
+
+#: `pipeline_release_inc`'s ingest split: the batch is every document
+#: with doc_id ≡ RESIDUE (mod MOD) — ~10% of the corpus, id-interleaved
+#: with the base on purpose. Interleaving is the hard case for an
+#: incremental keep-first dedup (a batch id can undercut an
+#: already-released duplicate's id), and the card survives it because
+#: a digest group's card contribution (lang, n_toks, contamination
+#: flag) is a pure function of the TEXT, identical for every member —
+#: WHICH member ships can differ from the rebuild, what the card says
+#: cannot. The residue avoids 0 so the batch is not the eval suite's
+#: own residue class under BENCH_MOD.
+RELEASE_INC_MOD = 10
+RELEASE_INC_RESIDUE = 3
+
+#: Planted re-uploads for the ingest batch: the testdata corpus has
+#: ZERO exact-duplicate texts below sf0.1, so without planting the
+#: fold's index anti-join would pass VACUOUSLY at the driver's
+#: correctness SF (the round-4 cluster_assign lesson). Every base doc
+#: with doc_id ≡ 6 (mod 20) is re-collected once (and ≡ 6 (mod 40) a
+#: second time, exercising within-batch keep-first) at
+#: BASE + 970·doc_id + 3. The arithmetic pins the planted ids into
+#: exactly the right classes: 970 ≡ 0 (mod 10) and (mod 97) and the
+#: bases are multiples of 970, so every plant is ≡ 3 (mod 10) —
+#: always in the ingest batch — and ≡ 3 (mod 97) — never in the eval
+#: suite (a re-upload must not grow the gate that would then flag its
+#: own source; the pipeline_release_semantic_prod discipline).
+DOCPLANT_EVERY = 20
+DOCPLANT_EVERY2 = 40
+DOCPLANT_RESIDUE = 6
+DOCPLANT_STRIDE = 970
+DOCPLANT_BASE1 = 10_670_000  # 970 × 11 000
+DOCPLANT_BASE2 = 21_340_000  # 970 × 22 000
+
+
+def _docs_planted(docs: DataFrame) -> DataFrame:
+    """documents (doc_id, lang, text) augmented with the planted
+    re-upload generations (see DOCPLANT_*) — the corpus
+    `pipeline_release_inc` releases. Pure column arithmetic, replayed
+    exactly by `_sql_release_inc`'s UNION arms."""
+    base = docs.select("doc_id", "lang", "text")
+
+    def gen(every: int, plant_base: int) -> DataFrame:
+        return base.where(
+            F.col("doc_id") % every == DOCPLANT_RESIDUE
+        ).select(
+            (
+                F.lit(plant_base)
+                + F.lit(DOCPLANT_STRIDE) * F.col("doc_id")
+                + F.lit(3)
+            ).alias("doc_id"),
+            "lang",
+            "text",
+        )
+
+    return base.unionByName(
+        gen(DOCPLANT_EVERY, DOCPLANT_BASE1)
+    ).unionByName(gen(DOCPLANT_EVERY2, DOCPLANT_BASE2))
+
+
+def _sql_release_inc() -> str:
+    """Full-value DuckDB oracle for `pipeline_release_inc`: the card
+    FULL REBUILD (`_sql_release_card_over`) over the re-upload-planted
+    corpus — the incremental fold must reproduce it bit-for-bit,
+    digest included."""
+    arm = (
+        "SELECT {b} + {s} * doc_id + 3 AS doc_id, lang, text "
+        "FROM documents WHERE doc_id % {e} = {r}"
+    )
+    return _sql_release_card_over(
+        "SELECT doc_id, lang, text FROM documents UNION ALL "
+        + arm.format(
+            b=DOCPLANT_BASE1,
+            s=DOCPLANT_STRIDE,
+            e=DOCPLANT_EVERY,
+            r=DOCPLANT_RESIDUE,
+        )
+        + " UNION ALL "
+        + arm.format(
+            b=DOCPLANT_BASE2,
+            s=DOCPLANT_STRIDE,
+            e=DOCPLANT_EVERY2,
+            r=DOCPLANT_RESIDUE,
+        )
+    )
+
+
+def _release_inc_dirs(sf_dir: str) -> dict[str, str]:
+    """`pipeline_release_inc`'s persisted state layout, shared with
+    tests: the fixed eval-suite gram set, the released-digest index,
+    and the per-language card counters — everything ingest N+1 needs,
+    none of it corpus-sized except the digest index (one column,
+    scanned map-only under a broadcast probe)."""
+    from crime_data_batch_processing_spark.fixtures import scratch_dir
+
+    base = scratch_dir(
+        f"relinc_m{RELEASE_INC_MOD}r{RELEASE_INC_RESIDUE}"
+        f"_q{QM_THRESHOLD}k{DECON_K}b{BENCH_MOD}"
+        f"_p{DOCPLANT_EVERY}s{DOCPLANT_STRIDE}_v1",
+        sf_dir,
+        "documents",
+    )
+    return {
+        "base": base,
+        "qgrams": f"{base}/qgrams",
+        "index": f"{base}/index",
+        "card": f"{base}/card",
+    }
+
+
+@query("pipeline_release_inc", oracle=_sql_release_inc())
+def pipeline_release_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL release (r13 verdict item 2): maintain the
+    user-facing release deliverable — `pipeline_release`'s
+    per-language card + content digest — per ingest, instead of
+    recomputing the corpus. The incremental ladder already covered
+    exact digests (`dedup_incremental`), graph edges
+    (`sim_search_knn_inc_prod`), curation verdicts
+    (`dedup_semantic_inc`), media (`multimodal_dedup_semantic_inc`),
+    and index maintenance (`sim_search_index_append`/`_maintain`);
+    this key closes it at the artifact users actually consume.
+
+    Persisted state (fixture = "the release as of ingest N"): the
+    fixed eval-suite gram set (eval suites are curated upfront — the
+    gate never grows with crawl data, which is what keeps base card
+    rows immutable), the released-digest index, and the per-language
+    card counters. The ingest fold over batch B (the
+    RELEASE_INC_MOD/RESIDUE slice) runs: quality gate → within-batch
+    keep-first dedup → digest-index anti-join (broadcast the BATCH's
+    digests, scan the index's one pruned column map-only — the
+    parquet-honest equivalent of a bucketed index lookup) →
+    broadcast gram decon probe → per-language delta → one additive
+    merge into the persisted counters → `_card_finish` recomputes
+    share + digest from |langs| rows. Total per-ingest cost:
+    O(batch) compute + one single-column index scan; the corpus's
+    text is never re-read.
+
+    CARD-EQUALS-REBUILD is the whole contract, and it is checked
+    twice: the registered oracle IS the full-corpus rebuild SQL over
+    the same planted corpus (the driver compare proves the fold
+    reproduces the rebuild, digest included), and tests pin the
+    output against a Spark full rebuild tuple-exact. The corpus
+    carries planted re-uploads (DOCPLANT_*) because the natural
+    testdata has zero exact duplicates below sf0.1 — without them
+    the fold's defining move (the index anti-join dropping an
+    already-released text) would pass vacuously. Why equality holds
+    under id-interleaving: see RELEASE_INC_MOD — a displaced
+    survivor has identical text, hence identical (lang, n_toks,
+    flag), hence identical card. Reference analog: the reference
+    recomputes its one summary from the full catalog every run
+    (/root/reference/spark_process_script.py:35-39); this is the
+    shape that survives when the catalog is 100 TB and the day's
+    crawl is 0.1% of it.
+    """
+    from pyspark.sql import Window
+
+    from crime_data_batch_processing_spark.fixtures import build_once
+
+    dirs = _release_inc_dirs(sf_dir)
+    docs = _docs_planted(load_table(spark, sf_dir, "documents"))
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    is_batch = (
+        F.col("doc_id") % RELEASE_INC_MOD == RELEASE_INC_RESIDUE
+    )
+
+    def build() -> None:
+        # the release as of ingest N: eval grams over the FULL corpus
+        # (fixed suite), then pipeline_release's stages over the base
+        # slice only
+        with_sh = (
+            docs.select("doc_id", tokens("text").alias("toks"))
+            .select(
+                "doc_id", shingles_of(F.col("toks"), DECON_K).alias("sh")
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            qgrams = (
+                with_sh.where(is_bench)
+                .select(F.explode("sh").alias("g"))
+                .distinct()
+            )
+            qgrams.write.mode("overwrite").parquet(dirs["qgrams"])
+            kept = _quality_kept(
+                docs.where(~is_batch & ~is_bench)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                first = kept.groupBy("digest").agg(
+                    F.min("doc_id").alias("keep_id")
+                )
+                dedup = (
+                    kept.join(first, "digest")
+                    .where(F.col("doc_id") == F.col("keep_id"))
+                    .select("digest", "doc_id", "lang", "n_toks")
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                try:
+                    dedup.select("digest", "doc_id").write.mode(
+                        "overwrite"
+                    ).parquet(dirs["index"])
+                    contaminated = (
+                        with_sh.where(~is_bench & ~is_batch)
+                        .select("doc_id", F.explode("sh").alias("g"))
+                        .join(
+                            F.broadcast(
+                                spark.read.parquet(dirs["qgrams"])
+                            ),
+                            "g",
+                        )
+                        .select("doc_id")
+                        .distinct()
+                    )
+                    clean = dedup.join(
+                        contaminated.withColumn("fl_", F.lit(True)),
+                        "doc_id",
+                        "left",
+                    ).select(
+                        "lang",
+                        "n_toks",
+                        F.coalesce("fl_", F.lit(False)).alias("fl"),
+                    )
+                    _card_counters(clean).write.mode(
+                        "overwrite"
+                    ).parquet(dirs["card"])
+                finally:
+                    dedup.unpersist()
+            finally:
+                kept.unpersist()
+        finally:
+            with_sh.unpersist()
+
+    build_once(dirs["base"], build)
+
+    # ---- the per-ingest fold: O(batch) + one pruned index scan ----
+    batch = docs.where(is_batch)
+    dedup_b = track(
+        _quality_kept(batch.where(~is_bench))
+        .withColumn(
+            "keep_id",
+            F.min("doc_id").over(
+                Window.partitionBy("digest")
+            ),
+        )
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("digest", "doc_id", "lang", "n_toks")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # broadcast the batch's digests AT the index, never the reverse:
+    # the index is corpus-sized, the batch is an ingest
+    matched = (
+        spark.read.parquet(dirs["index"])
+        .join(F.broadcast(dedup_b.select("digest")), "digest")
+        .select("digest")
+        .distinct()
+    )
+    new_b = dedup_b.join(F.broadcast(matched), "digest", "left_anti")
+    batch_sh = track(
+        batch.where(~is_bench)
+        .select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id", shingles_of(F.col("toks"), DECON_K).alias("sh")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    contaminated_b = (
+        batch_sh.select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(spark.read.parquet(dirs["qgrams"])), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean_b = new_b.join(
+        contaminated_b.withColumn("fl_", F.lit(True)), "doc_id", "left"
+    ).select(
+        "lang", "n_toks", F.coalesce("fl_", F.lit(False)).alias("fl")
+    )
+    merged = (
+        spark.read.parquet(dirs["card"])
+        .unionByName(_card_counters(clean_b))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_flagged").cast("long").alias("n_flagged"),
+        )
+    )
+    return _card_finish(merged)
 
 
 #: Semantic-dedup threshold for the RELEASE pipeline: this corpus's
