@@ -708,6 +708,27 @@ MEDIA_WIDE_BITS = 128
 MEDIA_WIDE_BANDS = 8
 MEDIA_WIDE_BAND_BITS = 16
 
+#: The NEXT-decade geometry (r13 verdict item 3), chosen by
+#: measurement, not by the verdict's guess: the numpy band replay on
+#: the sf0.1 media corpus (5250 payloads, tools/… probe re-run r14)
+#: measured the candidate-pair union ratio per geometry as
+#:   64-bit  8×8  → 4.59%    (recall 250/250)
+#:   128-bit 8×16 → 0.0416%  (recall 249/250, the shipped wide rung)
+#:   192-bit 12×16 → 0.0606% (recall 249/250 — REJECTED: adding
+#:       bands at fixed band width RAISES collision mass ~1.45×;
+#:       "bits ~ log N" executed as band-count growth moves the
+#:       wrong way)
+#:   192-bit 6×32 → 0.0034%  (recall 237/250 — too much recall lost)
+#:   256-bit 8×32 → 0.0035%  (recall 244/250 — 12× below the wide
+#:       rung at 2.4% planted-recall cost; the honest knob is BAND
+#:       WIDTH ~ log N at constant band count)
+#: So the registered next rung is 256-bit/8×32. Like the 16-bit-band
+#: trade, the recall loss is deterministic and pinned against the
+#: numpy replay in tests — never claimed as 1.0.
+MEDIA_XWIDE_BITS = 256
+MEDIA_XWIDE_BANDS = 8
+MEDIA_XWIDE_BAND_BITS = 32
+
 
 def _sql_media_ctes(
     bits: int, bands: int, band_bits: int, materialized: bool = False
@@ -800,7 +821,9 @@ def _sql_media_ctes(
     )"""
 
 
-def _sql_media_scored(bits: int, bands: int, band_bits: int) -> str:
+def _sql_media_scored(
+    bits: int, bands: int, band_bits: int, materialized: bool = False
+) -> str:
     """Shared DuckDB oracle body for the media semantic-dedup rungs:
     replay the planted payload augmentation, the sign-trick hashed
     K-gram embedding (characters == bytes on this ASCII corpus, the
@@ -811,9 +834,13 @@ def _sql_media_scored(bits: int, bands: int, band_bits: int) -> str:
     single-rounding arithmetic as Spark's descale(idot(...)),
     bit-identical (the `_sql_prod_scored_ctes` qdot pattern, with
     self-dots precomputed once per vector in a `nrm` CTE so each
-    candidate pair costs ONE cross-dot)."""
+    candidate pair costs ONE cross-dot). `materialized` forwards to
+    `_sql_media_ctes` — required past 128 signature bits, where the
+    per-band-arm inlining of the sig expression dominates the whole
+    oracle (measured 57 s vs 5 s for the bands CTE alone at 256
+    bits, sf0.001)."""
     return f"""
-    WITH {_sql_media_ctes(bits, bands, band_bits)}
+    WITH {_sql_media_ctes(bits, bands, band_bits, materialized)}
     SELECT vec_a AS doc_a, vec_b AS doc_b, cos_sim FROM scored
     WHERE cos_sim >= {MEDIA_COSINE_THRESHOLD}
     """
@@ -1028,6 +1055,73 @@ def multimodal_dedup_semantic_wide(
     return (
         banded_scored_pairs(
             with_q, MEDIA_WIDE_BANDS, MEDIA_WIDE_BAND_BITS
+        )
+        .where(F.col("cos_sim") >= MEDIA_COSINE_THRESHOLD)
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            "cos_sim",
+        )
+    )
+
+
+def _sql_media_semantic_xwide() -> str:
+    """`multimodal_dedup_semantic_xwide` oracle: the shared media
+    chain at the 256-bit/8×32 constants — four signature words, each
+    band exactly half a word (32 divides 64, the `sql_bands_cte`
+    straddle guard's happy path)."""
+    return _sql_media_scored(
+        MEDIA_XWIDE_BITS,
+        MEDIA_XWIDE_BANDS,
+        MEDIA_XWIDE_BAND_BITS,
+        materialized=True,
+    )
+
+
+@query(
+    "multimodal_dedup_semantic_xwide",
+    oracle=_sql_media_semantic_xwide(),
+)
+def multimodal_dedup_semantic_xwide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC media dedup at the 256-bit/8×32 NEXT-DECADE geometry
+    — the knob the r13 verdict asked to close ("bits ~ log N per
+    decade"), resolved by measurement: the verdict's candidate
+    192-bit/12×16 RAISES candidate mass (0.061% vs the wide rung's
+    0.042% — extra bands at fixed width add collisions), while
+    widening the bands to 32 bits at the same band count drops it
+    12× (0.0035% measured, see MEDIA_XWIDE_* for the full table).
+    That factor is what the decade needs: the wide rung's s100 warm
+    exponent (1.31) said its fixed 0.042% constant resurfaces the N²
+    term by ~5M payloads; at 0.0035% the same corpus point carries
+    ~12× fewer candidate verifications.
+
+    The trade is the same shape as the wide rung's, one step further:
+    planted recall 244/250 at sf0.1 (the six misses are short
+    payloads whose sign bits flip more than their cosine suggests —
+    deterministic, pinned against an independent numpy band replay in
+    tests, never claimed as 1.0). The recall ladder is therefore
+    64-bit 1.0 → 128-bit 0.996 → 256-bit 0.976, each rung registered,
+    each one decade's geometry.
+
+    Composition is `multimodal_dedup_semantic_wide`'s verbatim at the
+    other constants: `_media_corpus_embedded` (one Arrow mapInPandas
+    pass) → `signature_frame(bits=256)` (sig = array of four int64
+    words) → `banded_scored_pairs(8, 32)` → exact quantized-cosine
+    verify; the oracle replays every stage through the multi-word
+    `sql_sig_expr`/`sql_bands_cte` generators.
+    """
+    from crime_data_batch_processing_spark.operators.similarity import (
+        banded_scored_pairs,
+        signature_frame,
+    )
+
+    emb = _media_corpus_embedded(spark, sf_dir)
+    with_q = signature_frame(emb, bits=MEDIA_XWIDE_BITS)
+    return (
+        banded_scored_pairs(
+            with_q, MEDIA_XWIDE_BANDS, MEDIA_XWIDE_BAND_BITS
         )
         .where(F.col("cos_sim") >= MEDIA_COSINE_THRESHOLD)
         .select(

@@ -1612,21 +1612,34 @@ class TestMultimodalSemantic:
             assert a < b
             assert c >= MEDIA_COSINE_THRESHOLD
 
-    def test_wide_rung_matches_independent_numpy_band_replay(
-        self, spark, sf_dir
+    @pytest.mark.parametrize(
+        "rung,bits,bands,band_bits,recall_floor",
+        [
+            ("wide", 128, 8, 16, 0.99),
+            # xwide: 244/250 = 0.976 measured at sf0.1 — the next
+            # decade's trade (never claim 1.0 at banded geometries)
+            ("xwide", 256, 8, 32, 0.97),
+        ],
+    )
+    def test_wide_rungs_match_independent_numpy_band_replay(
+        self, spark, sf_dir, rung, bits, bands, band_bits, recall_floor
     ):
-        """The 128-bit wide rung's honesty contract: its planted-pair
-        result must equal EXACTLY what an independent numpy replay of
-        the embed + multi-word signature + 8×16 banding predicts —
-        recall is whatever the tighter bands deterministically give
-        (≥ 0.99 measured; 249/250 at sf0.1), never silently less, and
-        every returned pair must clear the cosine threshold. This is
-        the wide twin of the 64-bit rung's recall-1.0 test: the scale
-        rung trades a measured sliver of recall for a measured 109×
-        candidate-mass reduction, and this test pins that trade
-        bit-for-bit."""
+        """The multi-word rungs' honesty contract (128-bit/8×16 wide
+        and 256-bit/8×32 xwide): each rung's planted-pair result must
+        equal EXACTLY what an independent numpy replay of the embed +
+        multi-word signature + banding predicts — recall is whatever
+        the tighter bands deterministically give (wide: 249/250 at
+        sf0.1; xwide: 244/250), never silently less, and every
+        returned pair must clear the cosine threshold. This is the
+        multi-word twin of the 64-bit rung's recall-1.0 test: each
+        scale rung trades a measured sliver of recall for a measured
+        candidate-mass reduction (109× wide, a further 12× xwide),
+        and this test pins that trade bit-for-bit."""
         import numpy as np
 
+        from crime_data_batch_processing_spark.operators import (
+            multimodal as mm,
+        )
         from crime_data_batch_processing_spark.operators.llm_dedup import (
             PLANT_EVERY,
             PLANT_OFFSET,
@@ -1639,10 +1652,6 @@ class TestMultimodalSemantic:
             MEDIA_GRAM_MULT,
             MEDIA_MIX_MOD,
             MEDIA_MIX_MULT,
-            MEDIA_WIDE_BAND_BITS,
-            MEDIA_WIDE_BANDS,
-            MEDIA_WIDE_BITS,
-            multimodal_dedup_semantic_wide,
         )
         from crime_data_batch_processing_spark.operators.similarity import (
             _hyperplanes,
@@ -1650,6 +1659,16 @@ class TestMultimodalSemantic:
         from crime_data_batch_processing_spark.sources.tables import (
             load_table,
         )
+
+        # the registered constants must be exactly the parametrized
+        # geometry (guards a constants drift from the test's replay)
+        pfx = f"MEDIA_{rung.upper()}_"
+        assert (
+            getattr(mm, pfx + "BITS"),
+            getattr(mm, pfx + "BANDS"),
+            getattr(mm, pfx + "BAND_BITS"),
+        ) == (bits, bands, band_bits)
+        key_fn = getattr(mm, f"multimodal_dedup_semantic_{rung}")
 
         def embed(s: str):
             b = np.frombuffer(s.encode(), dtype=np.uint8).astype("int64")
@@ -1664,11 +1683,9 @@ class TestMultimodalSemantic:
             np.add.at(h, g % MEDIA_EMBED_BINS, 1 - 2 * ((g >> 8) & 1))
             return h if (h != 0).any() else None
 
-        planes = np.array(
-            _hyperplanes(MEDIA_WIDE_BITS), dtype="int64"
-        ).T
+        planes = np.array(_hyperplanes(bits), dtype="int64").T
         w = np.left_shift(
-            np.int64(1), np.arange(MEDIA_WIDE_BAND_BITS, dtype="int64")
+            np.int64(1), np.arange(band_bits, dtype="int64")
         )
 
         def bvals(v):
@@ -1676,13 +1693,9 @@ class TestMultimodalSemantic:
             return np.array(
                 [
                     (
-                        sbits[
-                            b * MEDIA_WIDE_BAND_BITS : (b + 1)
-                            * MEDIA_WIDE_BAND_BITS
-                        ]
-                        * w
+                        sbits[b * band_bits : (b + 1) * band_bits] * w
                     ).sum()
-                    for b in range(MEDIA_WIDE_BANDS)
+                    for b in range(bands)
                 ]
             )
 
@@ -1701,8 +1714,8 @@ class TestMultimodalSemantic:
             if (bvals(a) == bvals(b)).any():
                 predicted.add((r.doc_id, r.doc_id + PLANT_OFFSET))
 
-        rows = multimodal_dedup_semantic_wide(spark, sf_dir).collect()
-        assert rows, "no media near-dup pairs at the wide geometry"
+        rows = key_fn(spark, sf_dir).collect()
+        assert rows, f"no media near-dup pairs at the {rung} geometry"
         pairs = {(r.doc_a, r.doc_b): r.cos_sim for r in rows}
         # source↔its-own-copy pairs only: natural near-dup GROUPS also
         # pair members with other members' planted copies (e.g. doc 8
@@ -1717,9 +1730,9 @@ class TestMultimodalSemantic:
             f"{sorted(predicted - got_planted)[:5]}"
         )
         assert total_planted > 0
-        assert len(predicted) / total_planted >= 0.99, (
-            f"wide recall {len(predicted)}/{total_planted} below the "
-            "measured floor"
+        assert len(predicted) / total_planted >= recall_floor, (
+            f"{rung} recall {len(predicted)}/{total_planted} below "
+            "the measured floor"
         )
         for (a, b), c in pairs.items():
             assert a < b
