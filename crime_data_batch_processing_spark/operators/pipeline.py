@@ -1796,3 +1796,255 @@ def pipeline_release_semantic_prod(
         ).alias("doc_share"),
         "release_digest",
     )
+
+
+#: `pipeline_release_media`'s exact-re-upload generation: every
+#: PLANT_EVERY-th payload re-crawled BYTE-IDENTICAL under a new id at
+#: +2·PLANT_OFFSET (the near-dup generation sits at +PLANT_OFFSET
+#: with the single-space suffix, multimodal.MEDIA_PLANT_SUFFIX) — so
+#: each planted source exercises BOTH drop paths: its exact copy dies
+#: at the digest stage, its near copy at the semantic stage.
+MEDIA_RELEASE_EXACT_MULT = 2
+
+
+def _sql_release_media() -> str:
+    """Full-value DuckDB oracle for `pipeline_release_media`: replay
+    the three-generation corpus (base ∪ near-dup plants ∪ exact
+    plants), the validity gate, the byte-digest keep-first dedup, the
+    wide-geometry semantic witness (the shared media chain — its
+    `pay` corpus equals the exact stage's survivors because every
+    exact plant shares its source's digest and loses keep-first,
+    which this replay re-derives rather than assumes), and the
+    per-language asset card + digest."""
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        PLANT_EVERY,
+        PLANT_OFFSET,
+        sql_semantic_witness_cte,
+    )
+    from crime_data_batch_processing_spark.operators.multimodal import (
+        MEDIA_COSINE_THRESHOLD,
+        MEDIA_GRAM_K,
+        MEDIA_PLANT_SUFFIX,
+        MEDIA_WIDE_BAND_BITS,
+        MEDIA_WIDE_BANDS,
+        MEDIA_WIDE_BITS,
+        _sql_media_ctes,
+    )
+
+    exact_off = MEDIA_RELEASE_EXACT_MULT * PLANT_OFFSET
+    return f"""
+    WITH {_sql_media_ctes(
+        MEDIA_WIDE_BITS,
+        MEDIA_WIDE_BANDS,
+        MEDIA_WIDE_BAND_BITS,
+        materialized=True,
+    )}, ranked AS (
+        SELECT vec_a AS src, 1 AS rank, vec_b AS dst, cos_sim
+        FROM scored WHERE cos_sim >= {MEDIA_COSINE_THRESHOLD}
+        UNION ALL
+        SELECT vec_b AS src, 1 AS rank, vec_a AS dst, cos_sim
+        FROM scored WHERE cos_sim >= {MEDIA_COSINE_THRESHOLD}
+    ), {sql_semantic_witness_cte(MEDIA_COSINE_THRESHOLD)},
+    corpus3 AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + {PLANT_OFFSET} AS doc_id, lang,
+               text || '{MEDIA_PLANT_SUFFIX}' AS text
+        FROM documents WHERE doc_id % {PLANT_EVERY} = 0
+        UNION ALL
+        SELECT doc_id + {exact_off} AS doc_id, lang, text
+        FROM documents WHERE doc_id % {PLANT_EVERY} = 0
+    ), valid AS (
+        SELECT * FROM corpus3 WHERE length(text) >= {MEDIA_GRAM_K}
+    ), surv AS (
+        SELECT doc_id, lang, length(text) AS blen FROM (
+            SELECT doc_id, lang, text,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS m
+            FROM valid
+        ) WHERE doc_id = m
+    ), clean AS (
+        SELECT s.lang, s.blen, (w.vec_id IS NOT NULL) AS fl
+        FROM surv s LEFT JOIN witness w ON s.doc_id = w.vec_id
+    ), per AS (
+        SELECT lang,
+               CAST(SUM(CASE WHEN NOT fl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_assets,
+               CAST(SUM(CASE WHEN NOT fl THEN blen ELSE 0 END)
+                    AS BIGINT) AS n_bytes,
+               CAST(SUM(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped_semantic
+        FROM clean GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(n_assets) AS BIGINT) AS grand_total,
+               md5(string_agg(
+                   lang || ':' || n_assets || ':' || n_bytes, '|'
+                   ORDER BY lang)) AS release_digest
+        FROM per
+    )
+    SELECT lang, n_assets, n_bytes, n_dropped_semantic,
+           CAST(n_assets AS DOUBLE) / CAST(grand_total AS DOUBLE)
+               AS asset_share,
+           release_digest
+    FROM per, tot
+    """
+
+
+@query("pipeline_release_media", oracle=_sql_release_media())
+def pipeline_release_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASE pipeline's multimodal twin (r13 verdict stretch
+    item 8), closing the release family across both corpora: the
+    per-language dataset card of a shipped MEDIA release — validity
+    gate → exact byte-digest dedup → wide-geometry SEMANTIC dedup —
+    plus the content-derived release digest, all the release-card
+    discipline of `pipeline_release` applied to the envelope chain of
+    `pipeline_media_ingest`.
+
+    The corpus plants BOTH re-upload classes a crawler produces (see
+    MEDIA_RELEASE_EXACT_MULT): byte-identical re-crawls die at the
+    digest stage (`multimodal_dedup`'s window kernel), single-space
+    near-dups at cos ≈ 0.9999 die at the semantic stage
+    (`multimodal_dedup_semantic_wide`'s banded machinery +
+    `semantic_verdict` at the media threshold) with their source as
+    witness, and natural ≥ 0.97 byte-space groups are curated
+    identically. Card semantics: n_assets/n_bytes are what SHIPS,
+    n_dropped_semantic is the semantic audit trail (the text card's
+    n_flagged seat), and the digest pins the card exactly as
+    `_card_finish` does for text.
+
+    Scale shape: one digest window (uniform shuffle — cryptographic
+    key), the one Arrow embed pass, the banded wide-geometry machinery
+    (0.042% measured candidate mass), a language-sized aggregate, and
+    the 1-row digest broadcast. The embed seam
+    (`_media_corpus_embedded`) covers exactly the exact-stage
+    survivors — every exact plant shares its source's digest and
+    loses keep-first (asserted in tests; the oracle re-derives rather
+    than assumes it) — so the semantic stage never embeds a payload
+    the digest stage already dropped, the ordering
+    `pipeline_media_ingest` documents as the whole cost story with
+    real decoders.
+    """
+    from pyspark.sql import Window
+
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        PLANT_EVERY,
+        PLANT_OFFSET,
+        semantic_verdict,
+    )
+    from crime_data_batch_processing_spark.operators.multimodal import (
+        MEDIA_COSINE_THRESHOLD,
+        MEDIA_GRAM_K,
+        MEDIA_PLANT_SUFFIX,
+        MEDIA_WIDE_BAND_BITS,
+        MEDIA_WIDE_BANDS,
+        MEDIA_WIDE_BITS,
+        _media_corpus_embedded,
+    )
+    from crime_data_batch_processing_spark.operators.similarity import (
+        banded_scored_pairs,
+        signature_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    planted_src = F.col("doc_id") % PLANT_EVERY == 0
+    near = docs.where(planted_src).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        "lang",
+        F.concat("text", F.lit(MEDIA_PLANT_SUFFIX)).alias("text"),
+    )
+    exact = docs.where(planted_src).select(
+        (
+            F.col("doc_id") + MEDIA_RELEASE_EXACT_MULT * PLANT_OFFSET
+        ).alias("doc_id"),
+        "lang",
+        "text",
+    )
+    valid = (
+        docs.unionByName(near)
+        .unionByName(exact)
+        .where(F.length("text") >= MEDIA_GRAM_K)
+    )
+    w = Window.partitionBy(F.md5(F.encode("text", "UTF-8")))
+    surv = (
+        valid.withColumn("m", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("m"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            "lang",
+            # chars == bytes on this ASCII corpus — the documented
+            # multimodal-oracle contract
+            F.length("text").cast("long").alias("blen"),
+        )
+    )
+    emb = _media_corpus_embedded(spark, sf_dir)
+    pairs = banded_scored_pairs(
+        signature_frame(emb, bits=MEDIA_WIDE_BITS),
+        MEDIA_WIDE_BANDS,
+        MEDIA_WIDE_BAND_BITS,
+    ).where(F.col("cos_sim") >= MEDIA_COSINE_THRESHOLD)
+    directed = pairs.select(
+        F.col("vec_a").alias("src"),
+        F.lit(1).alias("rank"),
+        F.col("vec_b").alias("dst"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("src"),
+            F.lit(1).alias("rank"),
+            F.col("vec_a").alias("dst"),
+            "cos_sim",
+        )
+    )
+    verdict = semantic_verdict(
+        directed, surv.select("vec_id"), MEDIA_COSINE_THRESHOLD
+    )
+    clean = surv.join(verdict, "vec_id").select(
+        "lang", "blen", (~F.col("kept")).alias("fl")
+    )
+    per = clean.groupBy("lang").agg(
+        F.sum(F.when(~F.col("fl"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_assets"),
+        F.sum(F.when(~F.col("fl"), F.col("blen")).otherwise(0))
+        .cast("long")
+        .alias("n_bytes"),
+        F.sum(F.when(F.col("fl"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_semantic"),
+    )
+    tot = per.agg(
+        F.sum("n_assets").cast("long").alias("grand_total"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("lang", "n_assets", "n_bytes")
+                            )
+                        ),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s["lang"],
+                            s["n_assets"].cast("string"),
+                            s["n_bytes"].cast("string"),
+                        ),
+                    ),
+                ),
+                "UTF-8",
+            )
+        ).alias("release_digest"),
+    )
+    return with_scalars(per, tot).select(
+        "lang",
+        "n_assets",
+        "n_bytes",
+        "n_dropped_semantic",
+        (
+            F.col("n_assets").cast("double")
+            / F.col("grand_total").cast("double")
+        ).alias("asset_share"),
+        "release_digest",
+    )

@@ -1441,6 +1441,94 @@ class TestRelease:
             "no batch digest hit the released index — anti-join vacuous"
         )
 
+    def test_release_media_drop_paths_and_embed_seam(
+        self, spark, sf_dir
+    ):
+        """The media release's three contracts: (a) every exact
+        re-upload plant dies at the digest stage (none survives into
+        the card universe), (b) every near-dup plant dies at the
+        SEMANTIC stage (counted in n_dropped_semantic, which must
+        cover at least the planted count), (c) the embed seam
+        (`_media_corpus_embedded`) covers EXACTLY the exact-stage
+        survivors — the equality the key's docstring asserts instead
+        of recomputing the embed on survivors."""
+        from pyspark.sql import Window
+
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_EVERY,
+            PLANT_OFFSET,
+        )
+        from crime_data_batch_processing_spark.operators.multimodal import (
+            MEDIA_GRAM_K,
+            MEDIA_PLANT_SUFFIX,
+            _media_corpus_embedded,
+        )
+        from crime_data_batch_processing_spark.operators.pipeline import (
+            MEDIA_RELEASE_EXACT_MULT,
+            pipeline_release_media,
+        )
+        from crime_data_batch_processing_spark.sources.tables import (
+            load_table,
+        )
+
+        rows = pipeline_release_media(spark, sf_dir).collect()
+        assert rows and len({r.release_digest for r in rows}) == 1
+        assert abs(sum(r.asset_share for r in rows) - 1.0) < 1e-9
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        planted_src = F.col("doc_id") % PLANT_EVERY == 0
+        near = docs.where(planted_src).select(
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+            "lang",
+            F.concat("text", F.lit(MEDIA_PLANT_SUFFIX)).alias("text"),
+        )
+        exact_off = MEDIA_RELEASE_EXACT_MULT * PLANT_OFFSET
+        exact = docs.where(planted_src).select(
+            (F.col("doc_id") + exact_off).alias("doc_id"),
+            "lang",
+            "text",
+        )
+        valid = (
+            docs.unionByName(near)
+            .unionByName(exact)
+            .where(F.length("text") >= MEDIA_GRAM_K)
+        )
+        w = Window.partitionBy(F.md5(F.encode("text", "UTF-8")))
+        surv_ids = {
+            r.doc_id
+            for r in valid.withColumn("m", F.min("doc_id").over(w))
+            .where(F.col("doc_id") == F.col("m"))
+            .select("doc_id")
+            .collect()
+        }
+        n_exact_planted = exact.count()
+        assert n_exact_planted > 0
+        assert not [i for i in surv_ids if i >= exact_off], (
+            "an exact re-upload survived the digest stage"
+        )
+        n_near_planted = near.where(
+            F.length("text") >= MEDIA_GRAM_K
+        ).count()
+        total_sem_drops = sum(r.n_dropped_semantic for r in rows)
+        assert total_sem_drops >= n_near_planted > 0, (
+            total_sem_drops,
+            n_near_planted,
+        )
+        emb_ids = {
+            r.vec_id
+            for r in _media_corpus_embedded(spark, sf_dir)
+            .select("vec_id")
+            .collect()
+        }
+        # seam equality modulo zero-embed payloads (filtered by the
+        # embed, kept — and trivially unpaired — in the card universe)
+        assert emb_ids <= surv_ids
+        assert not {
+            i for i in surv_ids - emb_ids if i >= PLANT_OFFSET
+        }, "a planted survivor fell out of the embed seam"
+
     def test_release_digest_is_reproducible_and_card_consistent(
         self, spark, sf_dir
     ):
