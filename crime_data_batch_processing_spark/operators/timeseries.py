@@ -313,6 +313,181 @@ def _zone_pruned_scan(
     )
 
 
+#: `corpus_delete`'s erasure request: every customer key in
+#: [CDEL_LO, CDEL_HI] — a contiguous range, because the artifact being
+#: maintained is RANGE-clustered (scan_zone_map's layout): a range
+#: delete is the case where file-level pruning pays (a uniformly
+#: random key set touches every ranged file in any system, Iceberg
+#: included). The range is non-empty at every testdata SF.
+CDEL_LO = 100
+CDEL_HI = 199
+
+
+def _cdel_dirs(sf_dir: str) -> dict[str, str]:
+    """`corpus_delete`'s artifact layout, shared with tests: the
+    immutable v1 file set + manifest + counter card, the post-delete
+    delta files and v2 manifest/card, and the audit sidecar."""
+    base = scratch_dir(f"cdel_{CDEL_LO}_{CDEL_HI}_v1", sf_dir, "orders")
+    return {
+        "base": base,
+        "files": f"{base}/files",
+        "manifest_v1": f"{base}/manifest_v1",
+        "card_v1": f"{base}/card_v1",
+        "delta": f"{base}/delta",
+        "manifest_v2": f"{base}/manifest_v2",
+        "card_v2": f"{base}/card_v2",
+        "audit": f"{base}/audit",
+    }
+
+
+def _manifest_paths(spark: SparkSession, manifest_dir: str) -> list[str]:
+    """All file paths a manifest version points at, capped by the
+    zone-map driver-side discipline (ZONE_MANIFEST_CAP). Unlike the
+    zone scan there is NO full-directory fallback: after a delete the
+    directory still holds the pre-delete bytes of rewritten files, so
+    reading anything but the manifest's exact path set would
+    resurrect erased rows — at 100 TB this list lives in the metadata
+    layer (the `latest_snapshot` discipline), never on the driver."""
+    rows = (
+        spark.read.parquet(manifest_dir)
+        .select("path")
+        .limit(ZONE_MANIFEST_CAP + 1)
+        .collect()
+    )
+    if len(rows) > ZONE_MANIFEST_CAP:
+        raise RuntimeError(
+            f"manifest over the {ZONE_MANIFEST_CAP}-path driver cap; "
+            "a metadata-layer reader is required at this file count"
+        )
+    return [r["path"] for r in rows]
+
+
+@query(
+    "corpus_delete",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_custkeys,
+           {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_custkey NOT BETWEEN {CDEL_LO} AND {CDEL_HI}
+    GROUP BY o_orderstatus
+    """,
+)
+def corpus_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation (r13 verdict stretch item 7):
+    an erasure request — every customer key in [CDEL_LO, CDEL_HI] —
+    propagated through the DERIVED artifacts persisted for a
+    range-clustered table, touching only what the request requires:
+
+    1. **Data files, metadata-proportionally.** The zone-map manifest
+       (`scan_zone_map`'s per-file min/max) names exactly which
+       ranged files intersect the erased range; ONLY those are
+       rewritten (anti-filtered) into a delta directory. Every other
+       file is never read, never rewritten — its manifest-v2 row
+       keeps the ORIGINAL path, the Iceberg/Delta metadata-swap shape
+       (`latest_snapshot`'s pin discipline; `snapshot_expire`'s
+       metadata-proportional rule). Tests pin the untouched-path
+       contract and that a deleted key zone-scans to zero rows.
+    2. **Derived counters, by subtraction.** The per-status card's
+       counters are additive, so the delete folds in as ONE aggregate
+       over the (pruned-read) deleted rows, negated — O(erased rows),
+       never a recompute of the surviving 100 TB. card_v2 must equal
+       a fresh aggregate of the surviving scan (tested).
+    3. **Audit sidecar.** Per erased key: rows removed and the file
+       count touched — the erasure receipt a compliance pipeline
+       persists.
+
+    The registered query scans the POST-DELETE table through
+    manifest v2 and aggregates it; the oracle aggregates the source
+    minus the erased range — any resurrected row, lost survivor, or
+    drifted counter is a hash mismatch.
+    """
+    dirs = _cdel_dirs(sf_dir)
+    in_range = (F.col("o_custkey") >= CDEL_LO) & (
+        F.col("o_custkey") <= CDEL_HI
+    )
+
+    def build() -> None:
+        (
+            load_table(spark, sf_dir, "orders")
+            .repartitionByRange(16, "o_custkey")
+            .write.mode("overwrite")
+            .parquet(dirs["files"])
+        )
+        man = (
+            spark.read.parquet(dirs["files"])
+            .groupBy(F.input_file_name().alias("path"))
+            .agg(
+                F.min("o_custkey").alias("lo"),
+                F.max("o_custkey").alias("hi"),
+            )
+        )
+        man.coalesce(1).write.mode("overwrite").parquet(
+            dirs["manifest_v1"]
+        )
+        full = spark.read.parquet(dirs["files"])
+        full.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        ).coalesce(1).write.mode("overwrite").parquet(dirs["card_v1"])
+
+        # ---- the erasure job ----
+        man1 = spark.read.parquet(dirs["manifest_v1"])
+        hit = (F.col("lo") <= CDEL_HI) & (F.col("hi") >= CDEL_LO)
+        touched = [r["path"] for r in man1.filter(hit).collect()]
+        assert touched, "erased range hit no file — vacuous delete"
+        touched_df = spark.read.parquet(*touched)
+        touched_df.filter(~in_range).coalesce(
+            max(1, len(touched))
+        ).write.mode("overwrite").parquet(dirs["delta"])
+        delta_man = (
+            spark.read.parquet(dirs["delta"])
+            .groupBy(F.input_file_name().alias("path"))
+            .agg(
+                F.min("o_custkey").alias("lo"),
+                F.max("o_custkey").alias("hi"),
+            )
+        )
+        man1.filter(~hit).unionByName(delta_man).coalesce(
+            1
+        ).write.mode("overwrite").parquet(dirs["manifest_v2"])
+        erased = touched_df.filter(in_range)
+        erased.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_rows_erased"),
+            F.max(F.lit(len(touched))).alias("n_files_touched"),
+        ).coalesce(1).write.mode("overwrite").parquet(dirs["audit"])
+        neg = erased.groupBy("o_orderstatus").agg(
+            (-F.count(F.lit(1))).alias("n_orders"),
+            (-dsum("o_totalprice")).alias("sum_price"),
+        )
+        (
+            spark.read.parquet(dirs["card_v1"])
+            .unionByName(neg)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                dsum_merge("sum_price").alias("sum_price"),
+            )
+            .filter(F.col("n_orders") > 0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dirs["card_v2"])
+        )
+
+    build_once(dirs["base"], build)
+    paths = _manifest_paths(spark, dirs["manifest_v2"])
+    return (
+        spark.read.parquet(*paths)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
 @query(
     "window_retention",
     oracle="""

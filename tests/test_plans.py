@@ -518,6 +518,87 @@ def test_index_maintain_meets_file_count_contract(spark, sf_dir):
         assert maint_ids == grown_ids - dropped, m_key
 
 
+def test_corpus_delete_erasure_contracts(spark, sf_dir):
+    """The right-to-be-forgotten key's four contracts: an erased key
+    zone-scans to ZERO rows through manifest v2 while a surviving key
+    is untouched; files outside the erased range keep their ORIGINAL
+    paths in manifest v2 (metadata-proportional — never rewritten);
+    the subtracted counter card equals a fresh aggregate of the
+    surviving scan; and the audit sidecar accounts for every erased
+    row, all keys inside the requested range."""
+    from pyspark.sql import functions as F
+
+    from crime_data_batch_processing_spark.functions.exact import dsum
+    from crime_data_batch_processing_spark.operators.timeseries import (
+        CDEL_HI,
+        CDEL_LO,
+        _cdel_dirs,
+        _manifest_paths,
+        _zone_pruned_scan,
+    )
+
+    registry.QUERIES["corpus_delete"](spark, sf_dir)  # build fixture
+    dirs = _cdel_dirs(sf_dir)
+    # (1) erasure visible through the zone scan
+    erased_key = CDEL_LO + 20
+    assert (
+        _zone_pruned_scan(
+            spark, dirs["files"], dirs["manifest_v2"], key=erased_key
+        ).count()
+        == 0
+    )
+    survivor_key = 42
+    before = _zone_pruned_scan(
+        spark, dirs["files"], dirs["manifest_v1"], key=survivor_key
+    ).collect()
+    after = _zone_pruned_scan(
+        spark, dirs["files"], dirs["manifest_v2"], key=survivor_key
+    ).collect()
+    assert before and sorted(map(tuple, before)) == sorted(
+        map(tuple, after)
+    )
+    # (2) untouched files keep their original paths; only
+    # range-intersecting files were rewritten
+    m1 = {
+        (r.path, r.lo, r.hi)
+        for r in spark.read.parquet(dirs["manifest_v1"]).collect()
+    }
+    m2 = {
+        (r.path, r.lo, r.hi)
+        for r in spark.read.parquet(dirs["manifest_v2"]).collect()
+    }
+    hit1 = {t for t in m1 if t[1] <= CDEL_HI and t[2] >= CDEL_LO}
+    assert hit1 and (m1 - hit1) < m1, "no pruning to prove"
+    assert (m1 - hit1) <= m2, "an untouched file was rewritten"
+    rewritten = m2 - (m1 - hit1)
+    assert rewritten and all(
+        "/delta/" in t[0] for t in rewritten
+    ), rewritten
+    # (3) the subtracted card equals a fresh surviving aggregate
+    surviving = spark.read.parquet(
+        *_manifest_paths(spark, dirs["manifest_v2"])
+    )
+    fresh = {
+        (r.o_orderstatus, r.n_orders, float(r.sum_price))
+        for r in surviving.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .collect()
+    }
+    card2 = {
+        (r.o_orderstatus, r.n_orders, float(r.sum_price))
+        for r in spark.read.parquet(dirs["card_v2"]).collect()
+    }
+    assert card2 == fresh
+    # (4) audit accounts for every erased row
+    audit = spark.read.parquet(dirs["audit"]).collect()
+    n_v1 = spark.read.parquet(dirs["files"]).count()
+    assert sum(r.n_rows_erased for r in audit) == n_v1 - surviving.count()
+    assert all(CDEL_LO <= r.o_custkey <= CDEL_HI for r in audit)
+
+
 def test_zone_map_unselective_predicate_falls_back(spark, sf_dir):
     """When more manifest entries match than the driver-side cap, the
     scan must degrade to the full directory read (correct, file-level
