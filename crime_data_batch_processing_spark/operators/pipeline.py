@@ -59,6 +59,7 @@ from crime_data_batch_processing_spark.operators.chunking import (
 )
 from crime_data_batch_processing_spark.operators.llm_dedup import (
     _SQL_PAIR_BASE,
+    _spread,
     BENCH_MOD,
     COSINE_THRESHOLD,
     DECON_K,
@@ -126,7 +127,7 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity matters. The final output is the training-ready chunk
     stream of the surviving corpus.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     toks_c = tokens("text")
     n = F.size(toks_c)
     quality = docs.where(
@@ -230,7 +231,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_exact` keep-first, `sample_mixture` rate algebra), so each
     piece is also independently driver-verified.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     verdicts = text_decontaminate(spark, sf_dir)
     clean = (
         docs.join(
@@ -378,7 +379,7 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from crime_data_batch_processing_spark.functions.textkit import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     flags = docs.select(
         "lang",
         F.size(tokens("text")).alias("ntok"),
@@ -463,7 +464,7 @@ def pipeline_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what the oracle asserts. One corpus-sized shuffle
     (the dedup digest aggregate); everything else is map-only.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     toks = tokens("text")
     logit = (
         F.lit(QM_BIAS)
@@ -629,7 +630,7 @@ def pipeline_eval_decontaminate(
     only. Two engines — or two runs — must emit bit-identical
     manifests; that is what the oracle asserts.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
 
     ranked = _bm25_ranked(
@@ -834,7 +835,7 @@ def pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     language-sized final aggregate, and a 1-row broadcast back onto
     ~|langs| rows.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
 
     # persisted: the shingle arrays feed both the bench-gram branch
@@ -1117,7 +1118,9 @@ def pipeline_release_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crime_data_batch_processing_spark.fixtures import build_once
 
     dirs = _release_inc_dirs(sf_dir)
-    docs = _docs_planted(load_table(spark, sf_dir, "documents"))
+    docs = _spread(
+        _docs_planted(load_table(spark, sf_dir, "documents")), spark
+    )
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     is_batch = (
         F.col("doc_id") % RELEASE_INC_MOD == RELEASE_INC_RESIDUE
@@ -1368,7 +1371,7 @@ def pipeline_release_semantic(
         sim_search_knn_graph,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
 
     # persisted: the shingle arrays feed both the bench-gram branch
@@ -1648,7 +1651,7 @@ def pipeline_release_semantic_prod(
         dedup_semantic,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     # the doc↔vec fixture mapping is identity over the embedding-
     # covered prefix; plant re-uploads ONLY for covered docs so the
     # semantic drop set covers the planted set exactly (at sf0.1 the
@@ -1944,9 +1947,9 @@ def pipeline_release_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         signature_frame,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
-    )
+    docs = _spread(
+        load_table(spark, sf_dir, "documents"), spark
+    ).select("doc_id", "lang", "text")
     planted_src = F.col("doc_id") % PLANT_EVERY == 0
     near = docs.where(planted_src).select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
@@ -1983,19 +1986,28 @@ def pipeline_release_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         MEDIA_WIDE_BANDS,
         MEDIA_WIDE_BAND_BITS,
     ).where(F.col("cos_sim") >= MEDIA_COSINE_THRESHOLD)
+    # one explode, not a self-union: `pairs` is the whole banded
+    # chain (bucket join → distinct → cosine join-backs) and a union
+    # of two selects over it would plan that chain twice (the
+    # knn_rank_directed lesson, r14)
     directed = pairs.select(
-        F.col("vec_a").alias("src"),
-        F.lit(1).alias("rank"),
-        F.col("vec_b").alias("dst"),
-        "cos_sim",
-    ).unionByName(
-        pairs.select(
-            F.col("vec_b").alias("src"),
-            F.lit(1).alias("rank"),
-            F.col("vec_a").alias("dst"),
-            "cos_sim",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("src"),
+                    F.lit(1).alias("rank"),
+                    F.col("vec_b").alias("dst"),
+                    F.col("cos_sim"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("src"),
+                    F.lit(1).alias("rank"),
+                    F.col("vec_a").alias("dst"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.rank", "e.dst", "e.cos_sim")
     verdict = semantic_verdict(
         directed, surv.select("vec_id"), MEDIA_COSINE_THRESHOLD
     )

@@ -295,18 +295,36 @@ def knn_rank_directed(scored, topk: int = 0):
     """Symmetrize undirected (vec_a, vec_b, cos_sim) pairs into both
     directions and keep each src's top-k by the (cos_sim DESC,
     dst ASC) total order — the kNN-graph tail shared by the graph
-    keys. Default topk=0 resolves to KNN_K (defined below)."""
+    keys. Default topk=0 resolves to KNN_K (defined below).
+
+    Symmetrization is ONE explode over a 2-struct array, not a
+    self-union: `scored` is the full banded candidate chain (bucket
+    self-join → distinct → two exact-cosine join-backs), and a union
+    of two selects over it plans the ENTIRE chain twice — every
+    candidate generated, deduped, and cosine-scored two times (r14
+    plan audit: the whole subtree duplicated under Union). The
+    explode emits both directed rows from each scored pair in the
+    same task, so the chain runs once; the emitted rows and the
+    (cos_sim DESC, dst ASC) ranking are bit-identical to the union
+    form (cos_sim is computed once per pair instead of twice from
+    the same exact-integer inputs, which already yielded identical
+    bits)."""
     directed = scored.select(
-        F.col("vec_a").alias("src"),
-        F.col("vec_b").alias("dst"),
-        "cos_sim",
-    ).unionByName(
-        scored.select(
-            F.col("vec_b").alias("src"),
-            F.col("vec_a").alias("dst"),
-            "cos_sim",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("src"),
+                    F.col("vec_b").alias("dst"),
+                    F.col("cos_sim"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("src"),
+                    F.col("vec_a").alias("dst"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.cos_sim")
     w = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("dst").asc()
     )

@@ -25,6 +25,9 @@ from crime_data_batch_processing_spark.functions.textkit import (
     sql_raw_shingles,
     tokens,
 )
+from crime_data_batch_processing_spark.operators.llm_dedup import (
+    _spread,
+)
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -255,7 +258,7 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window's single partition; the (n DESC, bigram ASC) total
     order makes ranks deterministic cross-engine either way.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     toks = docs.select("doc_id", tokens("text").alias("t")).where(
         F.size("t") >= 2
     )
@@ -334,6 +337,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar; one job over parquet row-group stats
+    # no _spread here: measured NEGATIVE on this key (1.29s → 1.78s
+    # warm, r14) — tf-idf's cost is its two aggregates, not the
+    # single-split explode, and the extra exchange is a net loss
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     counts = terms.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     # persisted: the df table feeds BOTH the distinct-df scalar fetch
@@ -475,7 +481,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure Catalyst expressions — at 100 TB this is a shuffle-free
     map-only pass, exactly like the quality filters it composes with.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     aug = F.concat(
         F.col("text"),
         F.lit(" Contact user"),
@@ -542,7 +548,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with fewer than 2 tokens have no grams and no row (no
     repetition evidence either way).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     grams = (
         docs.select("doc_id", tokens("text").alias("toks"))
         .where(F.size("toks") >= REP_K)
@@ -672,7 +678,7 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     and derives every feature from it — one tokenize per document,
     not one per feature.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     logit = (
         F.lit(QM_BIAS)
@@ -750,7 +756,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from crime_data_batch_processing_spark import cachekit
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     toks = docs.select("doc_id", tokens("text").alias("t"))
     n = F.size("t")
     pairs = F.transform(
@@ -919,8 +925,16 @@ def _bm25_ranked(
     import math
 
     from crime_data_batch_processing_spark import cachekit
+    from crime_data_batch_processing_spark.operators.llm_dedup import (
+        _spread,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # _spread before the tokenize/explode pass: the local documents
+    # table is ONE parquet row group → one input split, so without it
+    # the corpus-sized explode+count runs on a single core (r14
+    # measured: counts materialization 1.8s single-split vs ~0.4s
+    # spread; a real multi-split corpus skips the shuffle entirely)
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     terms = docs.select(
         "doc_id",
         F.size(tokens("text")).alias("dl"),
@@ -1158,7 +1172,7 @@ def _learn_merges(
     corpus with it) — one implementation, two readouts."""
     from crime_data_batch_processing_spark import cachekit
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     words = (
         docs.select(
             F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
@@ -1314,7 +1328,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY sees no rows).
     """
     merges = _learn_merges(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     s = F.concat(
         F.lit("·"), F.array_join(F.split("word", ""), "·"), F.lit("·")
     )

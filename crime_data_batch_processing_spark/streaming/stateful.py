@@ -88,17 +88,22 @@ def run_stateful_to_memory(
     for q in spark.streams.active:
         if q.name == query_name:
             q.stop()
+    from crime_data_batch_processing_spark.streaming.stream_events import (
+        _bounded_state_conf,
+    )
+
     out = stateful_user_stats(
         streaming_events(spark, src_dir, max_files_per_trigger=None)
     )
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_state_conf(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(query_name)
 
 
@@ -246,6 +251,7 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     both halves.
     """
     from crime_data_batch_processing_spark.streaming.stream_events import (
+        _bounded_state_conf,
         _stream_src,
     )
 
@@ -255,12 +261,13 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stateful_anomaly(
         streaming_events(spark, _stream_src(sf_dir), max_files_per_trigger=None)
     )
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("cdbp_stream_anomaly")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_state_conf(spark):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cdbp_stream_anomaly")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("cdbp_stream_anomaly")

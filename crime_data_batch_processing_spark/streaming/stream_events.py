@@ -20,6 +20,7 @@ exercises a restart against the same checkpoint.
 from __future__ import annotations
 
 import atexit
+import contextlib
 import hashlib
 import os
 import shutil
@@ -147,8 +148,13 @@ def run_stream_to_memory(
     )
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
+    # consistent sizing across restarts: a checkpoint pins its state
+    # partition count at first start, and every caller (including the
+    # restart tests) re-enters through this helper, so the bounded
+    # sizing is applied on both sides of a restart
+    with _bounded_state_conf(spark):
+        q = writer.start()
+        q.awaitTermination()
     return spark.table(query_name)
 
 
@@ -164,15 +170,19 @@ def run_stream_to_parquet(
     watermark-drop test exercises, and the production topology (the
     memory sink exists only for in-process inspection)."""
     agg = hourly_agg(streaming_events(spark, src_dir))
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # same restart-consistency note as run_stream_to_memory: the
+    # bounded sizing is applied on both sides of a checkpoint restart
+    # because every caller re-enters through this helper
+    with _bounded_state_conf(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
@@ -270,14 +280,15 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_state_conf(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -295,6 +306,39 @@ def _scratch_ckpt() -> str:
     return tempfile.mkdtemp(prefix="cdbp_stream_ckpt_", dir=base)
 
 
+#: State-store partition count for the BOUNDED streaming fixtures
+#: (env-overridable). A streaming aggregate/join snapshots
+#: `spark.sql.shuffle.partitions` at query start as its state
+#: partitioning, and every micro-batch then pays a fixed per-partition
+#: commit cost (delta-file write + metadata) for EVERY state partition
+#: regardless of how many hold rows. The right sizing tracks STATE
+#: CARDINALITY and cluster topology, not local core count: these
+#: bounded fixtures hold a handful-to-a-few-thousand keys, where 32
+#: partitions x N micro-batches is pure commit overhead (measured:
+#: stream_pysource 5.1s @ 32 partitions -> 3.8s @ 8, identical rows).
+#: Production streams with high-cardinality state size this up via
+#: SPARK_GRAFT_STREAM_STATE_PARTITIONS; the default is deliberately
+#: core-count-independent (min(8, parallelism)) so bench runs at
+#: different SPARK_GRAFT_CPUS stay comparable.
+STREAM_STATE_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
+
+
+@contextlib.contextmanager
+def _bounded_state_conf(spark: SparkSession):
+    """Scope `spark.sql.shuffle.partitions` (= state partitions at
+    stream start) to the bounded-run sizing; restore on exit."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    n = int(os.environ.get(STREAM_STATE_PARTITIONS_ENV, "0")) or min(
+        8, spark.sparkContext.defaultParallelism
+    )
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _run_bounded(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Run a bounded streaming query to completion into a memory sink
     and return the sink table. Synchronous; stops any prior query of
@@ -304,16 +348,17 @@ def _run_bounded(agg: DataFrame, name: str, output_mode: str) -> DataFrame:
         if q.name == name:
             q.stop()
     ckpt = _scratch_ckpt()
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.awaitTermination()
+        with _bounded_state_conf(spark):
+            q = (
+                agg.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
@@ -1390,17 +1435,18 @@ def stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.name == name:
             q.stop()
     ckpt = _scratch_ckpt()
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
     try:
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
+        with _bounded_state_conf(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
@@ -1473,17 +1519,18 @@ def stream_pysource_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
     try:
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination()
+        with _bounded_state_conf(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(ckpt + "_cursor", ignore_errors=True)
