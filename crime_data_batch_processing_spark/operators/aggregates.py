@@ -28,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crime_data_batch_processing_spark.functions.exact import davg, dsum, sql_davg, sql_dsum, with_scalars
+from crime_data_batch_processing_spark.functions.exact import (
+    davg,
+    dsum,
+    dsum_merge,
+    sql_davg,
+    sql_dsum,
+    with_scalars,
+)
 from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.sources.tables import load_table
 
@@ -230,16 +237,25 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy with GROUPING indicator columns."""
-    return (
+    """ROLLUP hierarchy with GROUPING indicator columns.
+
+    Pre-aggregated per (flag, status) before the Expand — the
+    `agg_cube` discipline (see its note): the rollup's 3-way Expand
+    then replicates ~10 partial rows, not 600k, and the dsum_merge
+    re-fold is bit-identical to the one-pass dsum."""
+    pre = (
         load_table(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.grouping("l_returnflag").cast("long").alias("g_flag"),
-            F.grouping("l_linestatus").cast("long").alias("g_status"),
-            F.count(F.lit(1)).alias("n_rows"),
-            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("pn"),
+            dsum("l_quantity").alias("pq"),
         )
+    )
+    return pre.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.sum("pn").alias("n_rows"),
+        dsum_merge("pq").alias("sum_qty"),
     )
 
 
@@ -667,16 +683,32 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims, and prefer sketch rollups (`agg_sketch_rollup`) when the
     lattice gets wide.
     """
-    return (
+    # pre-aggregate per (flag, status) BEFORE the Expand: the lattice
+    # replicates every input row 2^d times, so cubing the raw table
+    # runs the decimal accumulation over 4x the corpus. One plain
+    # groupBy first collapses 600k rows to the ~10 observed dim pairs;
+    # the cube then expands only those partials. Exactness is
+    # dsum_merge's documented round-trip property (each per-pair
+    # partial stays far under 2^53 scale-6 quanta, so decimal →
+    # double → decimal recovers the exact partial and the re-fold
+    # equals the one-pass dsum bit-for-bit — the rollup_hypertable /
+    # stream_rollup_incremental discipline). Measured r14: 2.4s →
+    # ~0.8s at sf0.1 with identical rows.
+    pre = (
         load_table(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.grouping("l_returnflag").cast("long").alias("g_flag"),
-            F.grouping("l_linestatus").cast("long").alias("g_status"),
-            F.count(F.lit(1)).alias("n_rows"),
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("pn"),
+            dsum("l_quantity").alias("pq"),
+            dsum("l_extendedprice").alias("pp"),
         )
+    )
+    return pre.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.sum("pn").alias("n_rows"),
+        dsum_merge("pq").alias("sum_qty"),
+        dsum_merge("pp").alias("sum_price"),
     )
 
 

@@ -1328,7 +1328,11 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY sees no rows).
     """
     merges = _learn_merges(spark, sf_dir)
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    # no _spread here: the corpus path carries a single-Exchange plan
+    # contract (tests/test_plans.py bpe_apply stays-JVM-side) and the
+    # spread measured neutral (2.25s vs 2.31s warm, r14) — the fold,
+    # not the explode, dominates this key
+    docs = load_table(spark, sf_dir, "documents")
     s = F.concat(
         F.lit("·"), F.array_join(F.split("word", ""), "·"), F.lit("·")
     )
