@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 
 from crime_data_batch_processing_spark.functions.exact import (
     davg,
+    dcol,
     dsum,
-    dsum_merge,
     sql_davg,
     sql_dsum,
     with_scalars,
@@ -241,21 +241,22 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pre-aggregated per (flag, status) before the Expand — the
     `agg_cube` discipline (see its note): the rollup's 3-way Expand
-    then replicates ~10 partial rows, not 600k, and the dsum_merge
-    re-fold is bit-identical to the one-pass dsum."""
+    then replicates ~10 partial rows, not 600k. Partials stay
+    DECIMAL end-to-end (no double round-trip), so the re-fold is
+    structurally exact at ANY scale factor — see agg_cube."""
     pre = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("pn"),
-            dsum("l_quantity").alias("pq"),
+            F.sum(dcol("l_quantity")).alias("pq"),
         )
     )
     return pre.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("long").alias("g_flag"),
         F.grouping("l_linestatus").cast("long").alias("g_status"),
         F.sum("pn").alias("n_rows"),
-        dsum_merge("pq").alias("sum_qty"),
+        F.sum("pq").cast("double").alias("sum_qty"),
     )
 
 
@@ -687,28 +688,33 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replicates every input row 2^d times, so cubing the raw table
     # runs the decimal accumulation over 4x the corpus. One plain
     # groupBy first collapses 600k rows to the ~10 observed dim pairs;
-    # the cube then expands only those partials. Exactness is
-    # dsum_merge's documented round-trip property (each per-pair
-    # partial stays far under 2^53 scale-6 quanta, so decimal →
-    # double → decimal recovers the exact partial and the re-fold
-    # equals the one-pass dsum bit-for-bit — the rollup_hypertable /
-    # stream_rollup_incremental discipline). Measured r14: 2.4s →
-    # ~0.8s at sf0.1 with identical rows.
+    # the cube then expands only those partials. Measured r14: 2.4s →
+    # ~0.8s at sf0.1 with identical rows. Exactness: partials stay
+    # DECIMAL(38,6) END-TO-END — the r14 version routed them through
+    # dsum (decimal→double) + dsum_merge (double→decimal), whose
+    # losslessness requires each partial < 2^33 ≈ 8.6e9 (the ulp of a
+    # double that large reaches the 1e-6 quantum); sum_price partials
+    # hit ~5.3e9 at sf0.1, i.e. exactness would have broken at
+    # sf≈0.16 (r14 advisor). A plain decimal F.sum over decimal
+    # partials is exact and associative at ANY scale, so the re-fold
+    # equals the one-pass dsum bit-for-bit with no magnitude caveat;
+    # the single final cast to double matches the oracle's
+    # CAST(SUM(...) AS DOUBLE) exactly as dsum itself does.
     pre = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("pn"),
-            dsum("l_quantity").alias("pq"),
-            dsum("l_extendedprice").alias("pp"),
+            F.sum(dcol("l_quantity")).alias("pq"),
+            F.sum(dcol("l_extendedprice")).alias("pp"),
         )
     )
     return pre.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("long").alias("g_flag"),
         F.grouping("l_linestatus").cast("long").alias("g_status"),
         F.sum("pn").alias("n_rows"),
-        dsum_merge("pq").alias("sum_qty"),
-        dsum_merge("pp").alias("sum_price"),
+        F.sum("pq").cast("double").alias("sum_qty"),
+        F.sum("pp").cast("double").alias("sum_price"),
     )
 
 

@@ -41,7 +41,6 @@ from pyspark.storagelevel import StorageLevel
 
 from crime_data_batch_processing_spark.cachekit import track
 from crime_data_batch_processing_spark.functions.veckit import idot, quantize
-from crime_data_batch_processing_spark.operators.llm_dedup import _spread
 from crime_data_batch_processing_spark.operators.similarity import (
     _SQL_QUANT,
     EMBED_DIM,
@@ -50,7 +49,10 @@ from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.functions.exact import (
     with_scalars,
 )
-from crime_data_batch_processing_spark.sources.tables import load_table
+from crime_data_batch_processing_spark.sources.tables import (
+    load_table,
+    spread_table,
+)
 
 K_CLUSTERS = 8
 KMEANS_ITERS = 2
@@ -133,7 +135,7 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     production swaps in k-means++ without touching the iteration
     algebra.
     """
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    emb = spread_table(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
     corpus = (
         corpus.select("vec_id", "q", idot(F.col("q"), F.col("q")).alias("nsq"))

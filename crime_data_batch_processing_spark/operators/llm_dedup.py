@@ -49,7 +49,11 @@ from crime_data_batch_processing_spark.functions.veckit import (
     sql_cosine,
 )
 from crime_data_batch_processing_spark.registry import query
-from crime_data_batch_processing_spark.sources.tables import load_table
+from crime_data_batch_processing_spark.sources.tables import (
+    load_table,
+    spread,
+    spread_table,
+)
 
 JACCARD_THRESHOLD = 0.4
 #: MinHash: 32 hash functions in 8 bands of 4 rows. Collision prob at
@@ -102,20 +106,10 @@ PLANT_EVERY = 20
 PLANT_OFFSET = 10_000_000
 
 
-def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Repartition ahead of superlinear per-row work (signatures,
-    all-pairs joins) — but ONLY when the input is under-split. The
-    local testdata is one parquet file → one input split, which would
-    serialize the expensive stage onto a single core; shuffling N
-    small rows is noise next to the O(N·k) signature math or O(N²)
-    pair math it parallelizes. A real multi-split corpus is already
-    parallel, so the shuffle is skipped entirely there (an
-    unconditional repartition would insert a full-corpus Exchange at
-    100 TB for nothing)."""
-    cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
-        return df
-    return df.repartition(cores)
+#: promoted to `sources.tables.spread` (r14 advisor: a dedup-module
+#: private was imported across five operator modules); the alias
+#: keeps this module's historical import surface working.
+_spread = spread
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,7 +119,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan. MEMORY_AND_DISK spills instead of OOMing at scale —
     derived signature state is O(corpus) and persisting it once is the
     standard trade against recomputing it per branch."""
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     # filter on the TOKEN count (equivalent: shingles are non-empty
     # iff ≥ k tokens) — a filter on size(sh) would inline and
     # re-evaluate the whole shingle expression a second time
@@ -477,7 +471,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combines, so at 100 TB the exchange is bounded by
     docs × 64 longs, not corpus tokens.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     one = F.lit(1).cast("long")
     hashed = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
@@ -578,7 +572,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring runs behind LSH bucketing (see `sim_search_lsh`) or an
     ANN index, exactly as MinHash gates the Jaccard verifier.
     """
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    emb = spread_table(spark, sf_dir, "embeddings")
     # quantize and compute norms per VECTOR, before the pair join —
     # the O(n²) stage then runs only primitive long multiply-adds
     # (the oracle recomputes per pair — exact math, same values)
@@ -682,7 +676,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         signature_frame,
     )
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    emb = spread_table(spark, sf_dir, "embeddings")
     with_q = signature_frame(
         emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
     )
@@ -857,7 +851,7 @@ def dedup_embedding_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         signature_frame,
     )
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    emb = spread_table(spark, sf_dir, "embeddings")
     with_q = signature_frame(
         _planted_quantized(emb), bits=PROD_LSH_BITS
     )
@@ -938,7 +932,7 @@ def sim_search_knn_graph_prod(
         signature_frame,
     )
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    emb = spread_table(spark, sf_dir, "embeddings")
     with_q = signature_frame(
         _planted_quantized(emb), bits=PROD_LSH_BITS
     )
@@ -1133,7 +1127,7 @@ def sim_search_knn_inc_prod(
     )
     index_dir, bands_dir = f"{base_dir}/index", f"{base_dir}/bands"
     corpus = _planted_quantized(
-        _spread(load_table(spark, sf_dir, "embeddings"), spark)
+        spread_table(spark, sf_dir, "embeddings")
     )
     is_inc = F.col("vec_id") >= PLANT_OFFSET
 
@@ -1240,7 +1234,7 @@ def dedup_semantic_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     index_dir, bands_dir = f"{base_dir}/index", f"{base_dir}/bands"
     corpus = _planted_quantized(
-        _spread(load_table(spark, sf_dir, "embeddings"), spark)
+        spread_table(spark, sf_dir, "embeddings")
     )
     is_batch = (F.col("vec_id") >= PLANT_OFFSET) | (
         F.col("vec_id") % SEMDEDUP_INC_MOD == SEMDEDUP_INC_RESIDUE
@@ -1399,7 +1393,7 @@ def sim_search_index_append(
     )
     index_dir, bands_dir = f"{base_dir}/index", f"{base_dir}/bands"
     corpus = _planted_quantized2(
-        _spread(load_table(spark, sf_dir, "embeddings"), spark)
+        spread_table(spark, sf_dir, "embeddings")
     )
     is_a = (F.col("vec_id") >= PLANT_OFFSET) & (
         F.col("vec_id") < PLANT2_OFFSET
@@ -1593,7 +1587,7 @@ def sim_search_index_maintain(
     m_index, m_bands = dirs["index_m"], dirs["bands_m"]
     dropped_dir = dirs["dropped"]
     corpus = _planted_quantized2(
-        _spread(load_table(spark, sf_dir, "embeddings"), spark)
+        spread_table(spark, sf_dir, "embeddings")
     )
     is_a = (F.col("vec_id") >= PLANT_OFFSET) & (
         F.col("vec_id") < PLANT2_OFFSET
@@ -1968,7 +1962,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan-asserted in tests/test_plans.py; output is the full per-doc
     contamination verdict (downstream pipelines filter on it).
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     # persisted, not just bound: the frame feeds three branches (bench
     # grams, the hit probe, the verdict spine), and an un-persisted
     # explode re-evaluates the whole shingle transform per OUTPUT gram
@@ -2051,7 +2045,7 @@ def text_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence is defined by corpus order, so output is deterministic
     and the oracle replays it exactly.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokens("text").alias("t"))
     n_spans = F.ceil(F.size("t") / F.lit(SPAN_K)).cast("long")
     spans_arr = F.transform(

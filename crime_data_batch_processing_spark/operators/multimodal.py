@@ -877,8 +877,8 @@ def _media_corpus_embedded(
     from crime_data_batch_processing_spark.operators.llm_dedup import (
         PLANT_EVERY,
         PLANT_OFFSET,
-        _spread,
     )
+    from crime_data_batch_processing_spark.sources.tables import spread
 
     docs = load_table(spark, sf_dir, "documents")
     # same id-collision guard as llm_dedup._planted_quantized: a
@@ -942,7 +942,7 @@ def _media_corpus_embedded(
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "q": vecs})
 
     return (
-        _spread(pay, spark)
+        spread(pay, spark, probe_key=f"{sf_dir}/documents#media_pay")
         .mapInPandas(_kgram_embed, schema="vec_id long, q array<long>")
         .where(F.exists("q", lambda x: x != 0))
     )

@@ -59,7 +59,6 @@ from crime_data_batch_processing_spark.operators.chunking import (
 )
 from crime_data_batch_processing_spark.operators.llm_dedup import (
     _SQL_PAIR_BASE,
-    _spread,
     BENCH_MOD,
     COSINE_THRESHOLD,
     DECON_K,
@@ -73,7 +72,11 @@ from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.functions.exact import (
     with_scalars,
 )
-from crime_data_batch_processing_spark.sources.tables import load_table
+from crime_data_batch_processing_spark.sources.tables import (
+    load_table,
+    spread,
+    spread_table,
+)
 
 #: Gopher-style keep rules: long enough to train on, diverse enough
 #: to not be boilerplate. Ratios are single int/int double divisions,
@@ -127,7 +130,7 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity matters. The final output is the training-ready chunk
     stream of the surviving corpus.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     toks_c = tokens("text")
     n = F.size(toks_c)
     quality = docs.where(
@@ -231,7 +234,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_exact` keep-first, `sample_mixture` rate algebra), so each
     piece is also independently driver-verified.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     verdicts = text_decontaminate(spark, sf_dir)
     clean = (
         docs.join(
@@ -379,7 +382,13 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from crime_data_batch_processing_spark.functions.textkit import tokens
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    # no _spread here: measured NEGATIVE on this key (r14: 0.371s →
+    # 0.753s builder, 0.579s driver — the added Exchange costs more
+    # than the parallelism buys on this tokenize-then-tiny-agg shape;
+    # the digest window shuffles anyway, which already spreads the
+    # aggregation stages). Reverted per r15, same discipline as
+    # text_tfidf.
+    docs = load_table(spark, sf_dir, "documents")
     flags = docs.select(
         "lang",
         F.size(tokens("text")).alias("ntok"),
@@ -464,7 +473,11 @@ def pipeline_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what the oracle asserts. One corpus-sized shuffle
     (the dedup digest aggregate); everything else is map-only.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    # no _spread here: measured NEGATIVE on this key (r14: 0.829s →
+    # 0.97s builder, 0.86s driver — the dedup digest aggregate
+    # shuffles right after the map stage, so the extra Exchange buys
+    # nothing). Reverted per r15, same discipline as text_tfidf.
+    docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     logit = (
         F.lit(QM_BIAS)
@@ -630,7 +643,7 @@ def pipeline_eval_decontaminate(
     only. Two engines — or two runs — must emit bit-identical
     manifests; that is what the oracle asserts.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % BENCH_MOD == 0
 
     ranked = _bm25_ranked(
@@ -835,7 +848,7 @@ def pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     language-sized final aggregate, and a 1-row broadcast back onto
     ~|langs| rows.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % BENCH_MOD == 0
 
     # persisted: the shingle arrays feed both the bench-gram branch
@@ -1118,8 +1131,10 @@ def pipeline_release_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crime_data_batch_processing_spark.fixtures import build_once
 
     dirs = _release_inc_dirs(sf_dir)
-    docs = _spread(
-        _docs_planted(load_table(spark, sf_dir, "documents")), spark
+    docs = spread(
+        _docs_planted(load_table(spark, sf_dir, "documents")),
+        spark,
+        probe_key=f"{sf_dir}/documents#planted",
     )
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     is_batch = (
@@ -1371,7 +1386,7 @@ def pipeline_release_semantic(
         sim_search_knn_graph,
     )
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % BENCH_MOD == 0
 
     # persisted: the shingle arrays feed both the bench-gram branch
@@ -1651,7 +1666,7 @@ def pipeline_release_semantic_prod(
         dedup_semantic,
     )
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     # the doc↔vec fixture mapping is identity over the embedding-
     # covered prefix; plant re-uploads ONLY for covered docs so the
     # semantic drop set covers the planted set exactly (at sf0.1 the
@@ -1947,9 +1962,9 @@ def pipeline_release_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         signature_frame,
     )
 
-    docs = _spread(
-        load_table(spark, sf_dir, "documents"), spark
-    ).select("doc_id", "lang", "text")
+    docs = spread_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
     planted_src = F.col("doc_id") % PLANT_EVERY == 0
     near = docs.where(planted_src).select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),

@@ -54,7 +54,11 @@ from crime_data_batch_processing_spark.registry import query
 from crime_data_batch_processing_spark.functions.exact import (
     with_scalars,
 )
-from crime_data_batch_processing_spark.sources.tables import load_table
+from crime_data_batch_processing_spark.sources.tables import (
+    load_table,
+    spread,
+    spread_table,
+)
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -1585,11 +1589,7 @@ def sim_search_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k (WindowGroupLimit pre-cuts per partition before the rank
     shuffle — plan-asserted), and no stage ever materializes N².
     """
-    from crime_data_batch_processing_spark.operators.llm_dedup import (
-        _spread,
-    )
-
-    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    emb = spread_table(spark, sf_dir, "embeddings")
     with_q = signature_frame(
         emb.select("vec_id", quantize(F.col("embedding")).alias("q"))
     )
@@ -1675,10 +1675,6 @@ def sim_search_knn_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_once,
         scratch_dir,
     )
-    from crime_data_batch_processing_spark.operators.llm_dedup import (
-        _spread,
-    )
-
     # the persisted index is a pure function of the band geometry, the
     # hyperplane PRNG, quantize(), and the split modulus — bake the
     # geometry into the kind so a future constants change keys a fresh
@@ -1704,7 +1700,10 @@ def sim_search_knn_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parquet and unpersists immediately (signature_frame's
         # cachekit tracking is for query-path frames)
         base_q = _with_sig_cols(
-            quantized(_spread(emb.where(~is_inc), spark))
+            quantized(
+                spread(emb.where(~is_inc), spark,
+                       probe_key=f"{sf_dir}/embeddings")
+            )
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             base_q.write.mode("overwrite").parquet(index_dir)
@@ -1720,7 +1719,12 @@ def sim_search_knn_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     build_once(base_dir, build)
 
-    inc_q = signature_frame(quantized(_spread(emb.where(is_inc), spark)))
+    inc_q = signature_frame(
+        quantized(
+            spread(emb.where(is_inc), spark,
+                   probe_key=f"{sf_dir}/embeddings")
+        )
+    )
     return knn_inc_probe(
         inc_q,
         spark.read.parquet(index_dir),

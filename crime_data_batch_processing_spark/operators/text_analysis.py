@@ -25,11 +25,11 @@ from crime_data_batch_processing_spark.functions.textkit import (
     sql_raw_shingles,
     tokens,
 )
-from crime_data_batch_processing_spark.operators.llm_dedup import (
-    _spread,
-)
 from crime_data_batch_processing_spark.registry import query
-from crime_data_batch_processing_spark.sources.tables import load_table
+from crime_data_batch_processing_spark.sources.tables import (
+    load_table,
+    spread_table,
+)
 
 #: BPE-ish pre-tokenizer: letter runs, digit runs, single other glyphs.
 #: Same regex class syntax in Java regex (Spark) and RE2 (DuckDB).
@@ -258,7 +258,7 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window's single partition; the (n DESC, bigram ASC) total
     order makes ranks deterministic cross-engine either way.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("t")).where(
         F.size("t") >= 2
     )
@@ -481,7 +481,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure Catalyst expressions — at 100 TB this is a shuffle-free
     map-only pass, exactly like the quality filters it composes with.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     aug = F.concat(
         F.col("text"),
         F.lit(" Contact user"),
@@ -548,7 +548,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with fewer than 2 tokens have no grams and no row (no
     repetition evidence either way).
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     grams = (
         docs.select("doc_id", tokens("text").alias("toks"))
         .where(F.size("toks") >= REP_K)
@@ -678,7 +678,7 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     and derives every feature from it — one tokenize per document,
     not one per feature.
     """
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     logit = (
         F.lit(QM_BIAS)
@@ -756,7 +756,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from crime_data_batch_processing_spark import cachekit
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens("text").alias("t"))
     n = F.size("t")
     pairs = F.transform(
@@ -925,16 +925,13 @@ def _bm25_ranked(
     import math
 
     from crime_data_batch_processing_spark import cachekit
-    from crime_data_batch_processing_spark.operators.llm_dedup import (
-        _spread,
-    )
 
     # _spread before the tokenize/explode pass: the local documents
     # table is ONE parquet row group → one input split, so without it
     # the corpus-sized explode+count runs on a single core (r14
     # measured: counts materialization 1.8s single-split vs ~0.4s
     # spread; a real multi-split corpus skips the shuffle entirely)
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id",
         F.size(tokens("text")).alias("dl"),
@@ -1172,7 +1169,7 @@ def _learn_merges(
     corpus with it) — one implementation, two readouts."""
     from crime_data_batch_processing_spark import cachekit
 
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = spread_table(spark, sf_dir, "documents")
     words = (
         docs.select(
             F.explode(F.split(F.lower("text"), r"\s+")).alias("word")

@@ -218,14 +218,14 @@ def udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield i, tok, off
                 off += len(tok) + 1
 
-    from crime_data_batch_processing_spark.operators.llm_dedup import (
-        _spread,
+    from crime_data_batch_processing_spark.sources.tables import (
+        spread_table,
     )
 
     spark.udtf.register("token_spans", TokenSpans)
     # _spread: the one-row-group documents scan would otherwise feed
     # the per-row Arrow UDTF from a single input split (one core)
-    _spread(load_table(spark, sf_dir, "documents"), spark).createOrReplaceTempView(
+    spread_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "udtf_docs"
     )
     return spark.sql(

@@ -326,12 +326,25 @@ STREAM_STATE_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
 @contextlib.contextmanager
 def _bounded_state_conf(spark: SparkSession):
     """Scope `spark.sql.shuffle.partitions` (= state partitions at
-    stream start) to the bounded-run sizing; restore on exit."""
+    stream start) to the bounded-run sizing; restore on exit.
+
+    Single-threaded-harness assumption (documented per the r14
+    advisor): the session conf is global, so a concurrent batch job
+    or second stream started inside the start→awaitTermination window
+    would inherit the bounded sizing. Every consumer in this repo
+    (bench, strict sweep, driver verify, tests) runs queries
+    sequentially on one driver thread; a multi-tenant deployment
+    should set the sizing on the writer's own session instead.
+    """
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    n = int(os.environ.get(STREAM_STATE_PARTITIONS_ENV, "0")) or min(
-        8, spark.sparkContext.defaultParallelism
-    )
+    raw = os.environ.get(STREAM_STATE_PARTITIONS_ENV, "")
+    try:
+        n = int(raw)
+    except ValueError:
+        n = 0  # non-integer override: fall back to the default sizing
+    if n <= 0:
+        n = min(8, spark.sparkContext.defaultParallelism)
     spark.conf.set(key, str(n))
     try:
         yield

@@ -90,8 +90,15 @@ def test_infer_round_is_newest_record_plus_one(monkeypatch):
     round's — the driver writes the current round's file after this
     run — so the sidecar belongs to N+1."""
     monkeypatch.delenv("SPARK_GRAFT_BENCH_ROUND", raising=False)
+    import re
+
+    # mirror infer_round's strict pattern: variant records like
+    # BENCH_r14_c8.json (the driver's low-core scaling run) are not
+    # round headliners and must not advance the inferred round
     newest = max(
-        int(p.stem.split("_r")[1]) for p in REPO.glob("BENCH_r*.json")
+        int(m.group(1))
+        for p in REPO.glob("BENCH_r*.json")
+        if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
     )
     assert bench.infer_round() == newest + 1
 
@@ -216,3 +223,40 @@ def test_sidecar_divert_is_uniquified(monkeypatch, tmp_path):
     assert bench.sidecar_path().name == "BENCH_PERKEY_r13_new2.json"
     (tmp_path / "BENCH_PERKEY_r13_new2.json").write_text("{}\n")
     assert bench.sidecar_path().name == "BENCH_PERKEY_r13_new3.json"
+
+
+def test_query_chunks_deterministic_bounded_complete():
+    """r14 verdict item 2: the driver records only the last ~2000
+    chars of stdout, so per-query data must reach it as bounded,
+    deterministically-packed chunk lines — same keys + same budget
+    must give identical boundaries round over round, every line must
+    fit the budget, and the union must lose no key."""
+    import json
+
+    timings = {f"query_{i:03d}_some_longish_name": i / 1000 for i in range(244)}
+    chunks = bench.query_chunks(timings)
+    # complete and disjoint
+    seen: dict[str, float] = {}
+    for c in chunks:
+        assert not (set(c) & set(seen))
+        seen.update(c)
+    assert seen == timings
+    # every serialized line fits the budget
+    for i, c in enumerate(chunks, 1):
+        line = json.dumps(
+            {
+                "metric": "total_query_wall_part",
+                "part": i,
+                "parts": len(chunks),
+                "unit": "sec",
+                "sf": 0.1,
+                "queries": c,
+            },
+            separators=(",", ":"),
+        )
+        assert len(line) <= bench.CHUNK_LINE_CHARS, (i, len(line))
+    # deterministic: a second pass over the same inputs packs the same
+    assert bench.query_chunks(dict(reversed(list(timings.items())))) == chunks
+    # keys are in sorted order within and across chunks
+    flat = [k for c in chunks for k in c]
+    assert flat == sorted(timings)

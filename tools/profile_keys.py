@@ -4,7 +4,7 @@ DRIVER-SIDE build (fn(spark, sf_dir) — includes any eager fixture
 jobs, persist+count materializations, and Py4J plan construction)
 separately from the EXECUTION of the returned frame through the noop
 sink (guide §1.4), and optionally dumps `.explain("formatted")` to
-plans/r14/<key>_{before,after}.txt for the judge's plan-claim audit.
+plans/<round>/<key>_{before,after}.txt for the judge's plan-claim audit.
 
 Usage:
     python tools/profile_keys.py --keys text_bm25,sim_search_rrf \
@@ -34,7 +34,7 @@ def main() -> None:
     ap.add_argument("--keys", required=True)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--dump", default="",
-                    help="suffix (before/after): write plans/r14/"
+                    help="suffix (before/after): write plans/<round>/"
                          "<key>_<suffix>.txt with explain('formatted')")
     args = ap.parse_args()
 
@@ -46,7 +46,7 @@ def main() -> None:
     spark = get_spark(app_name="cdbp-profile")
     spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").count()
 
-    plans_dir = REPO / "plans" / "r14"
+    plans_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
     if args.dump:
         plans_dir.mkdir(parents=True, exist_ok=True)
 
