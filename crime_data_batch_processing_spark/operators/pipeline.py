@@ -655,21 +655,17 @@ def pipeline_eval_decontaminate(
         candidate_pred=F.col("doc_id") % BENCH_MOD != 0,
     )
 
-    # persisted, not just bound: the shingle arrays feed both the
-    # bench-gram branch and the corpus probe, and an un-persisted
-    # explode re-evaluates the whole shingle transform per OUTPUT
-    # gram (the text_decontaminate lesson — measured 10x)
-    with_sh = (
-        docs.select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", shingles_of(F.col("toks"), DECON_K).alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .transform(track)
-    )
-    qsh = with_sh.where(is_bench).select(
+    # ONE persisted corpus pass for shingles AND quality/dedup columns
+    # (r15: the separate quality scan re-tokenized the corpus; see
+    # _decon_quality_profile). An un-persisted explode would
+    # re-evaluate the whole shingle transform per OUTPUT gram (the
+    # text_decontaminate lesson — measured 10x).
+    prof = _decon_quality_profile(docs)
+    qsh = prof.where(is_bench).select(
         F.col("doc_id").alias("query_id"), F.explode("sh").alias("g")
     )
     cpairs = (
-        with_sh.where(~is_bench)
+        prof.where(~is_bench)
         .select("doc_id", F.explode("sh").alias("g"))
         .join(F.broadcast(qsh), "g")
         .select("doc_id", "query_id")
@@ -685,20 +681,8 @@ def pipeline_eval_decontaminate(
         .agg(F.max(F.coalesce("hit", F.lit(0))).alias("hit_retrieved"))
     )
 
-    toks = tokens("text")
-    logit = (
-        F.lit(QM_BIAS)
-        + F.lit(QM_W_TOKENS) * F.size(toks)
-        + F.lit(QM_W_STOP)
-        * F.size(F.filter(toks, lambda t: t.isin("the", "a")))
-        + F.lit(QM_W_DISTINCT) * F.size(F.array_distinct(toks))
-        + F.lit(QM_W_LONG)
-        * F.size(F.filter(toks, lambda t: F.length(t) > 12))
-    )
-    kept = docs.where(~is_bench).where(logit >= QM_THRESHOLD).select(
-        "doc_id",
-        F.md5("text").alias("digest"),
-        F.size(tokens("text")).alias("n_toks"),
+    kept = prof.where(~is_bench & F.col("q_ok")).select(
+        "doc_id", "digest", "n_toks"
     )
     first = kept.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
     dedup = (
@@ -851,28 +835,26 @@ def pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % BENCH_MOD == 0
 
-    # persisted: the shingle arrays feed both the bench-gram branch
-    # and the corpus probe (the text_decontaminate explode lesson)
-    with_sh = (
-        docs.select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", shingles_of(F.col("toks"), DECON_K).alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .transform(track)
-    )
+    # ONE persisted corpus pass for shingles AND quality/dedup columns
+    # (r15: the separate _quality_kept scan re-tokenized the corpus;
+    # see _decon_quality_profile)
+    prof = _decon_quality_profile(docs)
     qgrams = (
-        with_sh.where(is_bench)
+        prof.where(is_bench)
         .select(F.explode("sh").alias("g"))
         .distinct()
     )
     contaminated = (
-        with_sh.where(~is_bench)
+        prof.where(~is_bench)
         .select("doc_id", F.explode("sh").alias("g"))
         .join(F.broadcast(qgrams), "g")
         .select("doc_id")
         .distinct()
     )
 
-    kept = _quality_kept(docs.where(~is_bench))
+    kept = prof.where(~is_bench & F.col("q_ok")).select(
+        "doc_id", "lang", "digest", "n_toks"
+    )
     first = kept.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
     dedup = (
         kept.join(first, "digest")
@@ -908,6 +890,46 @@ def _quality_kept(docs: DataFrame) -> DataFrame:
         "lang",
         F.md5("text").alias("digest"),
         F.size(tokens("text")).alias("n_toks"),
+    )
+
+
+def _decon_quality_profile(docs: DataFrame) -> DataFrame:
+    """ONE persisted corpus pass carrying BOTH derived families the
+    release/decontamination keys consume: the DECON_K shingle arrays
+    (eval-gram branch + corpus probe) AND the quality/dedup columns
+    (md5 digest, token count, quality-gate verdict). Until r15 these
+    were two independent full scans per key — the persisted shingle
+    frame plus a separate tokenize+quality scan of the same documents
+    (guide §1 redundant passes; tokenize is the expensive map work
+    here: the extra pass measured ~0.75 s warm at sf0.1 per release
+    key). Every column is the EXACT expression the split branches
+    evaluated (`_quality_kept`'s logit and projection, the shingle
+    frame's `shingles_of(tokens(text), DECON_K)`), so consumers are
+    bit-identical; downstream InMemoryTableScans prune to the columns
+    each branch reads, so the gram branches never deserialize the
+    quality columns."""
+    toks = F.col("toks")
+    logit = (
+        F.lit(QM_BIAS)
+        + F.lit(QM_W_TOKENS) * F.size(toks)
+        + F.lit(QM_W_STOP)
+        * F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+        + F.lit(QM_W_DISTINCT) * F.size(F.array_distinct(toks))
+        + F.lit(QM_W_LONG)
+        * F.size(F.filter(toks, lambda t: F.length(t) > 12))
+    )
+    return (
+        docs.select("doc_id", "lang", "text", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            shingles_of(toks, DECON_K).alias("sh"),
+            F.md5("text").alias("digest"),
+            F.size(toks).alias("n_toks"),
+            (logit >= QM_THRESHOLD).alias("q_ok"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
     )
 
 
@@ -1389,42 +1411,25 @@ def pipeline_release_semantic(
     docs = spread_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % BENCH_MOD == 0
 
-    # persisted: the shingle arrays feed both the bench-gram branch
-    # and the corpus probe (the text_decontaminate explode lesson)
-    with_sh = (
-        docs.select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", shingles_of(F.col("toks"), DECON_K).alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .transform(track)
-    )
+    # ONE persisted corpus pass for shingles AND quality/dedup columns
+    # (r15: the separate quality scan re-tokenized the corpus; see
+    # _decon_quality_profile)
+    prof = _decon_quality_profile(docs)
     qgrams = (
-        with_sh.where(is_bench)
+        prof.where(is_bench)
         .select(F.explode("sh").alias("g"))
         .distinct()
     )
     contaminated = (
-        with_sh.where(~is_bench)
+        prof.where(~is_bench)
         .select("doc_id", F.explode("sh").alias("g"))
         .join(F.broadcast(qgrams), "g")
         .select("doc_id")
         .distinct()
     )
 
-    toks = tokens("text")
-    logit = (
-        F.lit(QM_BIAS)
-        + F.lit(QM_W_TOKENS) * F.size(toks)
-        + F.lit(QM_W_STOP)
-        * F.size(F.filter(toks, lambda t: t.isin("the", "a")))
-        + F.lit(QM_W_DISTINCT) * F.size(F.array_distinct(toks))
-        + F.lit(QM_W_LONG)
-        * F.size(F.filter(toks, lambda t: F.length(t) > 12))
-    )
-    kept = docs.where(~is_bench).where(logit >= QM_THRESHOLD).select(
-        "doc_id",
-        "lang",
-        F.md5("text").alias("digest"),
-        F.size(tokens("text")).alias("n_toks"),
+    kept = prof.where(~is_bench & F.col("q_ok")).select(
+        "doc_id", "lang", "digest", "n_toks"
     )
     first = kept.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
     dedup = (
@@ -1694,42 +1699,25 @@ def pipeline_release_semantic_prod(
         F.col("doc_id") < PLANT_OFFSET
     )
 
-    # persisted: the shingle arrays feed both the bench-gram branch
-    # and the corpus probe (the text_decontaminate explode lesson)
-    with_sh = (
-        docaug.select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", shingles_of(F.col("toks"), DECON_K).alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .transform(track)
-    )
+    # ONE persisted corpus pass for shingles AND quality/dedup columns
+    # over the AUGMENTED corpus (r15: the separate quality scan
+    # re-tokenized it; see _decon_quality_profile)
+    prof = _decon_quality_profile(docaug)
     qgrams = (
-        with_sh.where(is_bench)
+        prof.where(is_bench)
         .select(F.explode("sh").alias("g"))
         .distinct()
     )
     contaminated = (
-        with_sh.where(~is_bench)
+        prof.where(~is_bench)
         .select("doc_id", F.explode("sh").alias("g"))
         .join(F.broadcast(qgrams), "g")
         .select("doc_id")
         .distinct()
     )
 
-    toks = tokens("text")
-    logit = (
-        F.lit(QM_BIAS)
-        + F.lit(QM_W_TOKENS) * F.size(toks)
-        + F.lit(QM_W_STOP)
-        * F.size(F.filter(toks, lambda t: t.isin("the", "a")))
-        + F.lit(QM_W_DISTINCT) * F.size(F.array_distinct(toks))
-        + F.lit(QM_W_LONG)
-        * F.size(F.filter(toks, lambda t: F.length(t) > 12))
-    )
-    kept = docaug.where(~is_bench).where(logit >= QM_THRESHOLD).select(
-        "doc_id",
-        "lang",
-        F.md5("text").alias("digest"),
-        F.size(tokens("text")).alias("n_toks"),
+    kept = prof.where(~is_bench & F.col("q_ok")).select(
+        "doc_id", "lang", "digest", "n_toks"
     )
     first = kept.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
     dedup = (

@@ -257,6 +257,24 @@ def banded_scored_pairs(
     keys (threshold consumers) and the kNN graph keys (rank
     consumers)."""
     b_rows = band_rows_of(with_q, bands, band_bits)
+    spark = with_q.sparkSession
+    # Hash-repartition the ID pairs to full core width BEFORE the
+    # distinct (guide §2.2/§2.4): the pair exchange is tiny in BYTES
+    # (16 B/row), so AQE's byte-based coalescing shrank it to ~6
+    # partitions at sf0.1 — but the stage ABOVE the distinct is the
+    # compute-dense exact cosine (~200 long ops + array traffic per
+    # pair), which that coalescing serialized onto 6 cores. A
+    # user-specified repartition is exempt from AQE coalescing, and
+    # dropDuplicates reuses the (vec_a, vec_b) hash partitioning, so
+    # the plan keeps ONE exchange — now at compute width. Measured
+    # (sf0.1, local[32], warm): weak-geometry kernel exec 1.92 s →
+    # 0.93 s, identical rows. Width = max(cores, configured shuffle
+    # partitions): scale-adaptive, never below what production sizing
+    # already asked for.
+    width = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     cand = (
         b_rows.alias("a")
         .join(
@@ -269,6 +287,7 @@ def banded_scored_pairs(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
         )
+        .repartition(width, "vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
     a = with_q.select(
