@@ -68,10 +68,26 @@ def _und_edges(spark, sf_dir, *, checkpoint_pairs=False):
     )
     if checkpoint_pairs:
         pairs = pairs.localCheckpoint(eager=True)
+    # symmetrize via ONE explode over a 2-struct array, not a
+    # self-union (the r14 knn_rank_directed lesson, guide §1/§2):
+    # `pairs` is the whole banded-candidate + exact-verify chain, and
+    # unionByName(select swapped) plans and RUNS that chain twice —
+    # the persisted band/shingle frames are cached, but the self-join,
+    # distinct and Jaccard verify re-execute per union branch. The
+    # explode emits both directed rows from each verified pair in the
+    # same task; rows and the downstream distinct are identical.
     und = (
-        pairs.unionByName(
-            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.u", "e.v")
         .distinct()
         .localCheckpoint(eager=True)
     )

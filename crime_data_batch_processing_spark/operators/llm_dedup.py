@@ -472,7 +472,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs × 64 longs, not corpus tokens.
     """
     docs = spread_table(spark, sf_dir, "documents")
-    one = F.lit(1).cast("long")
     hashed = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .select("doc_id", F.md5("tok").alias("m"))
@@ -483,18 +482,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def vote(j: int) -> F.Column:
-        src = F.col("lo") if j < 32 else F.col("hi")
-        bit = F.shiftrightunsigned(src, j % 32).bitwiseAND(F.lit(1).cast("long"))
-        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{j}")
-
-    votes = hashed.groupBy("doc_id").agg(*[vote(j) for j in range(SIMHASH_BITS)])
-    packed = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        packed = packed.bitwiseOR(
-            F.when(F.col(f"v{j}") > 0, F.shiftleft(one, j)).otherwise(0)
-        )
-    fps = votes.select("doc_id", packed.alias("simhash"))
+    # The 64 vote sums and the 64-term packing are built as SQL expr
+    # STRINGS, not Column-API chains: each Column operator is a Py4J
+    # round-trip plus an eager re-analysis of the growing Dataset, and
+    # this 64-wide tree measured 1.1-1.5 s of pure DRIVER time per
+    # build (guide §5 — driver cost is real at any scale; r15 A/B:
+    # plan 1.48 s → 0.23 s warm, byte-identical output, same exec).
+    # The parsed expressions are the SAME resolved tree, so codegen
+    # and the oracle equivalence are untouched. Packing joins with `|`
+    # over disjoint bit terms — exactly the bitwiseOR fold it replaces.
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN (shiftrightunsigned("
+                f"{'lo' if j < 32 else 'hi'}, {j % 32}) "
+                f"& CAST(1 AS BIGINT)) = 1 THEN 1 ELSE -1 END) AS v{j}"
+            )
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    packed = " | ".join(
+        f"(CASE WHEN v{j} > 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
+    fps = votes.selectExpr("doc_id", f"({packed}) AS simhash")
     bands = fps.select(
         "doc_id",
         "simhash",
@@ -1690,9 +1702,28 @@ def connected_components(
     silently returning split components.
     """
     a, b = pairs.columns[:2]
-    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-    edges = fwd.union(rev).persist(StorageLevel.MEMORY_AND_DISK)
+    # symmetrize via ONE explode, not a self-union (r14
+    # knn_rank_directed lesson): `pairs` is usually the whole banded
+    # candidate + exact-verify chain, and a union of two selects over
+    # it RUNS that chain once per branch when the persist below
+    # materializes — the explode emits both directed rows in the same
+    # task, so the chain runs once. Same rows, same downstream math.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a).alias("src"), F.col(b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b).alias("src"), F.col(a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     edges.count()  # materialize: referenced twice per round
 
     # iterate ONLY over docs that appear in some pair — everything
@@ -1835,8 +1866,21 @@ def connected_components_star(
     )
 
     def _star(edges: DataFrame, large: bool) -> DataFrame:
-        # neighbors of u (both directions), min per u; m = min(N(u)∪{u})
-        both = edges.union(edges.select("v", "u"))
+        # neighbors of u (both directions), min per u; m = min(N(u)∪{u}).
+        # Symmetrized by ONE explode, not a self-union: `edges` is the
+        # (un-checkpointed) inner star's whole plan when this is the
+        # outer star of a round, and a union would plan/run it per
+        # branch (r14 knn_rank_directed lesson).
+        both = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
         m = both.groupBy("u").agg(F.min("v").alias("mn"))
         m = m.select("u", F.least("u", "mn").alias("m"))
         nbr = both.join(m, "u")

@@ -408,6 +408,21 @@ def knn_inc_probe(
                 F.col("b.vec_id").alias("dst"),
             )
         )
+        # same width fix as banded_scored_pairs: the ID-pair exchange
+        # is tiny in bytes, AQE would coalesce it, and the stage above
+        # the distinct is the compute-dense exact cosine
+        .repartition(
+            max(
+                inc_q.sparkSession.sparkContext.defaultParallelism,
+                int(
+                    inc_q.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    )
+                ),
+            ),
+            "src",
+            "dst",
+        )
         .dropDuplicates(["src", "dst"])
     )
     all_q = base_q.unionByName(inc_q)
