@@ -55,46 +55,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # machinery has been touched since).  Keys verified green in round 2 at
 # unchanged code sort last — losing them to the cap costs nothing.
 _VERIFY_FIRST = [
-    # (1) NEW in the interrupted round-14 build — keys the driver has
-    # NEVER verified (strict-swept bit-exact this round, twice):
-    # sim_search_index_maintain (index compaction + delete
-    # propagation), pipeline_release_inc (per-ingest release card),
-    # multimodal_dedup_semantic_xwide (256-bit/8×32 geometry),
-    # pipeline_release_media (media release card), corpus_delete
-    # (right-to-be-forgotten propagation).
-    "sim_search_index_maintain", "pipeline_release_inc",
-    "multimodal_dedup_semantic_xwide", "pipeline_release_media",
-    "corpus_delete",
-    # (2) code CHANGED in the round-14 OPTIMIZATION pass — a stale
+    # (1) code CHANGED in the round-15 OPTIMIZATION pass — a stale
     # green row proves nothing about changed code. Every key below
     # was re-proven bit-exact via tools/strict_sweep.py this round
-    # (see OPTIMIZATION_r14.md); the driver re-verifies them here.
-    # Symmetrize-explode (knn_rank_directed / release_media):
+    # (see OPTIMIZATION_r15.md); the driver re-verifies them here.
+    # Banded candidate-pair repartition (banded_scored_pairs /
+    # knn_inc_probe) + vectorized media embed:
+    "dedup_embedding_lsh", "dedup_embedding_lsh_prod",
     "sim_search_knn_graph", "sim_search_knn_graph_prod",
-    "dedup_semantic", "pipeline_release_semantic",
-    "pipeline_release_semantic_prod",
-    # connected-components round/convergence changes:
-    "dedup_clusters", "dedup_clusters_star", "pipeline_collapse",
-    # _spread single-split fixes (BM25 family, release chain, text,
-    # UDTF):
-    "text_bm25", "sim_search_rrf", "sample_hard_negatives",
-    "pipeline_eval_decontaminate", "pipeline_pretrain",
-    "pipeline_curate", "pipeline_dataset_card",
-    "pipeline_train_manifest", "pipeline_release", "text_ngrams",
-    "text_pii_scrub", "text_repetition", "text_quality_model",
-    "text_lm_score", "text_bpe_train", "text_bpe_apply",
-    "udtf_token_spans",
-    # pre-aggregated Expand (dsum_merge re-fold):
-    "agg_cube", "agg_rollup",
-    # bounded-streaming state-partition sizing (_bounded_state_conf):
-    "stream_session", "stream_static_join", "stream_dedup",
-    "stream_events", "stream_stream_join", "stream_stream_left_join",
-    "stream_pipeline", "stream_transform_state", "stream_pysource",
-    "stream_pysource_partitioned", "stream_decontaminate",
-    "stream_watermark_late", "stream_stateful", "stream_anomaly",
-    # 5 + 41 = 46 keys consume the ~50 cap; keys with unchanged code
-    # and a green row from rounds 9-13 sort after in dict order (the
-    # r9-generation rotation resumes next round).
+    "multimodal_dedup_semantic", "multimodal_dedup_semantic_wide",
+    "multimodal_dedup_semantic_xwide", "multimodal_dedup_semantic_inc",
+    "dedup_semantic", "dedup_semantic_inc", "pipeline_release_media",
+    "sim_search_knn_inc", "sim_search_knn_inc_prod",
+    "sim_search_index_append", "sim_search_index_maintain",
+    # Release-key corpus-scan fusion (_decon_quality_profile):
+    "pipeline_release", "pipeline_eval_decontaminate",
+    "pipeline_release_semantic", "pipeline_release_semantic_prod",
+    # simhash expr-string plan build; CC/graph explode-symmetrize:
+    "dedup_simhash", "dedup_clusters", "dedup_clusters_star",
+    "pipeline_collapse", "graph_pagerank", "graph_bfs",
+    "graph_label_propagation", "graph_triangles",
+    # BPE lazy per-round persist:
+    "text_bpe_train", "text_bpe_apply",
+    # Inherited round-15 changes (commit e7b7058): decimal-exact
+    # cube/rollup fold, _spread reverts:
+    "agg_cube", "agg_rollup", "pipeline_dataset_card",
+    "pipeline_train_manifest",
+    # (2) last driver-green in ROUND 9 — the oldest remaining
+    # generation (displaced by the r14 rotation; resumed here to keep
+    # driver evidence aging out, r14 verdict item 9). 33 + 17 = 50
+    # keys consume the cap exactly; the rest of the r9 generation
+    # (quality_expectations, sample_bottomk, sample_split, scan_*,
+    # sim_search_pq, sink_compacted, stream_count_min,
+    # text_dedup_spans, text_domain_mix, text_ngrams, udf_arrow,
+    # udtf_token_spans, window_*) sorts next in dict order.
+    "agg_ab_test", "agg_argmax", "agg_count_filter", "agg_distinct",
+    "agg_gini", "agg_grouping_sets", "agg_mad", "agg_multi",
+    "analytics_waiting_suppliers", "dedup_containment",
+    "dedup_incremental", "dedup_ngram_jaccard", "join_bloom",
+    "join_scd2", "multimodal_decode", "multimodal_dedup",
+    "profile_stats",
 ]
 
 

