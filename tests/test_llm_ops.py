@@ -1700,6 +1700,88 @@ class TestMultimodalSemantic:
             assert a < b
             assert c >= MEDIA_COSINE_THRESHOLD
 
+    def test_batch_vectorized_embed_equals_per_doc_reference(
+        self, spark, sf_dir
+    ):
+        """r15 pinned equivalence: `_kgram_embed` is vectorized ACROSS
+        the Arrow batch (concatenated rolling hash, document-boundary
+        masking, doc-offset two-sided bincount). Every emitted vector
+        must equal the straightforward per-document rolling-hash +
+        signed-bincount reference computed here from the SAME envelope
+        payloads, and exactly the zero-vector payloads must be
+        filtered (the exists() guard)."""
+        import numpy as np
+
+        from crime_data_batch_processing_spark.operators.llm_dedup import (
+            PLANT_EVERY,
+            PLANT_OFFSET,
+        )
+        from crime_data_batch_processing_spark.operators.multimodal import (
+            MEDIA_EMBED_BINS,
+            MEDIA_GRAM_K,
+            MEDIA_GRAM_MOD,
+            MEDIA_GRAM_MULT,
+            MEDIA_MIX_MOD,
+            MEDIA_MIX_MULT,
+            MEDIA_PLANT_SUFFIX,
+            _media_corpus_embedded,
+            media_envelope,
+        )
+        from crime_data_batch_processing_spark.sources.tables import (
+            load_table,
+        )
+
+        got = {
+            r.vec_id: list(r.q)
+            for r in _media_corpus_embedded(spark, sf_dir).collect()
+        }
+
+        # same corpus construction as the seam: base + planted copies,
+        # length-filtered; payload bytes via the same envelope
+        docs = load_table(spark, sf_dir, "documents")
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        planted = docs.where(F.col("doc_id") % PLANT_EVERY == 0).select(
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(MEDIA_PLANT_SUFFIX)).alias(
+                "text"
+            ),
+            "lang",
+            "source",
+            (F.col("n_chars") + 1).alias("n_chars"),
+        )
+        corpus = (
+            docs.select(*cols)
+            .unionByName(planted)
+            .where(F.length("text") >= MEDIA_GRAM_K)
+        )
+        payloads = (
+            media_envelope(corpus)
+            .select("doc_id", F.col("media.data").alias("data"))
+            .collect()
+        )
+
+        k, mult, gmod = MEDIA_GRAM_K, MEDIA_GRAM_MULT, MEDIA_GRAM_MOD
+        mix, mixmod, bins = MEDIA_MIX_MULT, MEDIA_MIX_MOD, MEDIA_EMBED_BINS
+        n_nonzero = 0
+        for row in payloads:
+            b = np.frombuffer(bytes(row.data), dtype=np.uint8).astype(
+                "int64"
+            )
+            n = b.size - k + 1
+            v = b[:n].copy()
+            for j in range(1, k):
+                v = (v * mult + b[j : j + n]) % gmod
+            g = (v * mix) % mixmod
+            h = np.zeros(bins, dtype="int64")
+            np.add.at(h, g % bins, 1 - 2 * ((g >> 8) & 1))
+            ref = h.tolist()
+            if any(ref):
+                n_nonzero += 1
+                assert got[row.doc_id] == ref, row.doc_id
+            else:
+                assert row.doc_id not in got, row.doc_id
+        assert n_nonzero > 0 and len(got) == n_nonzero
+
     @pytest.mark.parametrize(
         "rung,bits,bands,band_bits,recall_floor",
         [

@@ -1706,3 +1706,24 @@ def test_keyword_extract_group_limit_and_broadcasts(spark, sf_dir):
     df = registry.QUERIES["text_keyword_extract"](spark, sf_dir)
     assert "WindowGroupLimit" in physical_plan(df)
     assert uses_broadcast_join(df)
+
+
+def test_banded_candidate_distinct_keeps_compute_width(spark, sf_dir):
+    """The exact-cosine stage above the banded candidate distinct is
+    compute-dense (~200 long ops/pair) while the ID-pair exchange is
+    ~16 B/row — AQE's byte-based coalescing shrank it to ~6 partitions
+    at sf0.1 and serialized the cosine onto 6 of 32 cores (r15:
+    kernel exec 1.92 s -> 0.93 s once fixed). The candidate pairs must
+    therefore reach the distinct through a USER-SPECIFIED hash
+    repartition on (vec_a, vec_b) — REPARTITION_BY_NUM is exempt from
+    AQE coalescing and the distinct reuses the partitioning, so the
+    plan keeps one exchange at compute width."""
+    from crime_data_batch_processing_spark.plans import physical_plan
+
+    plan = physical_plan(
+        registry.QUERIES["dedup_embedding_lsh"](spark, sf_dir)
+    )
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # the repartition must be the keyed one feeding the distinct, not
+    # only the round-robin input spread
+    assert "hashpartitioning(vec_a" in plan, plan
